@@ -1,0 +1,55 @@
+"""Fixture catalog: load the ten driver tables and register temp views.
+
+Tables + schemas: /root/repo/FIXTURES.md. ``events.ts`` is stored with
+nanosecond precision in parquet; Spark truncates to microseconds on
+read (lossless here — fixture values are µs-resolution), the DuckDB
+oracle must ``CAST(ts AS TIMESTAMP)`` to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively so the
+    contract also holds on a caller-provided session (the driver builds
+    its own SparkSession without our session.py defaults)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # with spark.sql.legacy.parquet.nanosAsLong the ns-precision ts
+        # arrives as BIGINT; convert to µs TIMESTAMP (fixture values are
+        # µs-resolution, so `div 1000` is lossless — FIXTURES.md)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (SQL entry point)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,75 @@
+"""Parquet scan/sink operators (SURVEY.md §2-A).
+
+Reference analog [R]: the Akka journal/snapshot store is the only
+"source"; here the columnar parquet scan is the front door and Catalyst
+pushes filters/projections into the parquet reader (row-group and page
+skipping) — verify with ``.explain``: ``PushedFilters`` + ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of one fixture table, all columns."""
+    return load_table(spark, sf_dir, "nation")
+
+
+def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with column pruning + predicate pushdown.
+
+    The physical plan must read only 3 columns (``ReadSchema``) and push
+    ``l_shipdate > 2000-01-01`` into the parquet scan (``PushedFilters``)
+    — at 100 TB that is the difference between reading 3% and 100% of
+    the table bytes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    )
+
+
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write results partitioned by a key column, read them back.
+
+    Partitioned layout is the 100 TB story: downstream queries with a
+    ``l_returnflag`` predicate prune entire directories. rows-only check.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_sink_")
+    agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    # partition column comes back as the last column; normalize order/types
+    return back.select(
+        F.col("l_returnflag").cast("string"),
+        F.col("l_linestatus"),
+        F.col("cnt"),
+    )
+
+
+QUERIES = {
+    "scan_parquet": scan_parquet,
+    "scan_pruned": scan_pruned,
+    "sink_parquet": sink_parquet,
+}
+
+ORACLES = {
+    "scan_parquet": "SELECT * FROM nation",
+    "scan_pruned": (
+        "SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem "
+        "WHERE l_shipdate > TIMESTAMP '2000-01-01'"
+    ),
+    "sink_parquet": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt "
+        "FROM lineitem GROUP BY 1, 2"
+    ),
+}
