@@ -1,0 +1,232 @@
+"""Scalar-function surface (SURVEY.md §2-E): one composite query per
+function family, each exercising several functions with aliased outputs.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen) — no Python in the hot path. Engine-parity notes
+inline where Spark/DuckDB semantics differ (weekday numbering, ceil
+return types, hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+
+
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("part2"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer")).alias("lev"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("cw"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("rex"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("lp"),
+        F.reverse("c_name").alias("rev"),
+    )
+
+
+_FN_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       substring(c_name, 1, 8) AS sub,
+       split_part(c_name, '#', 2) AS part2,
+       CAST(levenshtein(c_name, 'Customer') AS INTEGER) AS lev,
+       concat_ws('-', c_mktsegment, c_name) AS cw,
+       regexp_extract(c_name, '([0-9]+)', 1) AS rex,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS lp,
+       reverse(c_name) AS rev
+FROM customer
+"""
+
+
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("mstart"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        # weekday: 0=Monday — matches DuckDB isodow-1
+        F.weekday("o_orderdate").alias("wd"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.datediff(F.col("o_orderdate"), F.lit("2000-01-01").cast("date")).alias(
+            "days_since_2000"
+        ),
+    )
+
+
+_FN_DATE_SQL = """
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS mstart,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+       o_orderdate + INTERVAL 30 DAY AS plus30,
+       CAST(date_diff('day', DATE '2000-01-01', o_orderdate) AS INTEGER)
+         AS days_since_2000
+FROM orders
+"""
+
+
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("absval"),
+        # Spark ceil/floor(double) -> LONG; DuckDB's return DOUBLE (cast in SQL)
+        F.ceil("l_extendedprice").alias("ceilv"),
+        F.floor("l_extendedprice").alias("floorv"),
+        F.sqrt("l_quantity").alias("sq"),
+        F.pow("l_quantity", F.lit(2)).alias("p2"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias("tdiv"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+    )
+
+
+_FN_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS absval,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceilv,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floorv,
+       sqrt(l_quantity) AS sq,
+       pow(l_quantity, 2) AS p2,
+       l_extendedprice / nullif(l_discount, 0) AS tdiv,
+       CAST(l_linenumber % 3 AS INTEGER) AS mod3,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
+FROM lineitem
+"""
+
+
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized digests — identical hex across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+    )
+
+
+def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native hashes (xxhash64/crc32/murmur) — rows-only check:
+    these are deliberately engine-specific (used for shuffles/sketches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("h_xx64"),
+        F.crc32("text").alias("h_crc32"),
+        F.hash("text").alias("h_murmur"),
+    )
+
+
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions over tokenized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.slice(F.array_sort(toks), 1, 3).alias("first3"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("tot_len"),
+    )
+
+
+_FN_ARRAY_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+       list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3,
+       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 5)) AS INTEGER)
+         AS n_long,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x)))
+            AS INTEGER) AS tot_len
+FROM documents
+"""
+
+
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per token with its 0-based position."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+
+
+_FN_EXPLODE_SQL = """
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+       unnest(toks) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/inspection — rows-only (map iteration order is
+    not defined, so value-hash comparison is meaningless by design)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("type"), F.col("event_type"),
+    )
+    sm = F.str_to_map(F.concat(F.lit("ev:"), F.col("event_type")), F.lit(","), F.lit(":"))
+    return e.select(
+        "event_id",
+        m.alias("props_map"),
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(sm).alias("smvals"),
+    )
+
+
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+    )
+
+
+_FN_JSON_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+FROM events
+"""
+
+
+QUERIES = {
+    "fn_string": fn_string,
+    "fn_date": fn_date,
+    "fn_math": fn_math,
+    "fn_hash": fn_hash,
+    "fn_hash_native": fn_hash_native,
+    "fn_array": fn_array,
+    "fn_explode": fn_explode,
+    "fn_map": fn_map,
+    "fn_json": fn_json,
+}
+
+ORACLES = {
+    "fn_string": _FN_STRING_SQL,
+    "fn_date": _FN_DATE_SQL,
+    "fn_math": _FN_MATH_SQL,
+    "fn_hash": (
+        "SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256 FROM documents"
+    ),
+    # fn_hash_native, fn_map: rows-only by design
+    "fn_array": _FN_ARRAY_SQL,
+    "fn_explode": _FN_EXPLODE_SQL,
+    "fn_json": _FN_JSON_SQL,
+}

@@ -1,0 +1,418 @@
+"""Graph traversals & algorithms on DataFrames (SURVEY.md §2-C).
+
+Reference analogs [R]: hop-by-hop Traverse messages with an aggregator
+actor. Here: frontier self-joins (BFS/k-hop — a semi-join-pruned
+frontier, never the full vertex set) and the Pregel kernel
+(SSSP/CC/PageRank/LPA).
+
+Determinism: PageRank runs in scaled INTEGER arithmetic (µ-units of
+1e-12) so ranks are exactly reproducible across engines and across
+partitionings — float message sums would drift with partition order.
+LPA ties break to the smallest label. Both therefore hash-match their
+unrolled-SQL DuckDB oracles exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.operators.graph_build import (
+    NATION_EDGES_CTE,
+    USER_EDGES_CTE,
+    nation_edges,
+    user_edges_sym,
+    user_vertices,
+)
+from graph_database_akkatyped_spark.operators.pregel import pregel
+
+_SEED_SQL = "(SELECT min(user_id) FROM events)"
+
+
+# ------------------------------------------------------------ BFS family
+
+
+def _bfs_visited(
+    spark: SparkSession, sf_dir: str, max_level: int
+) -> DataFrame:
+    """Frontier BFS from the min user id; returns (id, level).
+
+    Only the frontier is joined each round (not all vertices), and each
+    level is localCheckpoint-ed so lineage stays flat — the pattern that
+    survives deep graphs at scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    edges = user_edges_sym(spark, sf_dir)
+    seed = events.agg(F.min("user_id").alias("id"))
+    visited = seed.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    for lvl in range(1, max_level + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited
+
+
+def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bfs_visited(spark, sf_dir, 20).select(
+        F.col("id").alias("user_id"), "level"
+    )
+
+
+def _bfs_sql(max_level: int, select: str) -> str:
+    return f"""
+WITH RECURSIVE {USER_EDGES_CTE},
+bfs(id, lvl) AS (
+  SELECT {_SEED_SQL}, 0
+  UNION
+  SELECT e.b, bfs.lvl + 1
+  FROM bfs JOIN uedges e ON e.a = bfs.id
+  WHERE bfs.lvl < {max_level}
+)
+{select}
+"""
+
+
+_BFS_LEVELS_SQL = _bfs_sql(
+    20,
+    "SELECT id AS user_id, CAST(min(lvl) AS INTEGER) AS level FROM bfs GROUP BY id",
+)
+
+
+def khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices within ≤2 hops of the seed (reference: Traverse(depth=2))."""
+    return _bfs_visited(spark, sf_dir, 2).select(
+        F.col("id").alias("user_id"), F.col("level").alias("hops")
+    )
+
+
+_KHOP_SQL = _bfs_sql(
+    2,
+    "SELECT id AS user_id, CAST(min(lvl) AS INTEGER) AS hops FROM bfs GROUP BY id",
+)
+
+
+def path_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability min-user → max-user within 4 hops; single-row result."""
+    events = load_table(spark, sf_dir, "events")
+    visited = _bfs_visited(spark, sf_dir, 4)
+    ends = events.agg(
+        F.min("user_id").alias("src_id"), F.max("user_id").alias("dst_id")
+    )
+    hits = visited.select(F.col("id").alias("dst_id"), F.lit(True).alias("hit"))
+    return ends.join(hits, "dst_id", "left").select(
+        "src_id", "dst_id", F.coalesce("hit", F.lit(False)).alias("reachable")
+    )
+
+
+_PATH_EXISTS_SQL = _bfs_sql(
+    4,
+    f"""SELECT {_SEED_SQL} AS src_id, (SELECT max(user_id) FROM events) AS dst_id,
+       EXISTS(SELECT 1 FROM bfs WHERE id = (SELECT max(user_id) FROM events))
+         AS reachable""",
+)
+
+
+# ------------------------------------------------------------------ SSSP
+
+
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths from nation 0 on the weighted nation
+    graph (Pregel min-distance relaxation to fixpoint)."""
+    n = load_table(spark, sf_dir, "nation")
+    verts = n.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.when(F.col("n_nationkey") == 0, F.lit(0).cast("long")).alias("state"),
+    )
+    edges = nation_edges(spark, sf_dir).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "weight",
+    )
+    res = pregel(
+        verts,
+        edges,
+        msg=F.col("src_state") + F.col("weight"),
+        agg=F.min("msg"),
+        vprog=F.least(F.col("state"), F.col("agg_msg")),
+        max_iter=10,
+    )
+    return (
+        res.vertices.where(F.col("state").isNotNull())
+        .select(F.col("id").alias("n_nationkey"), F.col("state").alias("dist"))
+    )
+
+
+_SSSP_SQL = f"""
+WITH RECURSIVE {NATION_EDGES_CTE},
+paths(v, d) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, p.d + e.w
+  FROM paths p JOIN nedges e ON e.src = p.v
+  WHERE p.d + e.w <= 25
+)
+SELECT CAST(v AS BIGINT) AS n_nationkey, min(d) AS dist FROM paths GROUP BY v
+"""
+
+
+# ---------------------------------------------------- connected components
+
+
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-id label propagation to fixpoint (undirected CC)."""
+    verts = user_vertices(spark, sf_dir).select("id", F.col("id").alias("state"))
+    edges = user_edges_sym(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1).alias("weight")
+    )
+    res = pregel(
+        verts,
+        edges,
+        msg=F.col("src_state"),
+        agg=F.min("msg"),
+        vprog=F.least(F.col("state"), F.col("agg_msg")),
+        max_iter=50,
+    )
+    return res.vertices.select(
+        F.col("id").alias("user_id"), F.col("state").alias("component")
+    )
+
+
+_CC_SQL = f"""
+WITH RECURSIVE {USER_EDGES_CTE},
+reach(s, d) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN uedges e ON e.a = r.d
+)
+SELECT s AS user_id, min(d) AS component FROM reach GROUP BY s
+"""
+
+
+# ---------------------------------------------------------------- PageRank
+
+_UNIT = 10**12
+_BASE = 15 * _UNIT // 100  # 0.15 in µ-units
+
+
+def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, damping 0.85, exactly 10 supersteps, INTEGER µ-units.
+
+    Exact integer arithmetic (floor-div contributions, scaled damping)
+    makes every rank bit-reproducible: the same result on 1 partition or
+    1000, and hash-identical to the SQL oracle. Overflow headroom:
+    85 * N * 1e12 must stay < 2^63 → fine below ~10^5 vertices; at
+    larger scale drop UNIT accordingly.
+    """
+    verts = user_vertices(spark, sf_dir).select(
+        "id", F.lit(_UNIT).cast("long").alias("state")
+    )
+    sym = user_edges_sym(spark, sf_dir)
+    deg = sym.groupBy(F.col("a").alias("src")).agg(
+        F.count(F.lit(1)).alias("weight")  # out-degree rides as edge attr
+    )
+    edges = sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).join(
+        deg, "src"
+    )
+    res = pregel(
+        verts,
+        edges,
+        msg=F.expr("src_state div weight"),
+        agg=F.sum("msg"),
+        vprog=F.expr(f"CAST({_BASE} + (85 * coalesce(agg_msg, 0)) div 100 AS LONG)"),
+        max_iter=10,
+        check_convergence=False,
+    )
+    return res.vertices.select(
+        F.col("id").alias("user_id"),
+        F.col("state").alias("rank_e12"),
+        (F.col("state").cast("double") / F.lit(1e12)).alias("rank"),
+    )
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    ctes = [
+        USER_EDGES_CTE.strip(),
+        "deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM uedges GROUP BY a)",
+        f"r0 AS (SELECT v, CAST({_UNIT} AS BIGINT) AS r FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"m{i} AS (SELECT u.b AS v, CAST(SUM(r{i-1}.r // deg.d) AS BIGINT) AS s "
+            f"FROM uedges u JOIN deg ON deg.a = u.a "
+            f"JOIN r{i-1} ON r{i-1}.v = u.a GROUP BY u.b)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT verts.v, CAST({_BASE} + (85 * COALESCE(m{i}.s, 0)) // 100 "
+            f"AS BIGINT) AS r FROM verts LEFT JOIN m{i} ON m{i}.v = verts.v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS user_id, r AS rank_e12, CAST(r AS DOUBLE) / 1e12 AS rank "
+        f"FROM r{iters}"
+    )
+
+
+# ------------------------------------------------------- label propagation
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA, 4 fixed iterations, most-frequent neighbor label,
+    ties broken to the smallest label (deterministic -> oracle-able)."""
+    verts = user_vertices(spark, sf_dir)
+    edges = user_edges_sym(spark, sf_dir)
+    labels = verts.select("id", F.col("id").alias("lbl"))
+    for _ in range(4):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("a"), "lbl"), "a"
+        )
+        counts = nbr.groupBy(F.col("b").alias("id"), "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        pick = counts.groupBy("id").agg(
+            F.expr("max_by(lbl, struct(c, -lbl))").alias("new_lbl")
+        )
+        labels = (
+            labels.join(pick, "id", "left")
+            .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("id").alias("user_id"), F.col("lbl").alias("label"))
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    ctes = [
+        USER_EDGES_CTE.strip(),
+        "l0 AS (SELECT v, v AS l FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT u.b AS v, l{i-1}.l AS l, count(*) AS c "
+            f"FROM uedges u JOIN l{i-1} ON l{i-1}.v = u.a GROUP BY u.b, l{i-1}.l)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT v, l FROM c{i} "
+            f"QUALIFY row_number() OVER (PARTITION BY v ORDER BY c DESC, l ASC) = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT verts.v, COALESCE(p{i}.l, l{i-1}.l) AS l FROM verts "
+            f"LEFT JOIN p{i} ON p{i}.v = verts.v "
+            f"LEFT JOIN l{i-1} ON l{i-1}.v = verts.v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS user_id, l AS label FROM l{iters}"
+    )
+
+
+# ------------------------------------------------------ triangles / motifs
+
+
+def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_edges_sym(spark, sf_dir).where(F.col("a") < F.col("b"))
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count via canonical (a<b<c) three-way self-join —
+    the ordering kills the 6x duplication AND the join explosion."""
+    ce = _canonical_edges(spark, sf_dir)
+    e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ce.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ce.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+_TRI_BASE = f"""
+WITH {USER_EDGES_CTE},
+ce AS (SELECT a, b FROM uedges WHERE a < b)
+"""
+
+_TRIANGLE_COUNT_SQL = (
+    _TRI_BASE
+    + """
+SELECT count(*) AS n_triangles
+FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+
+def motif_triangle_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-cycle motif listing via the SQL entry point (a<b<c)."""
+    _canonical_edges(spark, sf_dir).createOrReplaceTempView("ce_motif")
+    return spark.sql(
+        """
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM ce_motif e1
+        JOIN ce_motif e2 ON e2.a = e1.b
+        JOIN ce_motif e3 ON e3.a = e1.a AND e3.b = e2.b
+        """
+    )
+
+
+_MOTIF_SQL = (
+    _TRI_BASE
+    + """
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+
+def mutual_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor count per (x<y) pair (reference: mutual friends)."""
+    sym = user_edges_sym(spark, sf_dir)
+    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("n"))
+    s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("n"))
+    return (
+        s1.join(s2, "n")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+_MUTUAL_SQL = f"""
+WITH {USER_EDGES_CTE}
+SELECT e1.a AS x, e2.a AS y, count(*) AS n_common
+FROM uedges e1 JOIN uedges e2 ON e1.b = e2.b AND e1.a < e2.a
+GROUP BY e1.a, e2.a
+"""
+
+
+QUERIES = {
+    "bfs_levels": bfs_levels,
+    "khop_neighbors": khop_neighbors,
+    "path_exists": path_exists,
+    "sssp_weighted": sssp_weighted,
+    "connected_components": connected_components,
+    "pagerank_fixed": pagerank_fixed,
+    "label_propagation": label_propagation,
+    "triangle_count": triangle_count,
+    "motif_triangle_sql": motif_triangle_sql,
+    "mutual_neighbors": mutual_neighbors,
+}
+
+ORACLES = {
+    "bfs_levels": _BFS_LEVELS_SQL,
+    "khop_neighbors": _KHOP_SQL,
+    "path_exists": _PATH_EXISTS_SQL,
+    "sssp_weighted": _SSSP_SQL,
+    "connected_components": _CC_SQL,
+    "pagerank_fixed": _pagerank_sql(10),
+    "label_propagation": _lpa_sql(4),
+    "triangle_count": _TRIANGLE_COUNT_SQL,
+    "motif_triangle_sql": _MOTIF_SQL,
+    "mutual_neighbors": _MUTUAL_SQL,
+}

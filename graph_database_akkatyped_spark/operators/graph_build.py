@@ -1,0 +1,292 @@
+"""Graph construction + degree/lookup operators (SURVEY.md §2-B).
+
+Reference analogs [R]: AddNode/AddEdge build actor state; GetNode is an
+ask-pattern point read; adjacency reads are per-vertex. Here the graph
+is DERIVED from the relational fixtures (FIXTURES.md §derived-graph):
+
+- property graph: vertices = customers ∪ suppliers ∪ parts;
+  edges = customer-[bought]->part and customer-[sourced]->supplier
+  aggregated from orders ⋈ lineitem, weight = Σ net revenue.
+- user graph (unipartite, for §2-C algorithms): users co-occurring in
+  the same (event_type, hour) slot; symmetric, distinct pairs.
+- nation graph (small weighted, for SSSP): nations within a region,
+  integer weight 1 + (n1+n2) mod 5 — integer weights keep shortest
+  distances exactly comparable against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.numerics import dsum, sql_dsum
+
+
+# ------------------------------------------------------- property graph
+
+
+def build_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        cust.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("id"),
+            F.lit("customer").alias("kind"),
+            F.col("c_name").alias("name"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("id"),
+                F.lit("supplier").alias("kind"),
+                F.col("s_name").alias("name"),
+            )
+        )
+        .unionByName(
+            part.select(
+                F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("id"),
+                F.lit("part").alias("kind"),
+                F.col("p_name").alias("name"),
+            )
+        )
+    )
+
+
+_BUILD_VERTICES_SQL = """
+SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS id, 'customer' AS kind, c_name AS name
+FROM customer
+UNION ALL
+SELECT 's:' || CAST(s_suppkey AS VARCHAR), 'supplier', s_name FROM supplier
+UNION ALL
+SELECT 'p:' || CAST(p_partkey AS VARCHAR), 'part', p_name FROM part
+"""
+
+
+def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ol = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    bought = (
+        ol.groupBy("o_custkey", "l_partkey")
+        .agg(dsum(rev, 6).alias("weight"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+            F.lit("bought").alias("rel"),
+            "weight",
+        )
+    )
+    sourced = (
+        ol.groupBy("o_custkey", "l_suppkey")
+        .agg(dsum(rev, 6).alias("weight"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            F.lit("sourced").alias("rel"),
+            "weight",
+        )
+    )
+    return bought.unionByName(sourced)
+
+
+_BUILD_EDGES_SQL = f"""
+WITH ol AS (
+  SELECT o_custkey, l_partkey, l_suppkey,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+       'p:' || CAST(l_partkey AS VARCHAR) AS dst,
+       'bought' AS rel, {sql_dsum('rev', 6)} AS weight
+FROM ol GROUP BY o_custkey, l_partkey
+UNION ALL
+SELECT 'c:' || CAST(o_custkey AS VARCHAR),
+       's:' || CAST(l_suppkey AS VARCHAR),
+       'sourced', {sql_dsum('rev', 6)}
+FROM ol GROUP BY o_custkey, l_suppkey
+"""
+
+
+def vertex_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point read (reference: ask(GetNode)) — a filter on the vertex id;
+    at scale this prunes to one partition/row-group via pushdown."""
+    return build_vertices(spark, sf_dir).where(F.col("id") == "c:1")
+
+
+def neighbors_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency read: out-neighbors of one vertex with edge + vertex attrs."""
+    edges = build_edges(spark, sf_dir).where(F.col("src") == "c:1")
+    verts = build_vertices(spark, sf_dir)
+    return edges.join(verts, edges.dst == verts.id).select(
+        "src", "dst", "rel", "weight", "kind", "name"
+    )
+
+
+_NEIGHBORS_OUT_SQL = f"""
+WITH edges AS ({_BUILD_EDGES_SQL}), verts AS ({_BUILD_VERTICES_SQL})
+SELECT src, dst, rel, weight, kind, name
+FROM edges JOIN verts ON edges.dst = verts.id
+WHERE src = 'c:1'
+"""
+
+
+def degree_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        build_edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+    )
+
+
+def degree_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        build_edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+    )
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        degree_out(spark, sf_dir)
+        .groupBy(F.col("out_degree").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+# ------------------------------------------------- user graph (algorithms)
+
+# symmetric distinct co-occurrence pairs; shared CTE text for all oracles
+USER_EDGES_CTE = """
+uedges AS (
+  SELECT DISTINCT e1.user_id AS a, e2.user_id AS b
+  FROM events e1
+  JOIN events e2
+    ON e1.event_type = e2.event_type
+   AND date_trunc('hour', e1.ts) = date_trunc('hour', e2.ts)
+   AND e1.user_id <> e2.user_id
+),
+verts AS (SELECT DISTINCT user_id AS v FROM events)
+"""
+
+
+def user_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(F.col("user_id").alias("id")).distinct()
+
+
+def user_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct (a, b) pairs: users sharing an (event_type,
+    hour) slot. Equi-join on the slot key — never an O(n²) theta join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+    )
+    a = e.select(F.col("user_id").alias("a"), "event_type", "hour")
+    b = e.select(F.col("user_id").alias("b"), "event_type", "hour")
+    return (
+        a.join(b, ["event_type", "hour"])
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def build_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted canonical (a<b) user edges; weight = # shared slots."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    a = e.select(F.col("user_id").alias("a"), "event_type", "hour")
+    b = e.select(F.col("user_id").alias("b"), "event_type", "hour")
+    return (
+        a.join(b, ["event_type", "hour"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "event_type", "hour")
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+_BUILD_USER_GRAPH_SQL = """
+SELECT a, b, count(*) AS weight
+FROM (
+  SELECT DISTINCT e1.user_id AS a, e2.user_id AS b,
+         e1.event_type AS et, date_trunc('hour', e1.ts) AS hr
+  FROM events e1
+  JOIN events e2
+    ON e1.event_type = e2.event_type
+   AND date_trunc('hour', e1.ts) = date_trunc('hour', e2.ts)
+   AND e1.user_id < e2.user_id
+)
+GROUP BY a, b
+"""
+
+
+# ------------------------------------------------ nation graph (for SSSP)
+
+NATION_EDGES_CTE = """
+nedges AS (
+  SELECT n1.n_nationkey AS src, n2.n_nationkey AS dst,
+         CAST(1 + (n1.n_nationkey + n2.n_nationkey) % 5 AS BIGINT) AS w
+  FROM nation n1
+  JOIN nation n2
+    ON n1.n_regionkey = n2.n_regionkey
+   AND n1.n_nationkey <> n2.n_nationkey
+)
+"""
+
+
+def nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r1")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r2")
+    )
+    return (
+        n1.join(n2, F.col("r1") == F.col("r2"))
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (1 + (F.col("src") + F.col("dst")) % 5).cast("long").alias("weight"),
+        )
+    )
+
+
+QUERIES = {
+    "build_vertices": build_vertices,
+    "build_edges": build_edges,
+    "vertex_lookup": vertex_lookup,
+    "neighbors_out": neighbors_out,
+    "degree_out": degree_out,
+    "degree_in": degree_in,
+    "degree_distribution": degree_distribution,
+    "build_user_graph": build_user_graph,
+}
+
+ORACLES = {
+    "build_vertices": _BUILD_VERTICES_SQL,
+    "build_edges": _BUILD_EDGES_SQL,
+    "vertex_lookup": f"SELECT * FROM ({_BUILD_VERTICES_SQL}) WHERE id = 'c:1'",
+    "neighbors_out": _NEIGHBORS_OUT_SQL,
+    "degree_out": (
+        f"SELECT src AS id, count(*) AS out_degree FROM ({_BUILD_EDGES_SQL}) "
+        "GROUP BY src"
+    ),
+    "degree_in": (
+        f"SELECT dst AS id, count(*) AS in_degree FROM ({_BUILD_EDGES_SQL}) "
+        "GROUP BY dst"
+    ),
+    "degree_distribution": (
+        "SELECT out_degree AS degree, count(*) AS n_vertices FROM ("
+        f"SELECT src, count(*) AS out_degree FROM ({_BUILD_EDGES_SQL}) GROUP BY src"
+        ") GROUP BY out_degree"
+    ),
+    "build_user_graph": _BUILD_USER_GRAPH_SQL,
+}

@@ -1,0 +1,96 @@
+"""DataFrame Pregel kernel (SURVEY.md §2-C, §4.3).
+
+The reference [R] runs traversals as actor message hops (vertex actor
+receives messages, updates state, forwards to neighbors). One Pregel
+superstep IS that pattern as a dataflow: join edges with source-vertex
+state (message send), ``groupBy(dst).agg`` (mailbox combine), join back
+with vertices (vertex program). Cf. Pregelix (PAPERS.md): Pregel on a
+dataflow engine = join + groupBy per superstep.
+
+Scale notes (the part naive Spark iteration gets wrong):
+- ``localCheckpoint(eager=True)`` each superstep truncates lineage;
+  otherwise the logical plan doubles per iteration and analysis time
+  explodes long before data size matters.
+- The convergence check aggregates a pre-computed ``changed`` flag on
+  the just-checkpointed result, so it reuses materialized blocks instead
+  of recomputing the superstep.
+- Messages shuffle on ``dst`` and states on ``id`` — the same key — so
+  AQE can reuse/coalesce partitioning between supersteps. Skewed
+  high-degree vertices are handled by AQE skew-join (session default).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass
+class PregelResult:
+    vertices: DataFrame  # (id, state)
+    iterations: int
+    converged: bool
+
+
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    msg: Column,
+    agg: Column,
+    vprog: Column,
+    max_iter: int,
+    check_convergence: bool = True,
+    checkpoint_every: int = 1,
+) -> PregelResult:
+    """Run synchronous Pregel supersteps until convergence or max_iter.
+
+    - ``vertices``: DataFrame(id, state)
+    - ``edges``: DataFrame(src, dst, weight) — direct edges as they
+      should carry messages (symmetrize first for undirected semantics)
+    - ``msg``: Column over (src, dst, weight, src_state) producing the
+      message sent to ``dst``; NULL means "send nothing"
+    - ``agg``: aggregate Column over column ``msg`` (the combiner)
+    - ``vprog``: Column over (id, state, agg_msg) producing the new
+      state; ``agg_msg`` is NULL for vertices that received no message
+    - convergence: no vertex state changed (null-safe comparison)
+    """
+    v = vertices.select("id", "state")
+    iterations = 0
+    converged = False
+    for i in range(max_iter):
+        iterations = i + 1
+        src_states = v.select(
+            F.col("id").alias("src"), F.col("state").alias("src_state")
+        )
+        triplets = edges.join(src_states, "src")
+        msgs = (
+            triplets.select(F.col("dst").alias("id"), msg.alias("msg"))
+            .where(F.col("msg").isNotNull())
+            .groupBy("id")
+            .agg(agg.alias("agg_msg"))
+        )
+        stepped = (
+            v.join(msgs, "id", "left")
+            # vprog and the old-state alias are evaluated in one
+            # projection, both against the incoming (id, state, agg_msg)
+            .select("id", F.col("state").alias("old_state"), vprog.alias("state"))
+            .select(
+                "id",
+                "state",
+                (~F.col("state").eqNullSafe(F.col("old_state")))
+                .cast("long")
+                .alias("changed"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or check_convergence:
+            stepped = stepped.localCheckpoint(eager=True)
+        if check_convergence:
+            n_changed = stepped.agg(F.sum("changed")).first()[0] or 0
+            if n_changed == 0:
+                converged = True
+                v = stepped.select("id", "state")
+                break
+        v = stepped.select("id", "state")
+    return PregelResult(vertices=v, iterations=iterations, converged=converged)
