@@ -1,0 +1,838 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2-G; mandated by
+BASELINE.json): deduplication (exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (exact top-k + LSH scale
+path), text analysis (wordcount, TF-IDF, n-grams, language-ID, quality
+scoring, token counting, fingerprinting, lexicon sentiment), and
+multimodal column plumbing.
+
+Scale notes:
+- Everything stays in built-in JVM expressions except the deliberate
+  Pandas-UDF multimodal decode (Arrow-batched, stubbed per environment).
+- Near-dup methods are the scale story: exact pair joins are quadratic,
+  so MinHash/SimHash/LSH bucket first and only compare within buckets.
+- Cosine math is done in doubles with a fixed left-to-right accumulation
+  order (zip_with + aggregate) so results are bit-identical to the
+  DuckDB oracle's mirrored list_transform/list_sum pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.numerics import davg, sql_davg
+
+# --------------------------------------------------------------- helpers
+
+_TOKS = "split(text, ' ')"
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] in doubles, strict left-to-right accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_dot` (list_zip pads like zip_with; inputs
+    are equal length here)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text hash; keeper = min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return (
+        docs.select(h.alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT sha256(lower(trim(text))) AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via word-3-gram shingles -> MinHash-LSH
+    approxSimilarityJoin (Jaccard distance ≤ 0.7). The LSH banding makes
+    this linear-ish in corpus size vs the quadratic exact join — the
+    100 TB dedup path. Seeded -> deterministic; rows-only check (MinHash
+    is a sketch, engine-specific by design)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(docs)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(grams)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(tf)
+    pairs = lsh.approxSimilarityJoin(tf, tf, 0.7, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+            "jaccard_dist",
+        )
+    )
+
+
+def _simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc: per-token xxhash64, sign-sum each bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    fp = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long")
+        fp = bit if fp is None else fp + bit
+    return bit_sums.select("doc_id", fp.alias("simhash32"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band on the 4 bytes of the fingerprint
+    (any equal byte -> candidate), verify Hamming distance ≤ 6.
+    Banding keeps the candidate set near-linear. rows-only (engine-
+    native xxhash64 under the hood)."""
+    fp = _simhash_fingerprint(spark, sf_dir).localCheckpoint(eager=True)
+    banded = fp.select(
+        "doc_id",
+        "simhash32",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(simhash32 >> {8 * i}) & 255").alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash32", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("doc_id").alias("a"), F.col("simhash32").alias("fp_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b"), F.col("simhash32").alias("fp_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)"))
+        .where(F.col("hamming") <= 6)
+        .select("a", "b", "hamming")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.1 pairs: distinct shingles explode,
+    equi-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). Exact twin of the
+    MinHash estimate — fully oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice({_TOKS}, 1, size({_TOKS}) - 2), "
+                f"(x, i) -> concat(x, ' ', {_TOKS}[i + 1], ' ', {_TOKS}[i + 2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    g1 = grams.select(F.col("doc_id").alias("a"), "g")
+    g2 = grams.select(F.col("doc_id").alias("b"), "g")
+    common = (
+        g1.join(g2, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n_g").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n_g").alias("n_b"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= 0.1)
+        .select("a", "b", "n_common", "jaccard")
+    )
+
+
+_DEDUP_NGRAM_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           list_transform(
+             list_slice(toks, 1, len(toks) - 2),
+             (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+           g -> g IS NOT NULL)) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+common AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_common
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE)
+         AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE) >= 0.1
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.95), exact all-pairs.
+
+    Correctness baseline for the LSH path (`simsearch_lsh`); quadratic
+    by construction — at 100 TB you run the LSH variant and exact-verify
+    only within buckets.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt("nrm_a") * F.sqrt("nrm_b")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= 0.95)
+        .select("a", "b", "cos")
+    )
+
+
+_DEDUP_EMB_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+)
+SELECT e1.vec_id AS a, e2.vec_id AS b,
+       {_sql_dot('e1.embedding', 'e2.embedding')}
+         / (sqrt(e1.nrm) * sqrt(e2.nrm)) AS cos
+FROM e e1 JOIN e e2 ON e1.vec_id < e2.vec_id
+WHERE {_sql_dot('e1.embedding', 'e2.embedding')}
+        / (sqrt(e1.nrm) * sqrt(e2.nrm)) >= 0.95
+"""
+
+
+# ------------------------------------------------------ similarity search
+
+
+def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (vec_id < 5), brute force:
+    broadcast the tiny query side, score all candidates, per-query
+    window top-k. At scale this is the re-rank stage after LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+    )
+
+
+_SIMSEARCH_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+)
+SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         {_sql_dot('q.embedding', 'c.embedding')}
+           / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_dot('q.embedding', 'c.embedding')}
+                     / (sqrt(q.nrm) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk
+  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+) WHERE rnk <= 10
+"""
+
+
+def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: BucketedRandomProjectionLSH candidates -> exact
+    re-rank top-10 per query by euclidean distance. Seeded;
+    rows-only (LSH candidate sets are probabilistic by design)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    ).fit(emb)
+    queries = emb.where(F.col("vec_id") < 5)
+    pairs = lsh.approxSimilarityJoin(queries, emb, 10.0, distCol="dist")
+    w = Window.partitionBy("q_id").orderBy(F.col("dist"), "vec_id")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+            "dist",
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+def simsearch_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avg intra-label cosine similarity (clustering sanity check).
+    The float average goes through the exact-decimal path so the result
+    is partition-order independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    e = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("a"), "label",
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt("nrm_a") * F.sqrt("nrm_b")
+    )
+    # cosines are bit-identical across engines (fixed accumulation
+    # order), so floor-scale each to integer picounits and sum exactly —
+    # immune to both float-sum order and decimal-cast tie rounding
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
+        .withColumn("cos_e12", F.floor(cos * F.lit(1e12)).cast("long"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cos_e12").alias("sum_cos_e12"),
+        )
+        .withColumn(
+            "avg_cos",
+            F.col("sum_cos_e12").cast("double") / 1e12 / F.col("n_pairs"),
+        )
+    )
+
+
+_SIMSEARCH_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT e1.label,
+         CAST(floor(({_sql_dot('e1.embedding', 'e2.embedding')}
+           / (sqrt(e1.nrm) * sqrt(e2.nrm))) * 1e12) AS BIGINT) AS cos_e12
+  FROM e e1 JOIN e e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+)
+SELECT label, count(*) AS n_pairs,
+       CAST(SUM(cos_e12) AS BIGINT) AS sum_cos_e12,
+       CAST(SUM(cos_e12) AS DOUBLE) / 1e12 / count(*) AS avg_cos
+FROM pairs GROUP BY label
+"""
+
+
+# ----------------------------------------------------------- text analysis
+
+
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 words per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.expr(_TOKS)).alias("token"))
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+_TEXT_WORDCOUNT_SQL = """
+SELECT lang, token, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT lang, token, count(*) AS cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, token) AS rnk
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang, token
+) WHERE rnk <= 10
+"""
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per doc, in plain DataFrame math (tf =
+    count/len, idf = ln(N/df)) — kept oracle-able instead of ml.IDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tc"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_r8",
+            F.round(
+                (F.col("tc").cast("double") / F.col("dl"))
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                8,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_r8").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "token", "tfidf_r8", "rnk")
+    )
+
+
+_TEXT_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tc FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round((CAST(tc AS DOUBLE) / dl) * ln(CAST(n AS DOUBLE) / df), 8)
+           AS tfidf_r8
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.token = tf.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf_r8, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_r8 DESC, token) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 word bigrams per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(slice({_TOKS}, 1, size({_TOKS}) - 1), "
+                f"(x, i) -> concat(x, ' ', {_TOKS}[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+_TEXT_NGRAMS_SQL = """
+SELECT lang, bigram, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT lang, bigram, count(*) AS cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, bigram) AS rnk
+  FROM (
+    SELECT lang,
+           unnest(list_filter(
+             list_transform(list_slice(toks, 1, len(toks) - 1),
+                            (x, i) -> x || ' ' || toks[i + 1]),
+             g -> g IS NOT NULL)) AS bigram
+    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+  )
+  GROUP BY lang, bigram
+) WHERE rnk <= 10
+"""
+
+
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", "n_chars", F.size(F.expr(_TOKS)).alias("n_tok")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("n_chars", 2).alias("avg_chars"),
+            davg("n_tok", 2).alias("avg_tokens"),
+        )
+    )
+
+
+_TEXT_LANG_STATS_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       {sql_davg('n_chars', 2)} AS avg_chars,
+       {sql_davg("len(string_split(text, ' '))", 2)} AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+_LEXICON = {
+    "fast": 2, "merge": 1, "join": 1, "small": -1, "slow": -2, "error": -3,
+}
+
+
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ lexicon weights per doc via explode ⋈ broadcast(lexicon)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        list(_LEXICON.items()), "token string, wt int"
+    )
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    scores = (
+        toks.join(F.broadcast(lex), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("s"))
+    )
+    return docs.join(scores, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("sentiment"),
+    )
+
+
+_LEX_VALUES = ", ".join(f"('{t}', {w})" for t, w in _LEXICON.items())
+
+_TEXT_SENTIMENT_SQL = f"""
+WITH lex(token, wt) AS (VALUES {_LEX_VALUES}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+scores AS (
+  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS s
+  FROM toks JOIN lex USING (token) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.s, 0) AS sentiment
+FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+"""
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from length / stopword / vocabulary
+    ratios (the classic pretraining-corpus filter features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    distinct_ratio = n_distinct.cast("double") / n_tok.cast("double")
+    quality = (
+        F.lit(0.5) * F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * distinct_ratio
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+_STOP_SQL_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+_TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tok,
+       CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         AS distinct_ratio,
+       0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+       + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL_LIST})))
+                           AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+       + 0.2 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)) AS quality
+FROM base
+"""
+
+
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-lang top-20 token profile (from the
+    labeled corpus), classify each doc by profile-overlap count, ties to
+    the lexicographically smallest lang. Integer scoring -> exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(F.expr(_TOKS)).alias("token"))
+    lang_counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    profile = (
+        lang_counts.withColumn("rnk", F.row_number().over(wp))
+        .where(F.col("rnk") <= 20)
+        .select(F.col("lang").alias("profile_lang"), "token")
+    )
+    doc_toks = toks.select("doc_id", "token").distinct()
+    overlap = (
+        doc_toks.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "profile_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "profile_lang")
+    best = (
+        overlap.withColumn("r", F.row_number().over(wd))
+        .where(F.col("r") == 1)
+        .select("doc_id", F.col("profile_lang").alias("pred_lang"), "score")
+    )
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("pred_lang", F.lit("??")).alias("pred_lang"),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+    )
+
+
+_TEXT_LANGID_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+lang_counts AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+profile AS (
+  SELECT lang AS profile_lang, token FROM (
+    SELECT lang, token,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+    FROM lang_counts
+  ) WHERE rnk <= 20
+),
+doc_toks AS (SELECT DISTINCT doc_id, token FROM toks),
+overlap AS (
+  SELECT doc_id, profile_lang, count(*) AS score
+  FROM doc_toks JOIN profile USING (token) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, profile_lang AS pred_lang, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, profile_lang) AS r
+    FROM overlap
+  ) WHERE r = 1
+)
+SELECT d.doc_id, d.lang, COALESCE(b.pred_lang, '??') AS pred_lang,
+       COALESCE(b.score, 0) AS score
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + a BPE-ish regex tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKS)).alias("n_ws"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias(
+            "n_re"
+        ),
+        "n_chars",
+    )
+
+
+_TEXT_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re,
+       n_chars
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over tokens, exact int64 math
+    mod 2^31-1 (token value = first 8 hex digits of md5 — engine-neutral)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.expr(_TOKS),
+        F.lit(0).cast("long"),
+        lambda acc, x: (
+            acc * 131 + F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+        ) % F.lit(2147483647).cast("long"),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join documents with their embedding into a typed nested struct
+    column (text + vector modality in one row). rows-only (nested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "text",
+        F.struct(
+            F.col("lang"),
+            F.size(F.expr(_TOKS)).alias("n_tokens"),
+            F.col("label"),
+            F.col("embedding"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: treat text bytes as an opaque binary
+    payload column and run an Arrow-batched mapInPandas "decoder".
+
+    The real image/audio decode is STUBBED (codec libs are not in this
+    container): the stub derives deterministic fake frame metadata from
+    the payload length, so the Spark-side contract — binary column in,
+    typed metadata out, batch-wise Arrow transfer — is fully real and
+    oracle-checkable against SQL on the lengths.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def decode_batches(batches):
+        # STUB: replace with PIL/libav decode in a real deployment.
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = n.astype("int64")
+            out["width"] = (n % 640).astype("int64")
+            out["height"] = (n % 480).astype("int64")
+            out["n_frames"] = (1 + n % 16).astype("int64")
+            yield out
+
+    return payload.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_bytes long, width long, height long, n_frames long",
+    )
+
+
+_MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_bytes,
+       CAST(n_chars % 640 AS BIGINT) AS width,
+       CAST(n_chars % 480 AS BIGINT) AS height,
+       CAST(1 + n_chars % 16 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_near_minhash": dedup_near_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "simsearch_topk": simsearch_topk,
+    "simsearch_lsh": simsearch_lsh,
+    "simsearch_pairs_label": simsearch_pairs_label,
+    "text_wordcount": text_wordcount,
+    "text_tfidf": text_tfidf,
+    "text_ngrams": text_ngrams,
+    "text_lang_stats": text_lang_stats,
+    "text_sentiment_lexicon": text_sentiment_lexicon,
+    "text_quality_score": text_quality_score,
+    "text_langid_ngram": text_langid_ngram,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_enrich": multimodal_enrich,
+    "multimodal_decode_stub": multimodal_decode_stub,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    # dedup_near_minhash, dedup_simhash, simsearch_lsh, multimodal_enrich:
+    # rows-only by design (sketches / nested output)
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_embedding_cosine": _DEDUP_EMB_SQL,
+    "simsearch_topk": _SIMSEARCH_TOPK_SQL,
+    "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,
+    "text_wordcount": _TEXT_WORDCOUNT_SQL,
+    "text_tfidf": _TEXT_TFIDF_SQL,
+    "text_ngrams": _TEXT_NGRAMS_SQL,
+    "text_lang_stats": _TEXT_LANG_STATS_SQL,
+    "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,
+    "text_quality_score": _TEXT_QUALITY_SQL,
+    "text_langid_ngram": _TEXT_LANGID_SQL,
+    "text_token_count": _TEXT_TOKEN_COUNT_SQL,
+    "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "multimodal_decode_stub": _MULTIMODAL_DECODE_SQL,
+}

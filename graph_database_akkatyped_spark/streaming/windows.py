@@ -1,0 +1,250 @@
+"""Streaming window semantics over ``events`` (SURVEY.md §2-F).
+
+Reference analog [R]: the Akka event journal consumed as a stream.
+Each operator exists twice:
+
+- the registered query runs the BATCH twin (identical aggregation on the
+  static table) so the DuckDB oracle can hash-check the semantics;
+- ``run_streaming_twin`` runs the same plan through Structured
+  Streaming (``readStream`` + ``Trigger.AvailableNow`` + memory sink);
+  ``tests/test_streaming.py`` asserts stream == batch row sets.
+
+Watermarks bound state at scale: a 10-minute watermark means the store
+only keeps windows newer than max(event time) - 10 min, so state size
+is O(active windows), not O(stream length).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.numerics import dec2double
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a file-source stream.
+
+    Spark's file stream source wants a directory; the fixture is a
+    single file, so expose it through a cached temp dir symlink. The ns
+    timestamp is converted exactly like the batch reader.
+    """
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(_STREAM_DIRS[sf_dir])
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+# ------------------------------------------------------- window batch twins
+
+
+def _tumbling(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec2double(F.sum(F.col("value").cast("decimal(30,2)"))).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tumbling(_events(spark, sf_dir))
+
+
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+         AS window_end,
+       event_type, count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _sliding(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sliding(_events(spark, sf_dir))
+
+
+_SLIDING_SQL = """
+SELECT window_start, event_type, count(*) AS n FROM (
+  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+           - i * INTERVAL '15 minutes' AS window_start,
+         event_type
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(i)
+)
+GROUP BY 1, 2
+"""
+
+
+def _session(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session(_events(spark, sf_dir))
+
+
+# gaps-and-islands: a session breaks when the gap exceeds 30 min;
+# Spark's session end = last event + gap
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id, count(*) AS n
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling agg under a 10-minute watermark, run as a REAL stream
+    (AvailableNow, memory sink). On the replayed fixture nothing is
+    late, so the result equals the batch twin and stays oracle-able;
+    the watermark's state-eviction behavior is what's exercised."""
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_WATERMARK_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup to distinct (user, type, hour) slots — batch twin of
+    ``dropDuplicatesWithinWatermark`` (only key columns are emitted, so
+    the result is deterministic regardless of which row is kept)."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_slot"),
+        )
+        .dropDuplicates(["user_id", "event_type", "hour_slot"])
+    )
+
+
+_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_slot
+FROM events
+"""
+
+
+def run_streaming_twin(
+    spark: SparkSession, sf_dir: str, which: str
+) -> DataFrame:
+    """Run the tumbling/sliding/session plan through Structured
+    Streaming on the same file and return the collected memory sink."""
+    stream = stream_events(spark, sf_dir)
+    plan = {"tumbling": _tumbling, "sliding": _sliding, "session": _session}[
+        which
+    ](stream.withWatermark("ts", "1 hour"))
+    name = f"twin_{which}_{uuid.uuid4().hex[:8]}"
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES = {
+    "stream_tumbling": stream_tumbling,
+    "stream_sliding": stream_sliding,
+    "stream_session": stream_session,
+    "stream_watermark_late": stream_watermark_late,
+    "stream_dedup": stream_dedup,
+}
+
+ORACLES = {
+    "stream_tumbling": _TUMBLING_SQL,
+    "stream_sliding": _SLIDING_SQL,
+    "stream_session": _SESSION_SQL,
+    "stream_watermark_late": _WATERMARK_SQL,
+    "stream_dedup": _DEDUP_SQL,
+}

@@ -1,0 +1,47 @@
+"""Streaming twins: the Structured Streaming plan must produce the same
+row set as the batch twin on the same file (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graph_database_akkatyped_spark.streaming.windows import (
+    run_streaming_twin,
+    stream_session,
+    stream_sliding,
+    stream_tumbling,
+)
+from graph_database_akkatyped_spark.streaming.stateful import (
+    stream_stateful_count,
+)
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import canonical_rows
+
+
+@pytest.mark.parametrize("which,batch_fn", [
+    ("tumbling", stream_tumbling),
+    ("sliding", stream_sliding),
+    ("session", stream_session),
+])
+def test_stream_equals_batch(spark, which, batch_fn):
+    batch = batch_fn(spark, SF_SMOKE).toPandas()
+    stream = run_streaming_twin(spark, SF_SMOKE, which).toPandas()
+    assert canonical_rows(stream) == canonical_rows(batch)
+
+
+def test_stateful_count_matches_batch(spark):
+    from pyspark.sql import functions as F
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    res = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in stream_stateful_count(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {u: n for u, (n, _) in res.items()} == batch
