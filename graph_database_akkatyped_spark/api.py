@@ -1,0 +1,191 @@
+"""User-facing GraphDB API — the reference's command surface on Spark.
+
+Reference lifecycle [R]: clients send AddNode/AddEdge commands; each
+vertex actor persists events to a journal (event sourcing) and answers
+GetNode / Traverse asks from replayed state. The Spark-native analog is
+the lakehouse event-log pattern:
+
+- **mutations append** parquet event batches to a journal directory
+  (append-only, partition-friendly — exactly how a 100 TB ingest works);
+- **state is a replay**: latest event per key wins (window by batch
+  seq), tombstones drop deleted entities;
+- **compaction** folds the journal into a snapshot so replay cost stays
+  O(live data), the Spark analog of Akka Persistence snapshots.
+
+Reads and algorithms are plain DataFrame plans over the replayed state,
+so everything composes with the operators/ modules (Pregel, BFS, ...).
+
+Example::
+
+    db = GraphDB(spark, "/tmp/mydb")
+    db.add_vertices([("c:1", "customer", "Customer#1")])
+    db.add_edges([("c:1", "p:9", "bought", 42.0)])
+    db.get_vertex("c:1").show()
+    db.pagerank().show()
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from graph_database_akkatyped_spark.operators.algos import (
+    bfs_frame,
+    cc_frame,
+    pagerank_frame,
+)
+
+_V_SCHEMA = "id string, kind string, name string, op string, batch long"
+_E_SCHEMA = "src string, dst string, rel string, weight double, op string, batch long"
+
+
+class GraphDB:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._vdir = os.path.join(path, "journal", "vertices")
+        self._edir = os.path.join(path, "journal", "edges")
+        os.makedirs(self._vdir, exist_ok=True)
+        os.makedirs(self._edir, exist_ok=True)
+
+    # ------------------------------------------------------------ commands
+
+    def _append(self, rows: list, schema: str, dest: str) -> None:
+        df = self.spark.createDataFrame(rows, schema)
+        df.write.mode("append").parquet(dest)
+
+    def add_vertices(self, rows: Iterable[tuple]) -> None:
+        """rows: (id, kind, name). Reference: AddNode command."""
+        batch = time.time_ns()
+        self._append(
+            [(i, k, n, "upsert", batch) for i, k, n in rows], _V_SCHEMA, self._vdir
+        )
+
+    def remove_vertex(self, vid: str) -> None:
+        self._append(
+            [(vid, None, None, "delete", time.time_ns())], _V_SCHEMA, self._vdir
+        )
+
+    def add_edges(self, rows: Iterable[tuple]) -> None:
+        """rows: (src, dst, rel, weight). Reference: AddEdge command."""
+        batch = time.time_ns()
+        self._append(
+            [(s, d, r, float(w), "upsert", batch) for s, d, r, w in rows],
+            _E_SCHEMA,
+            self._edir,
+        )
+
+    def remove_edge(self, src: str, dst: str, rel: str) -> None:
+        self._append(
+            [(src, dst, rel, None, "delete", time.time_ns())], _E_SCHEMA, self._edir
+        )
+
+    # -------------------------------------------------------------- replay
+
+    @staticmethod
+    def _latest(df: DataFrame, keys: list[str]) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(F.col("batch").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("op") != "delete"))
+            .drop("_rn", "op", "batch")
+        )
+
+    def _read_journal(self, dest: str, schema: str) -> DataFrame:
+        if any(f.endswith(".parquet") for f in os.listdir(dest)):
+            return self.spark.read.schema(schema).parquet(dest)
+        return self.spark.createDataFrame([], schema)
+
+    def vertices(self) -> DataFrame:
+        return self._latest(self._read_journal(self._vdir, _V_SCHEMA), ["id"])
+
+    def edges(self) -> DataFrame:
+        """Live edges. Both endpoints must be live vertices — in the
+        reference, adjacency is vertex-actor state and dies with the
+        vertex, so a tombstoned vertex implicitly drops its edges."""
+        e = self._latest(
+            self._read_journal(self._edir, _E_SCHEMA), ["src", "dst", "rel"]
+        )
+        live = self.vertices().select("id")
+        return (
+            e.join(live.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(live.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst", "rel", "weight")
+        )
+
+    def compact(self) -> None:
+        """Fold the journal into a single latest-state batch (snapshot).
+
+        At scale this is the maintenance job that keeps replay cost
+        O(live state); run it partition-by-partition off the write path.
+        """
+        batch = time.time_ns()
+        v = self.vertices().withColumn("op", F.lit("upsert")).withColumn(
+            "batch", F.lit(batch)
+        )
+        e = self.edges().withColumn("op", F.lit("upsert")).withColumn(
+            "batch", F.lit(batch)
+        )
+        vtmp, etmp = self._vdir + ".tmp", self._edir + ".tmp"
+        v.select("id", "kind", "name", "op", "batch").write.mode(
+            "overwrite"
+        ).parquet(vtmp)
+        e.select("src", "dst", "rel", "weight", "op", "batch").write.mode(
+            "overwrite"
+        ).parquet(etmp)
+        import shutil
+
+        shutil.rmtree(self._vdir)
+        shutil.rmtree(self._edir)
+        os.rename(vtmp, self._vdir)
+        os.rename(etmp, self._edir)
+
+    # ---------------------------------------------------------------- asks
+
+    def get_vertex(self, vid: str) -> DataFrame:
+        """Reference: ask(GetNode) — point read."""
+        return self.vertices().where(F.col("id") == vid)
+
+    def neighbors(self, vid: str) -> DataFrame:
+        """Out-neighbors with edge attributes (adjacency read)."""
+        e = self.edges().where(F.col("src") == vid)
+        v = self.vertices()
+        return e.join(v, e.dst == v.id).select("src", "dst", "rel", "weight", "kind", "name")
+
+    def degrees(self) -> DataFrame:
+        e = self.edges()
+        out_d = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+        in_d = e.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+        return (
+            self.vertices()
+            .select("id")
+            .join(out_d, "id", "left")
+            .join(in_d, "id", "left")
+            .na.fill(0, ["out_degree", "in_degree"])
+        )
+
+    # ----------------------------------------------------------- analytics
+
+    def _sym_edges(self) -> DataFrame:
+        e = self.edges().select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return e.unionByName(
+            e.select(F.col("a").alias("b"), F.col("b").alias("a")).select("a", "b")
+        ).distinct()
+
+    def bfs(self, source: str, max_level: int = 20) -> DataFrame:
+        """Reference: Traverse(depth) from a seed vertex."""
+        seed = self.spark.createDataFrame([(source,)], "id string")
+        return bfs_frame(self._sym_edges(), seed, max_level)
+
+    def connected_components(self) -> DataFrame:
+        return cc_frame(self.vertices().select("id"), self._sym_edges())
+
+    def pagerank(self, iters: int = 10) -> DataFrame:
+        return pagerank_frame(self.vertices().select("id"), self._sym_edges(), iters)

@@ -32,23 +32,19 @@ _SEED_SQL = "(SELECT min(user_id) FROM events)"
 # ------------------------------------------------------------ BFS family
 
 
-def _bfs_visited(
-    spark: SparkSession, sf_dir: str, max_level: int
-) -> DataFrame:
-    """Frontier BFS from the min user id; returns (id, level).
+def bfs_frame(edges_sym: DataFrame, seed: DataFrame, max_level: int) -> DataFrame:
+    """Frontier BFS; ``edges_sym``: (a, b) symmetric, ``seed``: (id).
+    Returns (id, level).
 
     Only the frontier is joined each round (not all vertices), and each
     level is localCheckpoint-ed so lineage stays flat — the pattern that
     survives deep graphs at scale.
     """
-    events = load_table(spark, sf_dir, "events")
-    edges = user_edges_sym(spark, sf_dir)
-    seed = events.agg(F.min("user_id").alias("id"))
     visited = seed.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
     frontier = visited.select("id")
     for lvl in range(1, max_level + 1):
         nxt = (
-            edges.join(frontier.withColumnRenamed("id", "a"), "a")
+            edges_sym.join(frontier.withColumnRenamed("id", "a"), "a")
             .select(F.col("b").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
@@ -60,6 +56,16 @@ def _bfs_visited(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("id")
     return visited
+
+
+def _bfs_visited(
+    spark: SparkSession, sf_dir: str, max_level: int
+) -> DataFrame:
+    """BFS over the user graph from the min user id."""
+    events = load_table(spark, sf_dir, "events")
+    edges = user_edges_sym(spark, sf_dir)
+    seed = events.agg(F.min("user_id").alias("id"))
+    return bfs_frame(edges, seed, max_level)
 
 
 def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,23 +174,28 @@ SELECT CAST(v AS BIGINT) AS n_nationkey, min(d) AS dist FROM paths GROUP BY v
 # ---------------------------------------------------- connected components
 
 
-def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-id label propagation to fixpoint (undirected CC)."""
-    verts = user_vertices(spark, sf_dir).select("id", F.col("id").alias("state"))
-    edges = user_edges_sym(spark, sf_dir).select(
+def cc_frame(verts: DataFrame, edges_sym: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Min-id propagation CC on any graph; verts: (id), edges: (a, b)."""
+    v = verts.select("id", F.col("id").alias("state"))
+    e = edges_sym.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1).alias("weight")
     )
     res = pregel(
-        verts,
-        edges,
+        v,
+        e,
         msg=F.col("src_state"),
         agg=F.min("msg"),
         vprog=F.least(F.col("state"), F.col("agg_msg")),
-        max_iter=50,
+        max_iter=max_iter,
     )
-    return res.vertices.select(
-        F.col("id").alias("user_id"), F.col("state").alias("component")
-    )
+    return res.vertices.select("id", F.col("state").alias("component"))
+
+
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-id label propagation to fixpoint (undirected CC)."""
+    return cc_frame(
+        user_vertices(spark, sf_dir), user_edges_sym(spark, sf_dir)
+    ).select(F.col("id").alias("user_id"), "component")
 
 
 _CC_SQL = f"""
@@ -204,8 +215,10 @@ _UNIT = 10**12
 _BASE = 15 * _UNIT // 100  # 0.15 in µ-units
 
 
-def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank, damping 0.85, exactly 10 supersteps, INTEGER µ-units.
+def pagerank_frame(
+    verts: DataFrame, edges_sym: DataFrame, iters: int = 10
+) -> DataFrame:
+    """PageRank, damping 0.85, fixed supersteps, INTEGER µ-units.
 
     Exact integer arithmetic (floor-div contributions, scaled damping)
     makes every rank bit-reproducible: the same result on 1 partition or
@@ -213,30 +226,33 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     85 * N * 1e12 must stay < 2^63 → fine below ~10^5 vertices; at
     larger scale drop UNIT accordingly.
     """
-    verts = user_vertices(spark, sf_dir).select(
-        "id", F.lit(_UNIT).cast("long").alias("state")
-    )
-    sym = user_edges_sym(spark, sf_dir)
-    deg = sym.groupBy(F.col("a").alias("src")).agg(
+    v = verts.select("id", F.lit(_UNIT).cast("long").alias("state"))
+    deg = edges_sym.groupBy(F.col("a").alias("src")).agg(
         F.count(F.lit(1)).alias("weight")  # out-degree rides as edge attr
     )
-    edges = sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).join(
+    e = edges_sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).join(
         deg, "src"
     )
     res = pregel(
-        verts,
-        edges,
+        v,
+        e,
         msg=F.expr("src_state div weight"),
         agg=F.sum("msg"),
         vprog=F.expr(f"CAST({_BASE} + (85 * coalesce(agg_msg, 0)) div 100 AS LONG)"),
-        max_iter=10,
+        max_iter=iters,
         check_convergence=False,
     )
     return res.vertices.select(
-        F.col("id").alias("user_id"),
+        "id",
         F.col("state").alias("rank_e12"),
         (F.col("state").cast("double") / F.lit(1e12)).alias("rank"),
     )
+
+
+def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_frame(
+        user_vertices(spark, sf_dir), user_edges_sym(spark, sf_dir), 10
+    ).select(F.col("id").alias("user_id"), "rank_e12", "rank")
 
 
 def _pagerank_sql(iters: int = 10) -> str:
@@ -319,8 +335,30 @@ def _lpa_sql(iters: int = 4) -> str:
 # ------------------------------------------------------ triangles / motifs
 
 
+_STRONG_MIN_WEIGHT = 3
+
+
 def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return user_edges_sym(spark, sf_dir).where(F.col("a") < F.col("b"))
+    """Canonical a<b edges of the STRONG user graph (co-occurrence
+    weight ≥ 3), MATERIALIZED (localCheckpoint) because callers
+    self-join it 2-3x.
+
+    The unfiltered co-occurrence graph is ~70% dense at sf0.1 (789k
+    edges over 1500 users -> 197M triangles): counting those measures
+    output volume, not the operator. The weight filter is the
+    reference's edge-attribute traversal filter [R] and keeps the motif
+    joins meaningful (137k edges, 1.4M triangles at sf0.1).
+    """
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph,
+    )
+
+    return (
+        build_user_graph(spark, sf_dir)
+        .where(F.col("weight") >= _STRONG_MIN_WEIGHT)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
 
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,8 +373,21 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRI_BASE = f"""
-WITH {USER_EDGES_CTE},
-ce AS (SELECT a, b FROM uedges WHERE a < b)
+WITH ce AS (
+  SELECT a, b FROM (
+    SELECT a, b, count(*) AS weight
+    FROM (
+      SELECT DISTINCT e1.user_id AS a, e2.user_id AS b,
+             e1.event_type AS et, date_trunc('hour', e1.ts) AS hr
+      FROM events e1
+      JOIN events e2
+        ON e1.event_type = e2.event_type
+       AND date_trunc('hour', e1.ts) = date_trunc('hour', e2.ts)
+       AND e1.user_id < e2.user_id
+    )
+    GROUP BY a, b
+  ) WHERE weight >= {_STRONG_MIN_WEIGHT}
+)
 """
 
 _TRIANGLE_COUNT_SQL = (
@@ -371,8 +422,12 @@ FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
 
 
 def mutual_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-neighbor count per (x<y) pair (reference: mutual friends)."""
-    sym = user_edges_sym(spark, sf_dir)
+    """Common-neighbor count per (x<y) pair on the strong graph
+    (reference: mutual friends over meaningful relationships)."""
+    ce = _canonical_edges(spark, sf_dir)
+    sym = ce.unionByName(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("n"))
     s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("n"))
     return (
@@ -383,12 +438,15 @@ def mutual_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MUTUAL_SQL = f"""
-WITH {USER_EDGES_CTE}
+_MUTUAL_SQL = (
+    _TRI_BASE
+    + """
+, ssym AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce)
 SELECT e1.a AS x, e2.a AS y, count(*) AS n_common
-FROM uedges e1 JOIN uedges e2 ON e1.b = e2.b AND e1.a < e2.a
+FROM ssym e1 JOIN ssym e2 ON e1.b = e2.b AND e1.a < e2.a
 GROUP BY e1.a, e2.a
 """
+)
 
 
 QUERIES = {

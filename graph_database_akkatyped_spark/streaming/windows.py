@@ -233,7 +233,32 @@ def run_streaming_twin(
     return spark.table(name)
 
 
+def source_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events consumed through the file STREAM source (batch-mode run:
+    AvailableNow drains the whole journal into a memory sink) — the
+    reference's journal-replay entry point [R]. Values must equal the
+    batch reader's, which the oracle checks."""
+    stream = stream_events(spark, sf_dir)
+    name = f"src_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_SOURCE_STREAM_SQL = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+FROM events
+"""
+
+
 QUERIES = {
+    "source_event_stream": source_event_stream,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
@@ -242,6 +267,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_event_stream": _SOURCE_STREAM_SQL,
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
     "stream_session": _SESSION_SQL,

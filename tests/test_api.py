@@ -1,0 +1,63 @@
+"""GraphDB facade: event-sourced mutations, replayed reads, analytics
+(the reference's AddNode/AddEdge/GetNode/Traverse surface)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from graph_database_akkatyped_spark.api import GraphDB
+
+
+@pytest.fixture()
+def db(spark):
+    return GraphDB(spark, tempfile.mkdtemp(prefix="graphdb_"))
+
+
+def test_crud_roundtrip(db):
+    db.add_vertices([("c:1", "customer", "Ann"), ("c:2", "customer", "Bob"),
+                     ("p:1", "part", "widget")])
+    db.add_edges([("c:1", "p:1", "bought", 10.0), ("c:2", "p:1", "bought", 5.0)])
+    assert db.vertices().count() == 3
+    assert db.get_vertex("c:1").collect()[0]["name"] == "Ann"
+    nb = db.neighbors("c:1").collect()
+    assert len(nb) == 1 and nb[0]["dst"] == "p:1" and nb[0]["name"] == "widget"
+
+
+def test_upsert_and_tombstone(db):
+    db.add_vertices([("v:1", "k", "old")])
+    db.add_vertices([("v:1", "k", "new")])  # upsert wins by batch seq
+    assert db.get_vertex("v:1").collect()[0]["name"] == "new"
+    db.remove_vertex("v:1")
+    assert db.get_vertex("v:1").count() == 0
+
+
+def test_compact_preserves_state(db):
+    db.add_vertices([("a", "k", "x"), ("b", "k", "y")])
+    db.add_edges([("a", "b", "r", 1.0)])
+    db.remove_vertex("b")
+    # edge (a,b) is hidden once its endpoint dies (vertex-owned adjacency)
+    assert db.edges().count() == 0
+    before_v = sorted(r["id"] for r in db.vertices().collect())
+    db.compact()
+    after_v = sorted(r["id"] for r in db.vertices().collect())
+    assert before_v == after_v == ["a"]
+    assert db.edges().count() == 0
+
+
+def test_analytics_on_mutated_graph(db):
+    # two triangles bridged after a later mutation
+    for v in "abcdef":
+        db.add_vertices([(v, "n", v.upper())])
+    db.add_edges([("a", "b", "r", 1.0), ("b", "c", "r", 1.0), ("a", "c", "r", 1.0)])
+    db.add_edges([("d", "e", "r", 1.0), ("e", "f", "r", 1.0), ("d", "f", "r", 1.0)])
+    cc = {r["id"]: r["component"] for r in db.connected_components().collect()}
+    assert len(set(cc.values())) == 2
+    db.add_edges([("c", "d", "bridge", 1.0)])
+    cc2 = {r["id"]: r["component"] for r in db.connected_components().collect()}
+    assert len(set(cc2.values())) == 1
+    lv = {r["id"]: r["level"] for r in db.bfs("a").collect()}
+    assert lv["d"] == 2 and lv["e"] == 3
+    pr = db.pagerank(iters=5)
+    assert pr.count() == 6

@@ -1,0 +1,50 @@
+"""Physical-plan assertions: the scale properties Catalyst must deliver
+(pushdown, broadcast, top-k, partial agg) — regression-guarded so a
+refactor can't silently turn a broadcast join into a 100 TB shuffle."""
+
+from __future__ import annotations
+
+from graph_database_akkatyped_spark.operators import relational
+from graph_database_akkatyped_spark.sources import parquet as src
+from graph_database_akkatyped_spark.plans.explain import (
+    count_occurrences,
+    has_pushed_filter,
+    read_schema_columns,
+    uses,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_scan_pruned_pushdown_and_pruning(spark):
+    df = src.scan_pruned(spark, SF_ORACLE)
+    assert has_pushed_filter(df, "l_shipdate"), "filter not pushed to parquet"
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate"}
+    assert len(cols) <= 4, f"scan reads too many columns: {cols}"
+
+
+def test_broadcast_join_chosen(spark):
+    df = relational.join_broadcast(spark, SF_ORACLE)
+    assert uses(df, "BroadcastHashJoin"), "part dim not broadcast"
+
+
+def test_flagship_broadcasts_dims(spark):
+    df = relational.flagship(spark, SF_ORACLE)
+    assert count_occurrences(df, "BroadcastHashJoin") >= 2
+
+
+def test_topk_is_take_ordered(spark):
+    df = relational.sort_limit_topk(spark, SF_ORACLE)
+    assert uses(df, "TakeOrderedAndProject"), "top-k fell back to global sort"
+
+
+def test_agg_partial_final(spark):
+    df = relational.agg_hash(spark, SF_ORACLE)
+    assert count_occurrences(df, "HashAggregate") >= 2, "no partial aggregation"
+    # map-side combine proves the agg won't ship raw rows at scale
+    assert uses(df, "partial_sum"), "no map-side partial aggregation"
+
+
+def test_semi_join_planned(spark):
+    df = relational.join_semi(spark, SF_ORACLE)
+    assert uses(df, "LeftSemi")
