@@ -12,7 +12,6 @@ from importlib import import_module
 
 _MODULES = (
     "graph_database_akkatyped_spark.sources.parquet",
-    "graph_database_akkatyped_spark.sources.stream",
     "graph_database_akkatyped_spark.operators.relational",
     "graph_database_akkatyped_spark.operators.graph_build",
     "graph_database_akkatyped_spark.operators.algos",

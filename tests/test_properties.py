@@ -1,0 +1,89 @@
+"""Property-based tests (SURVEY.md §5.3): algebraic invariants that must
+hold for ANY input, not just the fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from graph_database_akkatyped_spark.operators.algos import cc_frame, pagerank_frame
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_texts = st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=12), min_size=1, max_size=12
+)
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=20
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_dedup_exact_partitions_input(spark, texts):
+    """Every row lands in exactly one group; keeper is the min id."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    out = (
+        df.select(h.alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in out) == len(texts)
+    normalized = [t.strip().lower() for t in texts]
+    for r in out:
+        group = [i for i, t in enumerate(normalized) if normalized[r["keep"]] == t]
+        assert r["keep"] == min(group) and r["n"] == len(group)
+
+
+@given(edges=_edge_lists)
+@settings(**_SETTINGS)
+def test_cc_matches_union_find(spark, edges):
+    """Pregel CC == classic union-find on arbitrary small graphs."""
+    nodes = sorted({v for e in edges for v in e} | {0})
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {v: min(u for u in nodes if find(u) == find(v)) for v in nodes}
+
+    verts = spark.createDataFrame([(v,) for v in nodes], "id long")
+    sym = [(a, b) for a, b in edges if a != b]
+    sym += [(b, a) for a, b in sym]
+    edges_df = spark.createDataFrame(sym or [(0, 0)], "a long, b long").where(
+        F.col("a") != F.col("b")
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in cc_frame(verts, edges_df, max_iter=30).collect()
+    }
+    assert got == expected
+
+
+@given(edges=_edge_lists.filter(lambda es: any(a != b for a, b in es)))
+@settings(**_SETTINGS)
+def test_pagerank_mass_conserved(spark, edges):
+    """Σ ranks stays within (0.99·N, N] — integer truncation only loses
+    mass, never creates it; every vertex keeps ≥ the 0.15 base."""
+    sym = [(a, b) for a, b in edges if a != b]
+    sym += [(b, a) for a, b in sym]
+    nodes = sorted({v for e in sym for v in e})
+    verts = spark.createDataFrame([(v,) for v in nodes], "id long")
+    edges_df = spark.createDataFrame(sym, "a long, b long").distinct()
+    ranks = pagerank_frame(verts, edges_df, iters=5).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert 0.99 * len(nodes) < total <= len(nodes) + 1e-9
+    assert all(r["rank"] >= 0.1499999 for r in ranks)
