@@ -171,6 +171,51 @@ SELECT CAST(v AS BIGINT) AS n_nationkey, min(d) AS dist FROM paths GROUP BY v
 """
 
 
+def sssp_user_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from the min user over the strong user graph.
+
+    Edge cost = 1 + (a+b) mod 7 (deterministic integers -> exact oracle
+    parity); Pregel min-distance relaxation to fixpoint. Unreached
+    vertices are omitted, mirroring the reference's traversal replies.
+    """
+    ce = _canonical_edges(spark, sf_dir)
+    cost = (1 + (F.col("a") + F.col("b")) % 7).cast("long")
+    directed = ce.select("a", "b", cost.alias("weight"))
+    edges = directed.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
+    ).unionByName(
+        directed.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "weight"
+        )
+    )
+    events = load_table(spark, sf_dir, "events")
+    seed = events.agg(F.min("user_id")).first()[0]
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .union(spark.createDataFrame([(seed,)], "id long"))  # seed always present
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id") == seed, F.lit(0).cast("long")).alias("state"),
+        )
+    )
+    res = pregel(
+        verts,
+        edges,
+        msg=F.col("src_state") + F.col("weight"),
+        agg=F.min("msg"),
+        vprog=F.least(F.col("state"), F.col("agg_msg")),
+        max_iter=30,
+    )
+    return res.vertices.where(F.col("state").isNotNull()).select(
+        F.col("id").alias("user_id"), F.col("state").alias("dist")
+    )
+
+
+# (oracle _SSSP_USER_SQL is defined after _TRI_BASE, near the triangle SQL)
+
+
 # ---------------------------------------------------- connected components
 
 
@@ -390,6 +435,25 @@ WITH ce AS (
 )
 """
 
+_SSSP_USER_SQL = (
+    _TRI_BASE.replace("WITH ce AS", "WITH RECURSIVE ce AS")
+    + f"""
+, wedges AS (
+  SELECT a AS src, b AS dst, CAST(1 + (a + b) % 7 AS BIGINT) AS w FROM ce
+  UNION ALL
+  SELECT b, a, CAST(1 + (a + b) % 7 AS BIGINT) FROM ce
+),
+paths(v, d) AS (
+  SELECT {_SEED_SQL}, CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, p.d + e.w
+  FROM paths p JOIN wedges e ON e.src = p.v
+  WHERE p.d + e.w <= 60
+)
+SELECT v AS user_id, min(d) AS dist FROM paths GROUP BY v
+"""
+)
+
 _TRIANGLE_COUNT_SQL = (
     _TRI_BASE
     + """
@@ -454,6 +518,7 @@ QUERIES = {
     "khop_neighbors": khop_neighbors,
     "path_exists": path_exists,
     "sssp_weighted": sssp_weighted,
+    "sssp_user_weighted": sssp_user_weighted,
     "connected_components": connected_components,
     "pagerank_fixed": pagerank_fixed,
     "label_propagation": label_propagation,
@@ -467,6 +532,7 @@ ORACLES = {
     "khop_neighbors": _KHOP_SQL,
     "path_exists": _PATH_EXISTS_SQL,
     "sssp_weighted": _SSSP_SQL,
+    "sssp_user_weighted": _SSSP_USER_SQL,
     "connected_components": _CC_SQL,
     "pagerank_fixed": _pagerank_sql(10),
     "label_propagation": _lpa_sql(4),
