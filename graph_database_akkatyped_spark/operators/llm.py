@@ -28,7 +28,14 @@ _TOKS = "split(text, ' ')"
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Σ a[i]*b[i] in doubles, strict left-to-right accumulation."""
+    """Σ a[i]*b[i] in doubles, strict left-to-right accumulation.
+
+    The higher-order fold is the fastest exact-order formulation here:
+    unrolling 64 getItem+multiply terms into one expression was measured
+    2x SLOWER (the 128-node tree falls out of whole-stage codegen), and
+    numpy-backed pandas UDFs change the summation order (pairwise/SIMD)
+    which would break bit-parity with the DuckDB oracle.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
