@@ -135,7 +135,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.slice(F.array_sort(toks), 1, 3).alias("first3"),
+        # joined to a string: engines render bare arrays differently
+        # (numpy vs list) under value-hash comparators
+        F.concat_ws("|", F.slice(F.array_sort(toks), 1, 3)).alias("first3"),
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
         F.aggregate(
             toks, F.lit(0), lambda acc, x: acc + F.length(x)
@@ -147,7 +149,8 @@ _FN_ARRAY_SQL = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
        CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
-       list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3,
+       array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), '|')
+         AS first3,
        CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 5)) AS INTEGER)
          AS n_long,
        CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x)))

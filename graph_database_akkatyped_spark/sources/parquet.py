@@ -56,6 +56,24 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: write a table as CSV, read it back with an
+    explicit schema (never infer in production — schema drift at 100 TB
+    is silent data corruption). Oracle-checked against the original."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(nation.schema).option("header", True).csv(out)
+
+
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source with explicit schema on re-read."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="spark_graft_json_")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(docs.schema).json(out)
+
+
 def write_bucketed(
     df, table: str, key: str, buckets: int = 8, sort: bool = True
 ) -> None:
@@ -76,6 +94,8 @@ QUERIES = {
     "scan_parquet": scan_parquet,
     "scan_pruned": scan_pruned,
     "sink_parquet": sink_parquet,
+    "sink_csv_roundtrip": sink_csv_roundtrip,
+    "sink_json_roundtrip": sink_json_roundtrip,
 }
 
 ORACLES = {
@@ -88,4 +108,6 @@ ORACLES = {
         "SELECT l_returnflag, l_linestatus, count(*) AS cnt "
         "FROM lineitem GROUP BY 1, 2"
     ),
+    "sink_csv_roundtrip": "SELECT * FROM nation",
+    "sink_json_roundtrip": "SELECT * FROM documents",
 }
