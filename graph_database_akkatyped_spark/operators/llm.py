@@ -351,6 +351,122 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer -> probe top-2 cells -> exact
+    re-rank top-10. The 100 TB pattern: centroid scoring is O(cells),
+    and only the probed cells' vectors are read (partition pruning when
+    the table is laid out by cell).
+
+    The coarse quantizer here is the label clustering; centroids are
+    floor-scaled integer means (deterministic at any parallelism — a
+    float mean would drift with partition order), so candidate sets and
+    ranks are exact-reproducible and the whole pipeline hash-matches the
+    SQL oracle. nprobe=2 gives recall < 1 by design vs `simsearch_topk`.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 1) deterministic per-cell centroids (64 dims)
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cdims = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("val").cast("double") * 1e8).cast("long")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)).cast("double") * 1e8)
+        ).alias("cval")
+    )
+    centroids = cdims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+        ).alias("centroid")
+    )
+    cnorm = _dot(F.col("centroid"), F.col("centroid"))
+    cells = centroids.select("label", "centroid", cnorm.alias("cnrm"))
+    # 2) probe: top-2 cells per query by centroid cosine
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c_cos = _dot(F.col("q_emb"), F.col("centroid")) / (
+        F.sqrt("q_nrm") * F.sqrt("cnrm")
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), "label")
+    probed = (
+        queries.crossJoin(F.broadcast(cells))
+        .withColumn("c_cos", c_cos)
+        .withColumn("cell_rnk", F.row_number().over(wc))
+        .where(F.col("cell_rnk") <= 2)
+        .select("q_id", "q_emb", "q_nrm", "label")
+    )
+    # 3) exact re-rank inside the probed cells only
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        base.join(probed, "label")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+    )
+
+
+_SIMSEARCH_IVF_SQL = f"""
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cdims AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM dims GROUP BY label, pos
+),
+cells AS (
+  SELECT label, list(cval ORDER BY pos) AS centroid FROM cdims GROUP BY label
+),
+cells_n AS (
+  SELECT label, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm FROM cells
+),
+base AS (
+  SELECT vec_id, label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM base
+  WHERE vec_id < 5
+),
+probed AS (
+  SELECT q_id, q_emb, q_nrm, label FROM (
+    SELECT q.q_id, q.q_emb, q.q_nrm, c.label,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {_sql_dot('q.q_emb', 'c.centroid')}
+                       / (sqrt(q.q_nrm) * sqrt(c.cnrm)) DESC, c.label) AS cell_rnk
+    FROM queries q CROSS JOIN cells_n c
+  ) WHERE cell_rnk <= 2
+)
+SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT p.q_id, b.vec_id,
+         {_sql_dot('p.q_emb', 'b.embedding')}
+           / (sqrt(p.q_nrm) * sqrt(b.nrm)) AS cos,
+         row_number() OVER (
+           PARTITION BY p.q_id
+           ORDER BY {_sql_dot('p.q_emb', 'b.embedding')}
+                     / (sqrt(p.q_nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rnk
+  FROM probed p JOIN base b ON b.label = p.label AND b.vec_id <> p.q_id
+) WHERE rnk <= 10
+"""
+
+
 def simsearch_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avg intra-label cosine similarity (clustering sanity check).
     The float average goes through the exact-decimal path so the result
@@ -809,6 +925,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "simsearch_topk": simsearch_topk,
+    "simsearch_ivf": simsearch_ivf,
     "simsearch_lsh": simsearch_lsh,
     "simsearch_pairs_label": simsearch_pairs_label,
     "text_wordcount": text_wordcount,
@@ -831,6 +948,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
+    "simsearch_ivf": _SIMSEARCH_IVF_SQL,
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,
     "text_wordcount": _TEXT_WORDCOUNT_SQL,
     "text_tfidf": _TEXT_TFIDF_SQL,

@@ -702,6 +702,163 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SCALAR_SQL)
 
 
+# ------------------------------------------------- distribution windows
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_tile = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_val = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w_tile).alias("quartile"),
+        F.percent_rank().over(w_val).alias("prnk"),
+        F.cume_dist().over(w_val).alias("cdist"),
+    )
+
+
+_WINDOW_NTILE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+         AS quartile,
+       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
+         AS prnk,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cdist
+FROM orders
+"""
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+_WINDOW_FIRST_LAST_SQL = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ------------------------------------------- moments / order statistics
+
+
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation from EXACT decimal component sums
+    (the built-in stddev/corr aggregate in each engine accumulates
+    doubles in its own order — formula-from-exact-sums is the only
+    bit-stable cross-engine path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice", 2).alias("s_y"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 6).alias("s_yy"),
+        dsum("l_quantity", 2).alias("s_x"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), 6).alias("s_xx"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), 6).alias("s_xy"),
+    )
+    n = F.col("n").cast("double")
+    var_y = F.col("s_yy") / n - (F.col("s_y") / n) * (F.col("s_y") / n)
+    cov = F.col("s_xy") / n - (F.col("s_x") / n) * (F.col("s_y") / n)
+    var_x = F.col("s_xx") / n - (F.col("s_x") / n) * (F.col("s_x") / n)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("s_y") / n).alias("mean_price"),
+        var_y.alias("var_price"),
+        F.sqrt(var_y).alias("std_price"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+    )
+
+
+_AGG_MOMENTS_SQL = f"""
+WITH agg AS (
+  SELECT l_returnflag, count(*) AS n,
+         {sql_dsum('l_extendedprice', 2)} AS s_y,
+         {sql_dsum('l_extendedprice * l_extendedprice', 6)} AS s_yy,
+         {sql_dsum('l_quantity', 2)} AS s_x,
+         {sql_dsum('l_quantity * l_quantity', 6)} AS s_xx,
+         {sql_dsum('l_quantity * l_extendedprice', 6)} AS s_xy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       s_y / n AS mean_price,
+       s_yy / n - (s_y / n) * (s_y / n) AS var_price,
+       sqrt(s_yy / n - (s_y / n) * (s_y / n)) AS std_price,
+       (s_xy / n - (s_x / n) * (s_y / n))
+         / (sqrt(s_xx / n - (s_x / n) * (s_x / n))
+            * sqrt(s_yy / n - (s_y / n) * (s_y / n))) AS corr_qty_price
+FROM agg
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + discrete p90 per event_type via explicit order
+    statistics (rank formulas, not engine percentile builtins, so both
+    engines pick the SAME elements)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo = (F.col("n") + 1).cast("long") / F.lit(2)
+    med_rows = ranked.where(
+        (F.col("rn") == F.floor(lo)) | (F.col("rn") == F.ceil(lo))
+    )
+    median = med_rows.groupBy("event_type").agg(
+        ((F.min("value") + F.max("value")) / 2).alias("median_value")
+    )
+    p90 = ranked.where(
+        F.col("rn") == F.ceil(F.col("n").cast("double") * 0.9)
+    ).select("event_type", F.col("value").alias("p90_value"))
+    counts = ranked.groupBy("event_type").agg(F.max("n").alias("n"))
+    return counts.join(median, "event_type").join(p90, "event_type")
+
+
+_AGG_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+median AS (
+  SELECT event_type, (min(value) + max(value)) / 2 AS median_value
+  FROM ranked
+  WHERE rn = floor((n + 1) / 2.0) OR rn = ceil((n + 1) / 2.0)
+  GROUP BY event_type
+),
+p90 AS (
+  SELECT event_type, value AS p90_value FROM ranked
+  WHERE rn = ceil(n * 0.9)
+),
+counts AS (SELECT event_type, max(n) AS n FROM ranked GROUP BY event_type)
+SELECT counts.event_type, n, median_value, p90_value
+FROM counts JOIN median USING (event_type) JOIN p90 USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -723,6 +880,10 @@ QUERIES = {
     "grouping_cube": grouping_cube,
     "grouping_sets": grouping_sets,
     "window_rank": window_rank,
+    "window_ntile": window_ntile,
+    "window_first_last": window_first_last,
+    "agg_moments": agg_moments,
+    "agg_percentiles": agg_percentiles,
     "window_running": window_running,
     "window_lead_lag": window_lead_lag,
     "window_range_frame": window_range_frame,
@@ -782,6 +943,10 @@ ORACLES = {
     "grouping_cube": _GROUPING_CUBE_SQL,
     "grouping_sets": _GROUPING_SETS_SQL,
     "window_rank": _WINDOW_RANK_SQL,
+    "window_ntile": _WINDOW_NTILE_SQL,
+    "window_first_last": _WINDOW_FIRST_LAST_SQL,
+    "agg_moments": _AGG_MOMENTS_SQL,
+    "agg_percentiles": _AGG_PERCENTILES_SQL,
     "window_running": _WINDOW_RUNNING_SQL,
     "window_lead_lag": _WINDOW_LEAD_LAG_SQL,
     "window_range_frame": _WINDOW_RANGE_FRAME_SQL,

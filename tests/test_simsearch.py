@@ -1,0 +1,31 @@
+"""ANN quality: IVF (nprobe=2) recall vs exact brute force."""
+
+from __future__ import annotations
+
+from graph_database_akkatyped_spark.operators.llm import (
+    simsearch_ivf,
+    simsearch_topk,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_ivf_recall_vs_exact(spark):
+    exact = simsearch_topk(spark, SF_ORACLE).collect()
+    approx = simsearch_ivf(spark, SF_ORACLE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # the fixture embeddings carry almost no cluster structure (measured
+    # intra-label cosine 0.02 vs 0.002 global), so cell-probing recall is
+    # bounded near nprobe/ncells = 0.2; assert we at least beat random
+    # and return full result sets
+    assert all(len(s) == 10 for s in approx_sets.values())
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
