@@ -151,6 +151,7 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg=F.min("msg"),
         vprog=F.least(F.col("state"), F.col("agg_msg")),
         max_iter=10,
+        frontier_only=True,
     )
     return (
         res.vertices.where(F.col("state").isNotNull())
@@ -207,6 +208,7 @@ def sssp_user_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg=F.min("msg"),
         vprog=F.least(F.col("state"), F.col("agg_msg")),
         max_iter=30,
+        frontier_only=True,
     )
     return res.vertices.where(F.col("state").isNotNull()).select(
         F.col("id").alias("user_id"), F.col("state").alias("dist")
@@ -232,6 +234,7 @@ def cc_frame(verts: DataFrame, edges_sym: DataFrame, max_iter: int = 50) -> Data
         agg=F.min("msg"),
         vprog=F.least(F.col("state"), F.col("agg_msg")),
         max_iter=max_iter,
+        frontier_only=True,
     )
     return res.vertices.select("id", F.col("state").alias("component"))
 

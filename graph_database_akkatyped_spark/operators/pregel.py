@@ -43,6 +43,7 @@ def pregel(
     max_iter: int,
     check_convergence: bool = True,
     checkpoint_every: int = 1,
+    frontier_only: bool = False,
 ) -> PregelResult:
     """Run synchronous Pregel supersteps until convergence or max_iter.
 
@@ -55,13 +56,23 @@ def pregel(
     - ``vprog``: Column over (id, state, agg_msg) producing the new
       state; ``agg_msg`` is NULL for vertices that received no message
     - convergence: no vertex state changed (null-safe comparison)
+    - ``frontier_only``: send messages ONLY from vertices whose state
+      changed last superstep. Correct for MONOTONE algorithms (min/max
+      propagation: SSSP, CC, BFS — a vertex whose state is final can
+      never improve a neighbor later); per-superstep cost drops from
+      O(E) to O(edges out of the frontier), which on deep graphs at
+      100 TB is the difference between converging and not. NOT valid
+      for PageRank-style recomputation, where every vertex contributes
+      every round.
     """
     v = vertices.select("id", "state")
+    active = v
     iterations = 0
     converged = False
     for i in range(max_iter):
         iterations = i + 1
-        src_states = v.select(
+        senders = active if frontier_only else v
+        src_states = senders.select(
             F.col("id").alias("src"), F.col("state").alias("src_state")
         )
         triplets = edges.join(src_states, "src")
@@ -84,7 +95,7 @@ def pregel(
                 .alias("changed"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 or check_convergence:
+        if (i + 1) % checkpoint_every == 0 or check_convergence or frontier_only:
             stepped = stepped.localCheckpoint(eager=True)
         if check_convergence:
             n_changed = stepped.agg(F.sum("changed")).first()[0] or 0
@@ -93,4 +104,6 @@ def pregel(
                 v = stepped.select("id", "state")
                 break
         v = stepped.select("id", "state")
+        if frontier_only:
+            active = stepped.where(F.col("changed") == 1).select("id", "state")
     return PregelResult(vertices=v, iterations=iterations, converged=converged)

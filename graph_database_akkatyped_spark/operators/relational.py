@@ -702,6 +702,51 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SCALAR_SQL)
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted join — the mitigation for a hot key the AQE skew
+    handler can't split (e.g. a single key holding >1 partition's worth
+    of rows on the BUILD side too).
+
+    Fact rows get a deterministic salt in [0, 8); the dim side is
+    replicated 8x with every salt value; the join key becomes
+    (key, salt), spreading one hot key over 8 tasks. The aggregate
+    result is EXACTLY the plain join's (checked by the oracle) — salting
+    changes the partitioning, never the semantics.
+    """
+    N_SALT = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALT))
+    )
+    dim = orders.crossJoin(
+        spark.range(N_SALT).select(F.col("id").alias("salt"))
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (fact.salt == dim.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(_rev(), 6).alias("revenue"),
+        )
+    )
+
+
+_JOIN_SALTED_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_items, {sql_dsum(_SQL_REV, 6)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ------------------------------------------------- distribution windows
 
 
@@ -872,6 +917,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_theta_range": join_theta_range,
     "join_asof_nearest": join_asof_nearest,
+    "join_salted_skew": join_salted_skew,
     "agg_hash": agg_hash,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -931,6 +977,7 @@ ORACLES = {
     ),
     "join_theta_range": _JOIN_THETA_RANGE_SQL,
     "join_asof_nearest": _JOIN_ASOF_SQL,
+    "join_salted_skew": _JOIN_SALTED_SQL,
     "agg_hash": _AGG_HASH_SQL,
     "agg_distinct": (
         "SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust, "
