@@ -22,4 +22,19 @@ oracle twin in ``registry.ORACLES`` (driver contract:
 from graph_database_akkatyped_spark.session import get_spark
 from graph_database_akkatyped_spark.catalog import load_tables, register_views
 
-__all__ = ["get_spark", "load_tables", "register_views"]
+
+def __getattr__(name):
+    # lazy: GraphDB/pregel pull in operator modules, which need pyspark
+    # runtime bits callers may configure first
+    if name == "GraphDB":
+        from graph_database_akkatyped_spark.api import GraphDB
+
+        return GraphDB
+    if name == "pregel":
+        from graph_database_akkatyped_spark.operators.pregel import pregel
+
+        return pregel
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "load_tables", "register_views", "GraphDB", "pregel"]
