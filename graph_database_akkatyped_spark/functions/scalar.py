@@ -192,6 +192,69 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("event_id").bitwiseAND(F.lit(255))).alias("b_and"),
+        (F.col("event_id").bitwiseOR(F.lit(4096))).alias("b_or"),
+        (F.col("event_id").bitwiseXOR(F.col("user_id"))).alias("b_xor"),
+        F.shiftleft(F.col("user_id"), 3).alias("b_shl"),
+        F.shiftright(F.col("event_id"), 2).alias("b_shr"),
+        F.bit_count(F.col("event_id")).alias("b_pop"),
+    )
+
+
+_FN_BITWISE_SQL = """
+SELECT event_id,
+       event_id & 255 AS b_and,
+       event_id | 4096 AS b_or,
+       xor(event_id, user_id) AS b_xor,
+       CAST(user_id << 3 AS BIGINT) AS b_shl,
+       CAST(event_id >> 2 AS BIGINT) AS b_shr,
+       CAST(bit_count(event_id) AS INTEGER) AS b_pop
+FROM events
+"""
+
+
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+_FN_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_band,
+       COALESCE(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(c_acctbal, 1000.0) AS bal_cap1k
+FROM customer
+"""
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH twin of agg_percentiles (approx_percentile /
+    KLL-style) — rows-only: sketch estimates are engine-specific."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
+    )
+
+
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.select(
@@ -219,6 +282,9 @@ QUERIES = {
     "fn_explode": fn_explode,
     "fn_map": fn_map,
     "fn_json": fn_json,
+    "fn_bitwise": fn_bitwise,
+    "fn_conditional": fn_conditional,
+    "agg_approx_percentile": agg_approx_percentile,
 }
 
 ORACLES = {
@@ -232,4 +298,7 @@ ORACLES = {
     "fn_array": _FN_ARRAY_SQL,
     "fn_explode": _FN_EXPLODE_SQL,
     "fn_json": _FN_JSON_SQL,
+    "fn_bitwise": _FN_BITWISE_SQL,
+    "fn_conditional": _FN_CONDITIONAL_SQL,
+    # agg_approx_percentile: rows-only (sketch)
 }

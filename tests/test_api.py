@@ -46,6 +46,17 @@ def test_compact_preserves_state(db):
     assert db.edges().count() == 0
 
 
+def test_mutations_after_compact(db):
+    db.add_vertices([("a", "k", "x")])
+    db.compact()
+    db.add_vertices([("b", "k", "y"), ("a", "k", "x2")])  # replay spans snapshot + new batches
+    names = {r["id"]: r["name"] for r in db.vertices().collect()}
+    assert names == {"a": "x2", "b": "y"}
+    db.remove_vertex("a")
+    db.compact()
+    assert [r["id"] for r in db.vertices().collect()] == ["b"]
+
+
 def test_analytics_on_mutated_graph(db):
     # two triangles bridged after a later mutation
     for v in "abcdef":
