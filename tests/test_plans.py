@@ -48,3 +48,20 @@ def test_agg_partial_final(spark):
 def test_semi_join_planned(spark):
     df = relational.join_semi(spark, SF_ORACLE)
     assert uses(df, "LeftSemi")
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
+    """Writing partitionBy(key) means a key predicate prunes whole
+    directories at read time — PartitionFilters, not a data filter."""
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    out = str(tmp_path / "li_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    df = spark.read.parquet(out).where(F.col("l_returnflag") == "A")
+    plan = formatted_plan(df)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and "l_returnflag" in pf_lines[0], plan
+    assert df.count() == li.where(F.col("l_returnflag") == "A").count()
