@@ -212,6 +212,101 @@ FROM events
 """
 
 
+def _run_to_memory(plan: DataFrame, prefix: str, mode: str) -> tuple:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name, q
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a precomputed
+    per-user dimension (exact-decimal running average). The static side
+    re-resolves per micro-batch — the pattern for joining a stream with
+    a slowly-changing dim table at scale."""
+    e = _events(spark, sf_dir)
+    user_stats = e.groupBy("user_id").agg(
+        dec2double(F.sum(F.col("value").cast("decimal(30,2)"))).alias("user_total")
+    )
+    stream = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    joined = stream.join(user_stats, "user_id").select(
+        "event_id", "user_id", "value", "user_total"
+    )
+    name, _ = _run_to_memory(joined, "ss_join", "append")
+    return spark.table(name)
+
+
+_STREAM_STATIC_JOIN_SQL = """
+WITH stats AS (
+  SELECT user_id,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+           AS user_total
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, value, user_total
+FROM events e JOIN stats USING (user_id)
+"""
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 1 hour after a click
+    by the same user. Watermarks on BOTH sides bound the join state the
+    store must retain — without them a stream-stream join buffers
+    forever; with them state evicts once event time passes the window."""
+    HOUR_US = 3_600_000_000
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.unix_micros("purchase_ts")
+            <= F.unix_micros("click_ts") + HOUR_US
+        ),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    name, _ = _run_to_memory(joined, "ss2_join", "append")
+    return spark.table(name)
+
+
+_STREAM_STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND p.ts >= c.ts
+ AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
+"""
+
+
 def run_streaming_twin(
     spark: SparkSession, sf_dir: str, which: str
 ) -> DataFrame:
@@ -264,6 +359,8 @@ QUERIES = {
     "stream_session": stream_session,
     "stream_watermark_late": stream_watermark_late,
     "stream_dedup": stream_dedup,
+    "stream_static_join": stream_static_join,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLES = {
@@ -273,4 +370,6 @@ ORACLES = {
     "stream_session": _SESSION_SQL,
     "stream_watermark_late": _WATERMARK_SQL,
     "stream_dedup": _DEDUP_SQL,
+    "stream_static_join": _STREAM_STATIC_JOIN_SQL,
+    "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
 }
