@@ -856,6 +856,47 @@ FROM documents
 """
 
 
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-independent hash
+    buckets (md5 of doc_id -> 10 buckets -> 8/1/1).
+
+    The pattern every training-data pipeline needs: membership is a pure
+    function of the id — stable across runs, partitionings, engines, and
+    data appends (unlike ``df.sample``, which depends on row order).
+    Output: per (lang, split) doc counts + exact bucket bounds check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SPLIT_SQL = """
+SELECT lang, split, count(*) AS n_docs FROM (
+  SELECT lang,
+         CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10 AS b
+    FROM documents
+  )
+)
+GROUP BY lang, split
+"""
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -937,6 +978,7 @@ QUERIES = {
     "text_langid_ngram": text_langid_ngram,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich,
     "multimodal_decode_stub": multimodal_decode_stub,
 }
@@ -959,5 +1001,6 @@ ORACLES = {
     "text_langid_ngram": _TEXT_LANGID_SQL,
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "split_train_test": _SPLIT_SQL,
     "multimodal_decode_stub": _MULTIMODAL_DECODE_SQL,
 }
