@@ -702,6 +702,40 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SCALAR_SQL)
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling aggregate over lineitem: row/distinct/null
+    counts, ranges, exact mean — the ingest-time quality gate a 100 TB
+    pipeline runs before accepting a batch (one scan, partial+final agg,
+    no per-column jobs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("null_returnflag"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_discount", 2).alias("avg_discount"),
+    )
+
+
+_TABLE_PROFILE_SQL = f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_returnflag,
+       CAST(min(l_shipdate) AS TIMESTAMP) AS min_shipdate,
+       CAST(max(l_shipdate) AS TIMESTAMP) AS max_shipdate,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       {sql_davg('l_discount', 2)} AS avg_discount
+FROM lineitem
+"""
+
+
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manually salted join — the mitigation for a hot key the AQE skew
     handler can't split (e.g. a single key holding >1 partition's worth
@@ -918,6 +952,7 @@ QUERIES = {
     "join_theta_range": join_theta_range,
     "join_asof_nearest": join_asof_nearest,
     "join_salted_skew": join_salted_skew,
+    "table_profile": table_profile,
     "agg_hash": agg_hash,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -978,6 +1013,7 @@ ORACLES = {
     "join_theta_range": _JOIN_THETA_RANGE_SQL,
     "join_asof_nearest": _JOIN_ASOF_SQL,
     "join_salted_skew": _JOIN_SALTED_SQL,
+    "table_profile": _TABLE_PROFILE_SQL,
     "agg_hash": _AGG_HASH_SQL,
     "agg_distinct": (
         "SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust, "

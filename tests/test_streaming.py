@@ -29,6 +29,35 @@ def test_stream_equals_batch(spark, which, batch_fn):
     assert canonical_rows(stream) == canonical_rows(batch)
 
 
+def test_foreachbatch_custom_sink(spark, tmp_path):
+    """foreachBatch: arbitrary per-micro-batch sink logic (the pattern
+    for upserting into external stores); totals must cover every event."""
+    from pyspark.sql import functions as F
+    from graph_database_akkatyped_spark.streaming.windows import stream_events
+
+    target = str(tmp_path / "sink")
+
+    def upsert(batch_df, batch_id):
+        (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        stream_events(spark, SF_SMOKE)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(target)
+    assert back.agg(F.sum("n")).first()[0] == 1000  # sf0.001 event count
+
+
 def test_stateful_count_matches_batch(spark):
     from pyspark.sql import functions as F
     from graph_database_akkatyped_spark.catalog import load_table
