@@ -380,6 +380,75 @@ def _lpa_sql(iters: int = 4) -> str:
     )
 
 
+# ----------------------------------------------------------------- k-core
+
+_KCORE_K = 10
+_KCORE_ROUNDS = 15
+
+
+def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame:
+    """k-core: iteratively peel vertices with degree < k until fixpoint.
+
+    Each round recomputes degrees over edges whose BOTH endpoints are
+    still alive (semi-joins — never materializing the dead set) and
+    checkpoints the survivors. Converges in O(peeling depth) rounds;
+    extra rounds are no-ops, which is what lets the unrolled SQL oracle
+    use a fixed round count.
+    """
+    alive = edges_sym.select(F.col("a").alias("id")).distinct()
+    for _ in range(max_rounds):
+        live_edges = edges_sym.join(
+            alive.withColumnRenamed("id", "a"), "a", "left_semi"
+        ).join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
+        deg = live_edges.groupBy(F.col("a").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        keep = deg.where(F.col("degree") >= k).localCheckpoint(eager=True)
+        n_alive = alive.count()
+        if keep.count() == n_alive:
+            return keep
+        alive = keep.select("id")
+    return keep
+
+
+def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the 10-core of the strong user graph with their
+    in-core degree (graph-quality filtering: drop weakly-embedded
+    vertices before community analysis)."""
+    ce = _canonical_edges(spark, sf_dir)
+    sym = ce.unionByName(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return kcore_frame(sym, _KCORE_K, _KCORE_ROUNDS).select(
+        F.col("id").alias("user_id"), "degree"
+    )
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    # every CTE is referenced 2x by the next round — they MUST be
+    # MATERIALIZED or DuckDB inlines the chain exponentially
+    ctes = [
+        "ssym AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM ssym)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT e.a AS id, count(*) AS degree "
+            f"FROM ssym e "
+            f"JOIN a{i-1} x ON x.id = e.a JOIN a{i-1} y ON y.id = e.b "
+            f"GROUP BY e.a)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE degree >= {k})"
+        )
+    return (
+        _TRI_BASE.replace("WITH ce AS", "WITH ce AS MATERIALIZED")
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS user_id, degree FROM d{rounds} WHERE degree >= {k}"
+    )
+
+
 # ------------------------------------------------------ triangles / motifs
 
 
@@ -525,6 +594,7 @@ QUERIES = {
     "connected_components": connected_components,
     "pagerank_fixed": pagerank_fixed,
     "label_propagation": label_propagation,
+    "kcore_decompose": kcore_decompose,
     "triangle_count": triangle_count,
     "motif_triangle_sql": motif_triangle_sql,
     "mutual_neighbors": mutual_neighbors,
@@ -539,6 +609,7 @@ ORACLES = {
     "connected_components": _CC_SQL,
     "pagerank_fixed": _pagerank_sql(10),
     "label_propagation": _lpa_sql(4),
+    "kcore_decompose": _kcore_sql(),
     "triangle_count": _TRIANGLE_COUNT_SQL,
     "motif_triangle_sql": _MOTIF_SQL,
     "mutual_neighbors": _MUTUAL_SQL,

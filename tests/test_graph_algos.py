@@ -56,6 +56,18 @@ def test_pregel_cc_two_components(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
 
 
+def test_kcore_peels_pendant(spark):
+    # triangle {0,1,2} is a 2-core; pendant 3-0 must be peeled
+    from graph_database_akkatyped_spark.operators.algos import kcore_frame
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0), (0, 3), (3, 0)],
+        "a long, b long",
+    )
+    core = {r["id"]: r["degree"] for r in kcore_frame(edges, k=2).collect()}
+    assert core == {0: 2, 1: 2, 2: 2}
+
+
 def test_pregel_bfs_diamond(spark):
     # diamond: 0 -> 1,2 -> 3 ; unweighted levels via min-propagation
     edges = spark.createDataFrame(
