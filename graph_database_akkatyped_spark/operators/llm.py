@@ -229,6 +229,50 @@ WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE) >= 0
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup workflow: near-dup PAIRS -> connected-component
+    CLUSTERS -> min-id keeper per cluster.
+
+    Pairwise detection alone under-deduplicates (A~B, B~C but A≁C must
+    still collapse to one keeper); components over the pair graph give
+    transitive closure. Reuses the Pregel CC kernel over the exact
+    n-gram Jaccard pairs. ``is_keeper`` marks the document to retain.
+    """
+    from graph_database_akkatyped_spark.operators.algos import cc_frame
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    comp = cc_frame(docs, sym)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a, b FROM ({_DEDUP_NGRAM_SQL})
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+),
+verts AS (SELECT doc_id AS v FROM documents),
+reach(s, d) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN sym e ON e.a = r.d
+)
+SELECT s AS doc_id, min(d) AS cluster, s = min(d) AS is_keeper
+FROM reach GROUP BY s
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.95), exact all-pairs.
 
@@ -964,6 +1008,7 @@ QUERIES = {
     "dedup_near_minhash": dedup_near_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "simsearch_topk": simsearch_topk,
     "simsearch_ivf": simsearch_ivf,
@@ -988,6 +1033,7 @@ ORACLES = {
     # dedup_near_minhash, dedup_simhash, simsearch_lsh, multimodal_enrich:
     # rows-only by design (sketches / nested output)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
