@@ -702,6 +702,68 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SCALAR_SQL)
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent o_orderpriority per
+    segment), ties to the lexicographically smallest value."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    counts = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+_AGG_MODE_SQL = """
+SELECT c_mktsegment, o_orderpriority AS mode_priority, cnt FROM (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+) WHERE rn = 1
+"""
+
+
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: sorted distinct nation list per
+    segment (collect_set -> array_sort -> join keeps it deterministic
+    regardless of arrival order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias(
+                "nations"
+            ),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+_AGG_LISTAGG_SQL = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+       count(DISTINCT n_name) AS n_nations
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_mktsegment
+"""
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-profiling aggregate over lineitem: row/distinct/null
     counts, ranges, exact mean — the ingest-time quality gate a 100 TB
@@ -953,6 +1015,8 @@ QUERIES = {
     "join_asof_nearest": join_asof_nearest,
     "join_salted_skew": join_salted_skew,
     "table_profile": table_profile,
+    "agg_mode": agg_mode,
+    "agg_listagg": agg_listagg,
     "agg_hash": agg_hash,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -1014,6 +1078,8 @@ ORACLES = {
     "join_asof_nearest": _JOIN_ASOF_SQL,
     "join_salted_skew": _JOIN_SALTED_SQL,
     "table_profile": _TABLE_PROFILE_SQL,
+    "agg_mode": _AGG_MODE_SQL,
+    "agg_listagg": _AGG_LISTAGG_SQL,
     "agg_hash": _AGG_HASH_SQL,
     "agg_distinct": (
         "SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust, "
