@@ -192,6 +192,30 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_string_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String rewriting: regexp_replace / translate / repeat / trim."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("masked"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("deviled"),
+        F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
+        F.ltrim(F.rtrim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  ")))).alias(
+            "trimmed"
+        ),
+    )
+
+
+_FN_STRING_REWRITE_SQL = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS deviled,
+       repeat('*', CAST(c_nationkey % 4 AS INTEGER)) AS stars,
+       ltrim(rtrim('  ' || c_mktsegment || '  ')) AS trimmed
+FROM customer
+"""
+
+
 def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.select(
@@ -282,6 +306,7 @@ QUERIES = {
     "fn_explode": fn_explode,
     "fn_map": fn_map,
     "fn_json": fn_json,
+    "fn_string_rewrite": fn_string_rewrite,
     "fn_bitwise": fn_bitwise,
     "fn_conditional": fn_conditional,
     "agg_approx_percentile": agg_approx_percentile,
@@ -298,6 +323,7 @@ ORACLES = {
     "fn_array": _FN_ARRAY_SQL,
     "fn_explode": _FN_EXPLODE_SQL,
     "fn_json": _FN_JSON_SQL,
+    "fn_string_rewrite": _FN_STRING_REWRITE_SQL,
     "fn_bitwise": _FN_BITWISE_SQL,
     "fn_conditional": _FN_CONDITIONAL_SQL,
     # agg_approx_percentile: rows-only (sketch)

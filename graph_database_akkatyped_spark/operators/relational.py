@@ -702,6 +702,25 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQUERY_SCALAR_SQL)
 
 
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two TINY dims (region x segment grid) —
+    the only place a cross join belongs at scale; Spark plans it as a
+    broadcast nested loop."""
+    region = load_table(spark, sf_dir, "region")
+    segs = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+    )
+    return region.crossJoin(segs).select("r_name", "c_mktsegment")
+
+
+_JOIN_CROSS_SQL = """
+SELECT r_name, c_mktsegment
+FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+"""
+
+
 def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modal value per group (most frequent o_orderpriority per
     segment), ties to the lexicographically smallest value."""
@@ -1017,6 +1036,7 @@ QUERIES = {
     "table_profile": table_profile,
     "agg_mode": agg_mode,
     "agg_listagg": agg_listagg,
+    "join_cross_small": join_cross_small,
     "agg_hash": agg_hash,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -1080,6 +1100,7 @@ ORACLES = {
     "table_profile": _TABLE_PROFILE_SQL,
     "agg_mode": _AGG_MODE_SQL,
     "agg_listagg": _AGG_LISTAGG_SQL,
+    "join_cross_small": _JOIN_CROSS_SQL,
     "agg_hash": _AGG_HASH_SQL,
     "agg_distinct": (
         "SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust, "
