@@ -111,6 +111,62 @@ GROUP BY e.event_type, m.m
 """
 
 
+def udaf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: the as-of join done as per-user
+    ``pandas.merge_asof`` over two cogrouped tables — same semantics
+    (and same oracle) as the pure-Spark window formulation in
+    ``relational.join_asof_nearest``, demonstrating the per-key
+    two-sided pandas extension point."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "signup_ts"]
+            )
+        left = left.sort_values("ts")
+        right = right.sort_values("s_ts")
+        out = pd.merge_asof(
+            left, right[["s_ts"]], left_on="ts", right_on="s_ts",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "ts": out["ts"],
+                "signup_ts": out["s_ts"],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(
+            lambda left, right: merge(left, right),
+            schema="event_id long, user_id long, ts timestamp, signup_ts timestamp",
+        )
+    )
+
+
+# same oracle as join_asof_nearest — two implementations, one truth
+_UDAF_COGROUP_SQL = """
+SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+       CAST((SELECT max(s.ts) FROM events s
+             WHERE s.event_type = 'signup'
+               AND s.user_id = c.user_id
+               AND s.ts <= c.ts) AS TIMESTAMP) AS signup_ts
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
 @udtf(returnType="k string, v string")
 class PropsExploder:
     """Python UDTF: one output row per JSON property (Spark 4)."""
@@ -145,6 +201,7 @@ QUERIES = {
     "udf_python": udf_python,
     "udf_pandas": udf_pandas,
     "udaf_applyinpandas": udaf_applyinpandas,
+    "udaf_cogrouped_asof": udaf_cogrouped_asof,
     "udtf_python": udtf_python,
 }
 
@@ -152,5 +209,6 @@ ORACLES = {
     "udf_python": _UDF_PYTHON_SQL,
     "udf_pandas": _UDF_PANDAS_SQL,
     "udaf_applyinpandas": _UDAF_SQL,
+    "udaf_cogrouped_asof": _UDAF_COGROUP_SQL,
     "udtf_python": _UDTF_SQL,
 }
