@@ -111,6 +111,30 @@ GROUP BY e.event_type, m.m
 """
 
 
+def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: RecordBatch-level transform with zero pandas
+    conversion — the lowest-overhead Python batch path (what the
+    multimodal decoders would use for raw buffers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batch_len(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pc.utf8_length(b.column("text"))],
+                ["doc_id", "n_chars_arrow"],
+            )
+
+    return docs.mapInArrow(batch_len, "doc_id long, n_chars_arrow int")
+
+
+_UDF_MAPINARROW_SQL = """
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_arrow FROM documents
+"""
+
+
 def udaf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas: the as-of join done as per-user
     ``pandas.merge_asof`` over two cogrouped tables — same semantics
@@ -202,6 +226,7 @@ QUERIES = {
     "udf_pandas": udf_pandas,
     "udaf_applyinpandas": udaf_applyinpandas,
     "udaf_cogrouped_asof": udaf_cogrouped_asof,
+    "udf_mapinarrow": udf_mapinarrow,
     "udtf_python": udtf_python,
 }
 
@@ -210,5 +235,6 @@ ORACLES = {
     "udf_pandas": _UDF_PANDAS_SQL,
     "udaf_applyinpandas": _UDAF_SQL,
     "udaf_cogrouped_asof": _UDAF_COGROUP_SQL,
+    "udf_mapinarrow": _UDF_MAPINARROW_SQL,
     "udtf_python": _UDTF_SQL,
 }

@@ -29,6 +29,57 @@ def test_stream_equals_batch(spark, which, batch_fn):
     assert canonical_rows(stream) == canonical_rows(batch)
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Multi-batch watermark semantics: rows arriving after the
+    watermark passed their window's end are DROPPED, and windows emit in
+    append mode only once finalized."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    def ev(eid, hh, mm):
+        return (eid, dt.datetime(2024, 1, 5, hh, mm), 1)
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp, v int"
+    import time
+
+    # the late-drop filter uses the watermark as of the PREVIOUS batch,
+    # so the late rows arrive two batches after the fresh ones
+    batches = [
+        [ev(i, 12, 5 * i) for i in range(5)],  # watermark -> 12:10
+        [ev(200, 14, 30)],  # advances watermark past the 12:00 window
+        [ev(100, 9, 10), ev(101, 9, 20), ev(102, 9, 30)],  # LATE
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        time.sleep(1.1)  # file source orders batches by mod time
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "wm_drop_test"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["ws"].hour: r["n"] for r in spark.table(name).collect()}
+    assert out.get(12) == 5, out  # finalized with on-time rows only
+    assert 9 not in out, out  # late rows dropped, window never emitted
+
+
 def test_foreachbatch_custom_sink(spark, tmp_path):
     """foreachBatch: arbitrary per-micro-batch sink logic (the pattern
     for upserting into external stores); totals must cover every event."""
