@@ -900,6 +900,42 @@ FROM documents
 """
 
 
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 32
+
+
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token chunks, stride 32 — the
+    standard pretraining/RAG preprocessing step. All JVM expressions
+    (sequence -> explode -> slice), one row per chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(_CHUNK_STRIDE))
+    chunks = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    piece = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK_LEN)
+    return chunks.select(
+        "doc_id",
+        "start",
+        F.concat_ws(" ", piece).alias("chunk"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
+_TEXT_CHUNK_SQL = f"""
+SELECT doc_id, CAST(start AS INTEGER) AS start,
+       array_to_string(list_slice(toks, start + 1, start + {_CHUNK_LEN}), ' ')
+         AS chunk,
+       CAST(len(list_slice(toks, start + 1, start + {_CHUNK_LEN})) AS INTEGER)
+         AS n_chunk_tokens
+FROM (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
 def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by content-independent hash
     buckets (md5 of doc_id -> 10 buckets -> 8/1/1).
@@ -1023,6 +1059,7 @@ QUERIES = {
     "text_langid_ngram": text_langid_ngram,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_chunk_sliding": text_chunk_sliding,
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich,
     "multimodal_decode_stub": multimodal_decode_stub,
@@ -1047,6 +1084,7 @@ ORACLES = {
     "text_langid_ngram": _TEXT_LANGID_SQL,
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "text_chunk_sliding": _TEXT_CHUNK_SQL,
     "split_train_test": _SPLIT_SQL,
     "multimodal_decode_stub": _MULTIMODAL_DECODE_SQL,
 }
