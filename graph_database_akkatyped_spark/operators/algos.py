@@ -557,6 +557,68 @@ FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
 )
 
 
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the strong graph:
+    2·triangles(v) / (deg(v)·(deg(v)−1)) — integer counts, so the only
+    float is one deterministic division."""
+    ce = _canonical_edges(spark, sf_dir)
+    e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ce.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ce.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
+    )
+    tri_cnt = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
+    sym = ce.unionByName(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        deg.join(tri_cnt, "id", "left")
+        .select(
+            F.col("id").alias("user_id"),
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("n_tri", F.lit(0)).cast("double")
+                / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+            )
+            .otherwise(0.0)
+            .alias("coef"),
+        )
+    )
+
+
+_CLUSTERING_SQL = (
+    _TRI_BASE
+    + """
+, tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+tri_cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id),
+ssym AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+deg AS (SELECT a AS id, count(*) AS degree FROM ssym GROUP BY a)
+SELECT deg.id AS user_id, degree, COALESCE(n_tri, 0) AS n_tri,
+       CASE WHEN degree >= 2
+            THEN 2.0 * CAST(COALESCE(n_tri, 0) AS DOUBLE)
+                 / (CAST(degree AS DOUBLE) * (degree - 1))
+            ELSE 0.0 END AS coef
+FROM deg LEFT JOIN tri_cnt ON tri_cnt.id = deg.id
+"""
+)
+
+
 def mutual_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor count per (x<y) pair on the strong graph
     (reference: mutual friends over meaningful relationships)."""
@@ -598,6 +660,7 @@ QUERIES = {
     "triangle_count": triangle_count,
     "motif_triangle_sql": motif_triangle_sql,
     "mutual_neighbors": mutual_neighbors,
+    "clustering_coefficient": clustering_coefficient,
 }
 
 ORACLES = {
@@ -613,4 +676,5 @@ ORACLES = {
     "triangle_count": _TRIANGLE_COUNT_SQL,
     "motif_triangle_sql": _MOTIF_SQL,
     "mutual_neighbors": _MUTUAL_SQL,
+    "clustering_coefficient": _CLUSTERING_SQL,
 }
