@@ -900,6 +900,48 @@ FROM documents
 """
 
 
+_PACK_BUDGET = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to fixed token-budget packs (offset binning over the
+    doc_id-ordered running token total) — the batch-construction step
+    before training. Window cumulative sums are integer-exact, so pack
+    assignment is deterministic at any parallelism; per-pack totals may
+    exceed the budget by at most one doc (standard binned packing).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    sized = docs.select("doc_id", n_tok.alias("n_tok"))
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_SQL = f"""
+SELECT pack_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM (
+  SELECT doc_id, n_tok,
+         CAST(floor((SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents)
+)
+GROUP BY pack_id
+"""
+
+
 _CHUNK_LEN = 64
 _CHUNK_STRIDE = 32
 
@@ -1060,6 +1102,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_chunk_sliding": text_chunk_sliding,
+    "pack_sequences": pack_sequences,
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich,
     "multimodal_decode_stub": multimodal_decode_stub,
@@ -1085,6 +1128,7 @@ ORACLES = {
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
     "text_chunk_sliding": _TEXT_CHUNK_SQL,
+    "pack_sequences": _PACK_SQL,
     "split_train_test": _SPLIT_SQL,
     "multimodal_decode_stub": _MULTIMODAL_DECODE_SQL,
 }
