@@ -65,9 +65,30 @@ class GraphDB:
         )
 
     def remove_vertex(self, vid: str) -> None:
-        self._append(
-            [(vid, None, None, "delete", time.time_ns())], _V_SCHEMA, self._vdir
+        """Tombstone a vertex AND its incident edges.
+
+        Adjacency dies with the vertex (it is vertex-actor state in the
+        reference), and that must hold in the *journal*, not just the
+        read path: if only the read path filtered by live endpoints, a
+        later re-add of the same id would silently resurrect old edges —
+        unless compact() had run in between, which would drop them
+        permanently. Appending explicit edge deletes makes replay
+        compaction-invariant. The incident-edge fetch is a point lookup
+        on one vertex id (OLTP-sized), not a scan."""
+        incident = (
+            self.edges()
+            .where((F.col("src") == vid) | (F.col("dst") == vid))
+            .select("src", "dst", "rel")
+            .collect()
         )
+        batch = time.time_ns()
+        if incident:
+            self._append(
+                [(r.src, r.dst, r.rel, None, "delete", batch) for r in incident],
+                _E_SCHEMA,
+                self._edir,
+            )
+        self._append([(vid, None, None, "delete", batch)], _V_SCHEMA, self._vdir)
 
     def add_edges(self, rows: Iterable[tuple]) -> None:
         """rows: (src, dst, rel, weight). Reference: AddEdge command."""

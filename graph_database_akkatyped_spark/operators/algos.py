@@ -153,6 +153,10 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=10,
         frontier_only=True,
     )
+    # the oracle's recursion cap is tuned to a CONVERGED result; fail
+    # loudly rather than silently comparing a truncated fixpoint
+    if not res.converged:
+        raise RuntimeError("sssp_weighted did not converge within max_iter")
     return (
         res.vertices.where(F.col("state").isNotNull())
         .select(F.col("id").alias("n_nationkey"), F.col("state").alias("dist"))
@@ -210,6 +214,8 @@ def sssp_user_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=30,
         frontier_only=True,
     )
+    if not res.converged:  # see sssp_weighted: oracle cap assumes fixpoint
+        raise RuntimeError("sssp_user_weighted did not converge within max_iter")
     return res.vertices.where(F.col("state").isNotNull()).select(
         F.col("id").alias("user_id"), F.col("state").alias("dist")
     )
@@ -395,7 +401,12 @@ def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame
     extra rounds are no-ops, which is what lets the unrolled SQL oracle
     use a fixed round count.
     """
-    alive = edges_sym.select(F.col("a").alias("id")).distinct()
+    alive = (
+        edges_sym.select(F.col("a").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
     for _ in range(max_rounds):
         live_edges = edges_sym.join(
             alive.withColumnRenamed("id", "a"), "a", "left_semi"
@@ -404,10 +415,13 @@ def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame
             F.count(F.lit(1)).alias("degree")
         )
         keep = deg.where(F.col("degree") >= k).localCheckpoint(eager=True)
-        n_alive = alive.count()
-        if keep.count() == n_alive:
+        # ONE driver action per peel round: the survivor count doubles as
+        # the convergence check against the previous round's count (the
+        # count itself is near-free — keep is already materialized)
+        n_keep = keep.count()
+        if n_keep == n_alive:
             return keep
-        alive = keep.select("id")
+        alive, n_alive = keep.select("id"), n_keep
     return keep
 
 
@@ -620,29 +634,54 @@ FROM deg LEFT JOIN tri_cnt ON tri_cnt.id = deg.id
 
 
 def mutual_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-neighbor count per (x<y) pair on the strong graph
-    (reference: mutual friends over meaningful relationships)."""
+    """Common-neighbor count per strong EDGE (x<y), zero included
+    (reference: mutual friends of connected pairs).
+
+    Edge-scoped by design: the all-pairs variant enumerates every wedge
+    (~50M rows at sf0.1, near-quadratic output that only grows at 100 TB).
+    Restricting to pairs that are themselves edges makes the answer the
+    per-edge triangle support, computable from the canonical a<b<c
+    triangle join — intermediates bounded by the actual triangle count,
+    the same plan family as ``triangle_count``.
+    """
     ce = _canonical_edges(spark, sf_dir)
-    sym = ce.unionByName(
-        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ce.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ce.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    # each triangle (x<y<z) hands one common neighbor to each of its
+    # three edges; all three emitted pairs are already canonical (p<q)
+    pairs = (
+        tri.select(F.col("x").alias("p"), F.col("y").alias("q"))
+        .unionAll(tri.select(F.col("x").alias("p"), F.col("z").alias("q")))
+        .unionAll(tri.select(F.col("y").alias("p"), F.col("z").alias("q")))
     )
-    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("n"))
-    s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("n"))
-    return (
-        s1.join(s2, "n")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    cnt = pairs.groupBy("p", "q").agg(F.count(F.lit(1)).alias("n_common"))
+    return ce.join(
+        cnt, (ce["a"] == cnt["p"]) & (ce["b"] == cnt["q"]), "left"
+    ).select(
+        F.col("a").alias("x"),
+        F.col("b").alias("y"),
+        F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
     )
 
 
 _MUTUAL_SQL = (
-    _TRI_BASE
+    _TRI_BASE.replace("WITH ce AS", "WITH ce AS MATERIALIZED")
     + """
-, ssym AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce)
-SELECT e1.a AS x, e2.a AS y, count(*) AS n_common
-FROM ssym e1 JOIN ssym e2 ON e1.b = e2.b AND e1.a < e2.a
-GROUP BY e1.a, e2.a
+, tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pc AS (
+  SELECT p, q, count(*) AS n_common FROM (
+    SELECT x AS p, y AS q FROM tri
+    UNION ALL SELECT x AS p, z AS q FROM tri
+    UNION ALL SELECT y AS p, z AS q FROM tri
+  ) GROUP BY p, q
+)
+SELECT ce.a AS x, ce.b AS y, CAST(COALESCE(pc.n_common, 0) AS BIGINT) AS n_common
+FROM ce LEFT JOIN pc ON pc.p = ce.a AND pc.q = ce.b
 """
 )
 

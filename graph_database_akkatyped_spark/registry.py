@@ -35,5 +35,8 @@ def collect() -> tuple[dict, dict]:
             if key in queries:
                 raise ValueError(f"duplicate query_key {key!r} in {name}")
             queries[key] = fn
-        oracles.update(getattr(mod, "ORACLES", {}))
+        for key, sql in getattr(mod, "ORACLES", {}).items():
+            if key in oracles:
+                raise ValueError(f"duplicate oracle key {key!r} in {name}")
+            oracles[key] = sql
     return queries, oracles

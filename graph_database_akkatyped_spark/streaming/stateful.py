@@ -56,13 +56,16 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     # one input file -> one micro-batch -> one emission per user; dedupe
-    # defensively by keeping the max counter should the source split
+    # defensively by keeping the LATEST emission should the source split:
+    # n_events is strictly monotone per user, so pair total_value with the
+    # highest counter (independent maxes would mix emissions when values
+    # can be negative)
     return (
         spark.table(name)
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
+            F.expr("max_by(total_value, n_events)").alias("total_value"),
         )
     )
 

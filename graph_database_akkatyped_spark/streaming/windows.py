@@ -22,7 +22,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.catalog import _ensure_session_confs, load_table
 from graph_database_akkatyped_spark.numerics import dec2double
 
 
@@ -40,6 +40,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     single file, so expose it through a cached temp dir symlink. The ns
     timestamp is converted exactly like the batch reader.
     """
+    # must be set BEFORE any read of events.parquet: a vanilla session
+    # (the driver's) rejects TIMESTAMP(NANOS) parquet outright
+    _ensure_session_confs(spark)
     if sf_dir not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="spark_graft_stream_")
         os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")

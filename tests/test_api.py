@@ -57,6 +57,19 @@ def test_mutations_after_compact(db):
     assert [r["id"] for r in db.vertices().collect()] == ["b"]
 
 
+def test_readd_does_not_resurrect_edges(db):
+    # remove_vertex tombstones incident edges in the JOURNAL, so replay
+    # is compaction-invariant: re-adding the same id must not revive old
+    # adjacency whether or not compact() ran in between
+    db.add_vertices([("a", "k", "x"), ("b", "k", "y")])
+    db.add_edges([("a", "b", "r", 1.0), ("b", "a", "r", 2.0)])
+    db.remove_vertex("b")
+    db.add_vertices([("b", "k", "y2")])  # re-add WITHOUT compaction
+    assert db.edges().count() == 0
+    db.compact()
+    assert db.edges().count() == 0  # same state post-compaction
+
+
 def test_analytics_on_mutated_graph(db):
     # two triangles bridged after a later mutation
     for v in "abcdef":
