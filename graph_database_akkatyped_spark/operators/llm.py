@@ -165,26 +165,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard ≥ 0.1 pairs: distinct shingles explode,
-    equi-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). Exact twin of the
-    MinHash estimate — fully oracle-checkable."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+_NGRAM_HASHES = 8  # deterministic minhash functions (1 band each, r=1)
+_JACCARD_MIN = 0.1
+
+
+def _gram_frame(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, g) word-3-gram shingles. The slice length is
+    clamped to ≥ 0: a doc with < 3 tokens has no 3-grams — an unclamped
+    ``size - 2`` goes negative and Spark raises INVALID_PARAMETER_VALUE
+    on exactly the short/empty docs a real dedup corpus contains (the
+    DuckDB twin's list_slice clamps, so the engines would diverge)."""
+    return docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(slice({_TOKS}, 1, size({_TOKS}) - 2), "
+                f"transform(slice({_TOKS}, 1, greatest(size({_TOKS}) - 2, 0)), "
                 f"(x, i) -> concat(x, ' ', {_TOKS}[i + 1], ' ', {_TOKS}[i + 2]))"
             )
         ).alias("g"),
     ).distinct()
+
+
+def _minhash(k: int) -> Column:
+    """60-bit salted md5 hash of a shingle — the same bytes both engines
+    can compute, so the minhash signature (and therefore the candidate
+    set) is bit-identical to the SQL oracle."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("g"), F.lit(f"|{k}"))), 1, 15), 16, 10
+        ).cast("long")
+    )
+
+
+def _minhash_sql(k: int) -> str:
+    return f"CAST('0x' || substr(md5(g || '|{k}'), 1, 15) AS BIGINT)"
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard ≥ 0.1 near-dup pairs, MinHash-banded.
+
+    The scale shape (and the fix for the quadratic exact shingle join
+    flagged in round 1): candidates are pairs agreeing on ANY of 8
+    deterministic minhashes — linear explode + equi-join on (k, minhash)
+    buckets — then ONLY candidates get the exact |A∩B| verify. The
+    minhashes are salted md5s computable identically in SQL, so the
+    banded candidate set (hence the full result) hash-matches the oracle
+    exactly. Recall vs the abstract all-pairs join is 1-(1-J)^8 — ≈1.0
+    for true near-dups (J ≥ 0.5), a documented subset at the J≈0.1
+    fringe. The exact all-pairs form lives only in the unit-test
+    fixture (tests/test_dedup_synthetic.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_frame(docs).localCheckpoint(eager=True)  # used 3x below
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    g1 = grams.select(F.col("doc_id").alias("a"), "g")
-    g2 = grams.select(F.col("doc_id").alias("b"), "g")
-    common = (
-        g1.join(g2, "g")
+    sigs = grams.groupBy("doc_id").agg(
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
+    )
+    lsig = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{k}") for k in range(_NGRAM_HASHES)])
+        ).alias("k", "mh"),
+    )
+    s1 = lsig.select(F.col("doc_id").alias("a"), "k", "mh")
+    s2 = lsig.select(F.col("doc_id").alias("b"), "k", "mh")
+    cand = (
+        s1.join(s2, ["k", "mh"])
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("a"), "g")
+    gb = grams.select(F.col("doc_id").alias("b"), "g")
+    common = (
+        cand.join(ga, "a")
+        .join(gb, ["b", "g"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -198,26 +252,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
-        .where(F.col("jaccard") >= 0.1)
+        .where(F.col("jaccard") >= _JACCARD_MIN)
         .select("a", "b", "n_common", "jaccard")
     )
 
 
-_DEDUP_NGRAM_SQL = """
-WITH grams AS (
+_DEDUP_NGRAM_SQL = f"""
+WITH grams AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          unnest(list_filter(
            list_transform(
-             list_slice(toks, 1, len(toks) - 2),
+             list_slice(toks, 1, greatest(len(toks) - 2, 0)),
              (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
            g -> g IS NOT NULL)) AS g
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         {', '.join(f'min({_minhash_sql(k)}) AS m{k}' for k in range(_NGRAM_HASHES))}
+  FROM grams GROUP BY doc_id
+),
+lsig AS MATERIALIZED (
+  {' UNION ALL '.join(f'SELECT doc_id, {k} AS k, m{k} AS mh FROM sigs' for k in range(_NGRAM_HASHES))}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l1.doc_id AS a, l2.doc_id AS b
+  FROM lsig l1
+  JOIN lsig l2 ON l1.k = l2.k AND l1.mh = l2.mh AND l1.doc_id < l2.doc_id
+),
 common AS (
-  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_common
-  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
-  GROUP BY 1, 2
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
 )
 SELECT a, b, n_common,
        CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE)
@@ -225,7 +294,8 @@ SELECT a, b, n_common,
 FROM common
 JOIN sizes na ON na.doc_id = a
 JOIN sizes nb ON nb.doc_id = b
-WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE) >= 0.1
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE)
+      >= {_JACCARD_MIN}
 """
 
 
@@ -235,8 +305,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pairwise detection alone under-deduplicates (A~B, B~C but A≁C must
     still collapse to one keeper); components over the pair graph give
-    transitive closure. Reuses the Pregel CC kernel over the exact
-    n-gram Jaccard pairs. ``is_keeper`` marks the document to retain.
+    transitive closure. Consumes the MinHash-BANDED verified pair set
+    (``dedup_ngram_jaccard`` — linear candidate generation, not the
+    quadratic all-pairs join), then the Pregel CC kernel.
+    ``is_keeper`` marks the document to retain.
     """
     from graph_database_akkatyped_spark.operators.algos import cc_frame
 
@@ -273,22 +345,69 @@ FROM reach GROUP BY s
 """
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.95), exact all-pairs.
+_EMB_BANDS = 8
+_EMB_BAND_BITS = 8
+_EMB_COS_MIN = 0.95
 
-    Correctness baseline for the LSH path (`simsearch_lsh`); quadratic
-    by construction — at 100 TB you run the LSH variant and exact-verify
-    only within buckets.
-    """
+
+def _sign_band_key(band: int) -> Column:
+    """Band key = the 8 sign bits of dims [band*8, band*8+8). Sign
+    random projection (SimHash for cosine): vectors with cosine ≥ 0.95
+    agree on almost every sign, so they collide in ≥ 1 of the 8 bands
+    w.p. ≈ 0.99, while unrelated vectors land in 256-way buckets. Sign
+    compares are exact in both engines — no float-arithmetic drift."""
+    bits: Column = F.lit(0)
+    for j in range(_EMB_BAND_BITS):
+        bits = bits + F.when(
+            F.col("embedding").getItem(band * _EMB_BAND_BITS + j) > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+    return bits
+
+
+def _sign_band_key_sql(band: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN embedding[{band * _EMB_BAND_BITS + j + 1}] > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(_EMB_BAND_BITS)
+    )
+    return f"({terms})"
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.95), sign-LSH banded.
+
+    Round-1's exact all-pairs crossJoin was quadratic by construction
+    (100× data = 10,000× pairs). Now: 8 sign-bit bands (8 dims each)
+    generate candidates via an equi-join on (band, key) — linear scan +
+    bucketed join — and only candidates get the exact cosine verify.
+    The banding is a pure function of the input floats, identical in
+    SQL, so the result still hash-matches the oracle. The exact
+    all-pairs form survives only as the small-n unit-test baseline
+    (tests/test_dedup_synthetic.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_sign_band_key(b) for b in range(_EMB_BANDS)])
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.select(F.col("vec_id").alias("a"), "band", "key")
+        .join(banded.select(F.col("vec_id").alias("b"), "band", "key"),
+              ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     norm = _dot(F.col("embedding"), F.col("embedding"))
     e = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    a = e.select(
+    ea = e.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = e.select(
+    eb = e.select(
         F.col("vec_id").alias("b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
@@ -297,26 +416,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt("nrm_a") * F.sqrt("nrm_b")
     )
     return (
-        a.crossJoin(b)
-        .where(F.col("a") < F.col("b"))
+        cand.join(ea, "a")
+        .join(eb, "b")
         .withColumn("cos", cos)
-        .where(F.col("cos") >= 0.95)
+        .where(F.col("cos") >= _EMB_COS_MIN)
         .select("a", "b", "cos")
     )
 
 
 _DEDUP_EMB_SQL = f"""
-WITH e AS (
+WITH banded AS MATERIALIZED (
+  {' UNION ALL '.join(
+      f'SELECT vec_id, {b} AS band, {_sign_band_key_sql(b)} AS key '
+      f'FROM embeddings'
+      for b in range(_EMB_BANDS))}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT b1.vec_id AS a, b2.vec_id AS b
+  FROM banded b1
+  JOIN banded b2 ON b1.band = b2.band AND b1.key = b2.key
+                AND b1.vec_id < b2.vec_id
+),
+e AS MATERIALIZED (
   SELECT vec_id, embedding,
          {_sql_dot('embedding', 'embedding')} AS nrm
   FROM embeddings
 )
-SELECT e1.vec_id AS a, e2.vec_id AS b,
+SELECT c.a, c.b,
        {_sql_dot('e1.embedding', 'e2.embedding')}
          / (sqrt(e1.nrm) * sqrt(e2.nrm)) AS cos
-FROM e e1 JOIN e e2 ON e1.vec_id < e2.vec_id
+FROM cand c JOIN e e1 ON e1.vec_id = c.a JOIN e e2 ON e2.vec_id = c.b
 WHERE {_sql_dot('e1.embedding', 'e2.embedding')}
-        / (sqrt(e1.nrm) * sqrt(e2.nrm)) >= 0.95
+        / (sqrt(e1.nrm) * sqrt(e2.nrm)) >= {_EMB_COS_MIN}
 """
 
 
@@ -903,20 +1034,61 @@ FROM documents
 _PACK_BUDGET = 512
 
 
+_PACK_SHARDS = 32
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign docs to fixed token-budget packs (offset binning over the
     doc_id-ordered running token total) — the batch-construction step
-    before training. Window cumulative sums are integer-exact, so pack
-    assignment is deterministic at any parallelism; per-pack totals may
-    exceed the budget by at most one doc (standard binned packing).
+    before training. Integer-exact, so pack assignment is deterministic
+    at any parallelism; per-pack totals may exceed the budget by at most
+    one doc (standard binned packing).
+
+    The global running sum is a two-pass DISTRIBUTED prefix sum — a
+    single un-partitioned window would serialize the whole corpus
+    through one task at 100 TB:
+
+    1. range-partition by doc_id, take per-partition token subtotals
+       (tiny: one row per shard, collected driver-side),
+    2. cumulative offsets per shard go back as a broadcast map literal;
+       each shard computes its local running sum + offset in parallel.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " "))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    sized = docs.select("doc_id", n_tok.alias("n_tok"))
+    sized = (
+        docs.select("doc_id", n_tok.cast("long").alias("n_tok"))
+        # range partitioning => shard i holds strictly smaller doc_ids
+        # than shard i+1, so per-shard offsets compose a global order
+        .repartitionByRange(_PACK_SHARDS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # freeze the shard assignment so pass 1 and pass 2 see the
+        # exact same partitioning (range boundaries are sampled)
+        .localCheckpoint(eager=True)
+    )
+    subtot = {
+        r["pid"]: r["tot"]
+        for r in sized.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    running, offsets = 0, {}
+    for pid in sorted(subtot):
+        offsets[pid] = running
+        running += subtot[pid]
+    off = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("pid"),
+        )
+        if offsets
+        else F.lit(0).cast("long")
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     packed = sized.withColumn(
         "pack_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET),
+        F.floor((off + F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET),
     )
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

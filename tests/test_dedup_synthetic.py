@@ -1,0 +1,140 @@
+"""Dedup operators on SYNTHETIC near-duplicate data.
+
+The sf fixtures contain no true near-dups (random text / random
+embeddings), so these tests build tiny corpora that do: they pin (a)
+the ADVICE short-doc crash regression, (b) recall — the banded paths
+actually FIND near-dups, (c) Spark↔DuckDB hash parity on data where the
+result is non-empty, and (d) the exact all-pairs baseline the banded
+embedding path replaced (kept here, small-n only, per round-1 verdict).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from graph_database_akkatyped_spark.operators import llm
+from tests.oracle_utils import compare
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles watch from a mossy stone near the river bend"
+)
+_NEAR1 = _BASE.replace("mossy", "shiny")
+_NEAR2 = _BASE.replace("river", "creek")
+_OTHER = (
+    "completely different subject matter about spacecraft telemetry "
+    "budgets and the committee reviewing propulsion schedules today"
+)
+
+_DOCS = [
+    (0, _BASE),
+    (1, _NEAR1),
+    (2, _NEAR2),
+    (3, _OTHER),
+    (4, ""),  # ADVICE regression: 0 tokens -> negative un-clamped slice len
+    (5, "single"),  # 1 token
+    (6, "two tokens"),  # 2 tokens: still no 3-gram
+]
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dedup_docs")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in _DOCS], pa.int64()),
+            "text": pa.array([t for _, t in _DOCS], pa.string()),
+            "lang": pa.array(["en"] * len(_DOCS), pa.string()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def _duck_for(path: str, table: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}/{table}.parquet')"
+    )
+    return con
+
+
+def test_ngram_short_docs_do_not_crash_and_match_oracle(spark, docs_dir):
+    df = llm.dedup_ngram_jaccard(spark, docs_dir)  # would raise pre-clamp
+    spark_pd = df.toPandas()
+    con = _duck_for(docs_dir, "documents")
+    oracle_pd = con.execute(llm._DEDUP_NGRAM_SQL).fetchdf()
+    assert not compare(spark_pd, oracle_pd)
+    # recall: the three near-dup docs must pair up through the banding
+    found = {tuple(sorted((a, b))) for a, b in zip(spark_pd.a, spark_pd.b)}
+    assert {(0, 1), (0, 2), (1, 2)} <= found
+    # short docs produce no shingles, hence no pairs
+    assert not any(a >= 4 or b >= 4 for a, b in found)
+
+
+def test_clusters_collapse_transitively(spark, docs_dir):
+    out = llm.dedup_clusters(spark, docs_dir).toPandas()
+    by_doc = dict(zip(out.doc_id, out.cluster))
+    assert by_doc[0] == by_doc[1] == by_doc[2] == 0  # one cluster, keeper=min id
+    keepers = set(out[out.is_keeper].doc_id)
+    assert 0 in keepers and 1 not in keepers and 2 not in keepers
+    con = _duck_for(docs_dir, "documents")
+    oracle_pd = con.execute(llm._DEDUP_CLUSTERS_SQL).fetchdf()
+    assert not compare(llm.dedup_clusters(spark, docs_dir).toPandas(), oracle_pd)
+
+
+_DIM = 64
+
+
+def _vecs() -> list[list[float]]:
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=_DIM).astype(np.float32)
+    near = base + rng.normal(scale=0.02, size=_DIM).astype(np.float32)  # cos≈1
+    far = rng.normal(size=_DIM).astype(np.float32)  # cos≈0
+    flipped = (-base).astype(np.float32)  # cos=-1
+    near2 = base * np.float32(1.015)  # same direction, cos=1
+    return [v.tolist() for v in (base, near, far, flipped, near2)]
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dedup_emb")
+    vs = _vecs()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vs)), pa.int64()),
+            "embedding": pa.array(vs, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_embedding_banded_matches_exact_allpairs(spark, emb_dir):
+    """Banded result == exact all-pairs baseline on vectors built to be
+    near-dups (the small-n home of the old crossJoin formulation)."""
+    vs = [np.array(v, dtype=np.float64) for v in _vecs()]
+    exact = set()
+    for i in range(len(vs)):
+        for j in range(i + 1, len(vs)):
+            cos = float(
+                vs[i] @ vs[j] / (np.linalg.norm(vs[i]) * np.linalg.norm(vs[j]))
+            )
+            if cos >= 0.95:
+                exact.add((i, j))
+    assert exact == {(0, 1), (0, 4), (1, 4)}  # the test is non-vacuous
+    out = llm.dedup_embedding_cosine(spark, emb_dir).toPandas()
+    assert {tuple(r) for r in zip(out.a, out.b)} == exact
+    assert (out.cos >= 0.95).all()
+
+
+def test_embedding_banded_parity_nonempty(spark, emb_dir):
+    spark_pd = llm.dedup_embedding_cosine(spark, emb_dir).toPandas()
+    assert len(spark_pd) == 3
+    con = _duck_for(emb_dir, "embeddings")
+    oracle_pd = con.execute(llm._DEDUP_EMB_SQL).fetchdf()
+    assert not compare(spark_pd, oracle_pd)

@@ -50,6 +50,30 @@ def test_semi_join_planned(spark):
     assert uses(df, "LeftSemi")
 
 
+def test_dedup_embedding_no_cross_join(spark):
+    """Candidate generation must be the banded equi-join — a cartesian
+    product here is the quadratic scale-killer round 1 flagged."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.dedup_embedding_cosine(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """The prefix sum must stay distributed: a single-partition Exchange
+    before the window means the whole corpus funnels through one task."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    df = llm.pack_sequences(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
     """Writing partitionBy(key) means a key predicate prunes whole
     directories at read time — PartitionFilters, not a data filter."""
