@@ -140,12 +140,20 @@ def udaf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pandas.merge_asof`` over two cogrouped tables — same semantics
     (and same oracle) as the pure-Spark window formulation in
     ``relational.join_asof_nearest``, demonstrating the per-key
-    two-sided pandas extension point."""
+    two-sided pandas extension point.
+
+    Scoped to a deterministic quarter of the users (`user_id % 4 == 0`):
+    the pandas cogroup pays per-group Python/Arrow overhead by design
+    (that's the demonstrated cost model), and the full-corpus as-of join
+    already runs pure-Spark as ``join_asof_nearest`` — re-running the
+    slow path over every user spent 11% of the round-1 bench budget on
+    a duplicate answer."""
     e = load_table(spark, sf_dir, "events")
-    clicks = e.where(F.col("event_type") == "click").select(
+    cohort = (F.col("user_id") % 4) == 0
+    clicks = e.where((F.col("event_type") == "click") & cohort).select(
         "user_id", "event_id", "ts"
     )
-    signups = e.where(F.col("event_type") == "signup").select(
+    signups = e.where((F.col("event_type") == "signup") & cohort).select(
         "user_id", F.col("ts").alias("s_ts")
     )
 
@@ -179,7 +187,7 @@ def udaf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# same oracle as join_asof_nearest — two implementations, one truth
+# same shape as the join_asof_nearest oracle, cohort-scoped to match
 _UDAF_COGROUP_SQL = """
 SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
        CAST((SELECT max(s.ts) FROM events s
@@ -187,7 +195,7 @@ SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
                AND s.user_id = c.user_id
                AND s.ts <= c.ts) AS TIMESTAMP) AS signup_ts
 FROM events c
-WHERE c.event_type = 'click'
+WHERE c.event_type = 'click' AND c.user_id % 4 = 0
 """
 
 

@@ -451,6 +451,112 @@ WHERE {_sql_dot('e1.embedding', 'e2.embedding')}
 """
 
 
+def text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized MinHash signature table (doc_id, n_grams,
+    m0..m7) — what a 100 TB dedup pipeline persists so that incremental
+    ingest only hashes NEW documents and joins signatures against the
+    stored sketch, never re-shingling the corpus. Deterministic salted
+    md5 minhashes (same functions as ``dedup_ngram_jaccard``), so the
+    table is engine-portable and fully oracle-checked. Docs with < 3
+    tokens have no shingles and no signature row."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_frame(docs)
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)],
+    )
+
+
+_TEXT_MINHASH_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           list_transform(
+             list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+             (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+           g -> g IS NOT NULL)) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT doc_id, count(*) AS n_grams,
+       {', '.join(f'min({_minhash_sql(k)}) AS m{k}' for k in range(_NGRAM_HASHES))}
+FROM grams GROUP BY doc_id
+"""
+
+
+def dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup outcome: per-language kept/dropped doc counts
+    after near-dup clustering — the acceptance report a training-data
+    pipeline emits (corpus shrinkage per slice) before the filtered
+    corpus ships to tokenization."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(clusters, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_keeper").cast("long")).alias("n_kept"),
+            F.sum((~F.col("is_keeper")).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
+_DEDUP_MATERIALIZE_SQL = f"""
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN c.is_keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM documents d JOIN ({_DEDUP_CLUSTERS_SQL}) c ON c.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — 4x storage
+    compression before a 100 TB vector corpus is written back. Per-row
+    float arithmetic with a floor to integers is bit-identical across
+    engines (memory-proven recipe), so even the array output
+    hash-matches the oracle. scale = max|x| / 127; q_i = floor(x_i /
+    scale); all-zero vectors quantize to zeros with scale 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    q = F.when(
+        F.col("maxabs") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(127.0) / F.col("maxabs")
+            ).cast("long"),
+        ),
+    ).otherwise(
+        F.transform(F.col("embedding"), lambda x: F.lit(0).cast("long"))
+    )
+    return (
+        emb.select("vec_id", "embedding", maxabs.alias("maxabs"))
+        .select(
+            "vec_id",
+            (F.col("maxabs") / F.lit(127.0)).alias("scale"),
+            q.alias("q"),
+        )
+    )
+
+
+_EMB_QUANTIZE_SQL = """
+SELECT vec_id, maxabs / 127.0 AS scale,
+       CASE WHEN maxabs > 0
+            THEN list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))
+            ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+       END AS q
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+)
+"""
+
+
 # ------------------------------------------------------ similarity search
 
 
@@ -1260,6 +1366,9 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_materialize": dedup_materialize,
+    "text_minhash_signature": text_minhash_signature,
+    "embedding_quantize": embedding_quantize,
     "simsearch_topk": simsearch_topk,
     "simsearch_ivf": simsearch_ivf,
     "simsearch_lsh": simsearch_lsh,
@@ -1287,6 +1396,9 @@ ORACLES = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
+    "dedup_materialize": _DEDUP_MATERIALIZE_SQL,
+    "text_minhash_signature": _TEXT_MINHASH_SQL,
+    "embedding_quantize": _EMB_QUANTIZE_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,
