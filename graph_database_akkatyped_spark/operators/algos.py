@@ -686,6 +686,62 @@ FROM ce LEFT JOIN pc ON pc.p = ce.a AND pc.q = ce.b
 )
 
 
+def graph_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row profile of the strong user graph: vertex/edge counts,
+    max/avg degree, density — the pre-flight sanity numbers before any
+    expensive algorithm runs. All counts are exact integers; the two
+    floats are single divisions of identical integers (bit-identical
+    across engines)."""
+    ce = _canonical_edges(spark, sf_dir)
+    sym = ce.unionByName(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.expr("sum(degree) div 2").alias("n_edges"),
+        F.max("degree").alias("max_degree"),
+    ).select(
+        "n_vertices",
+        "n_edges",
+        "max_degree",
+        (
+            F.col("n_edges").cast("double") * 2.0
+            / F.col("n_vertices").cast("double")
+        ).alias("avg_degree"),
+        (
+            F.col("n_edges").cast("double") * 2.0
+            / (
+                F.col("n_vertices").cast("double")
+                * (F.col("n_vertices") - 1).cast("double")
+            )
+        ).alias("density"),
+    )
+
+
+_GRAPH_SUMMARY_SQL = (
+    _TRI_BASE
+    + """
+, ssym AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+deg AS (SELECT a AS id, count(*) AS degree FROM ssym GROUP BY a),
+s AS (
+  SELECT count(*) AS n_vertices,
+         CAST(sum(degree) // 2 AS BIGINT) AS n_edges,
+         max(degree) AS max_degree
+  FROM deg
+)
+SELECT n_vertices, n_edges, max_degree,
+       CAST(n_edges AS DOUBLE) * 2.0 / CAST(n_vertices AS DOUBLE) AS avg_degree,
+       CAST(n_edges AS DOUBLE) * 2.0
+         / (CAST(n_vertices AS DOUBLE) * CAST(n_vertices - 1 AS DOUBLE))
+         AS density
+FROM s
+"""
+)
+
+
 QUERIES = {
     "bfs_levels": bfs_levels,
     "khop_neighbors": khop_neighbors,
@@ -700,6 +756,7 @@ QUERIES = {
     "motif_triangle_sql": motif_triangle_sql,
     "mutual_neighbors": mutual_neighbors,
     "clustering_coefficient": clustering_coefficient,
+    "graph_summary_stats": graph_summary_stats,
 }
 
 ORACLES = {
@@ -716,4 +773,5 @@ ORACLES = {
     "motif_triangle_sql": _MOTIF_SQL,
     "mutual_neighbors": _MUTUAL_SQL,
     "clustering_coefficient": _CLUSTERING_SQL,
+    "graph_summary_stats": _GRAPH_SUMMARY_SQL,
 }

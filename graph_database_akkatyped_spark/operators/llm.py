@@ -483,6 +483,102 @@ FROM grams GROUP BY doc_id
 """
 
 
+_INCR_MOD = 10  # doc_id % 10 == 0 simulates the incoming ingest batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: check an INCOMING batch against the existing
+    corpus in O(new), never re-pairing the stored corpus with itself —
+    the only dedup shape that works on a 100 TB lakehouse ingest. The
+    stored side's signatures come straight from the persisted sketch
+    table (``text_minhash_signature``); here both sides are derived from
+    the fixture with ``doc_id % 10`` as the batch split. Candidates =
+    new-sig x stored-sig equi-join on (k, minhash); exact Jaccard verify
+    on candidates only. Returns incoming docs that duplicate a stored
+    doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_frame(docs).localCheckpoint(eager=True)
+    sigs = grams.groupBy("doc_id").agg(
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
+    )
+    lsig = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{k}") for k in range(_NGRAM_HASHES)])
+        ).alias("k", "mh"),
+    )
+    is_new = (F.col("doc_id") % _INCR_MOD) == 0
+    new_s = lsig.where(is_new).select(F.col("doc_id").alias("new_id"), "k", "mh")
+    old_s = lsig.where(~is_new).select(F.col("doc_id").alias("dup_of"), "k", "mh")
+    cand = (
+        new_s.join(old_s, ["k", "mh"]).select("new_id", "dup_of").distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("new_id"), "g")
+    gb = grams.select(F.col("doc_id").alias("dup_of"), "g")
+    common = (
+        cand.join(ga, "new_id")
+        .join(gb, ["dup_of", "g"])
+        .groupBy("new_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    na = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_g").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_g").alias("n_b"))
+    return (
+        common.join(na, "new_id")
+        .join(nb, "dup_of")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+        .select("new_id", "dup_of", "n_common", "jaccard")
+    )
+
+
+_DEDUP_INCR_SQL = f"""
+WITH grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           list_transform(
+             list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+             (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+           g -> g IS NOT NULL)) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         {', '.join(f'min({_minhash_sql(k)}) AS m{k}' for k in range(_NGRAM_HASHES))}
+  FROM grams GROUP BY doc_id
+),
+lsig AS MATERIALIZED (
+  {' UNION ALL '.join(f'SELECT doc_id, {k} AS k, m{k} AS mh FROM sigs' for k in range(_NGRAM_HASHES))}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS dup_of
+  FROM lsig n JOIN lsig o ON n.k = o.k AND n.mh = o.mh
+  WHERE n.doc_id % {_INCR_MOD} = 0 AND o.doc_id % {_INCR_MOD} <> 0
+),
+common AS (
+  SELECT c.new_id, c.dup_of, count(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.new_id
+  JOIN grams gb ON gb.doc_id = c.dup_of AND gb.g = ga.g
+  GROUP BY c.new_id, c.dup_of
+)
+SELECT new_id, dup_of, n_common,
+       CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE)
+         AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = new_id
+JOIN sizes nb ON nb.doc_id = dup_of
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE)
+      >= {_JACCARD_MIN}
+"""
+
+
 def dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup outcome: per-language kept/dropped doc counts
     after near-dup clustering — the acceptance report a training-data
@@ -1367,6 +1463,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_materialize": dedup_materialize,
+    "dedup_incremental": dedup_incremental,
     "text_minhash_signature": text_minhash_signature,
     "embedding_quantize": embedding_quantize,
     "simsearch_topk": simsearch_topk,
@@ -1397,6 +1494,7 @@ ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
     "dedup_materialize": _DEDUP_MATERIALIZE_SQL,
+    "dedup_incremental": _DEDUP_INCR_SQL,
     "text_minhash_signature": _TEXT_MINHASH_SQL,
     "embedding_quantize": _EMB_QUANTIZE_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
