@@ -189,16 +189,24 @@ def _gram_frame(docs: DataFrame) -> DataFrame:
 def _minhash(k: int) -> Column:
     """60-bit salted md5 hash of a shingle — the same bytes both engines
     can compute, so the minhash signature (and therefore the candidate
-    set) is bit-identical to the SQL oracle."""
+    set) is bit-identical to the SQL oracle. Hash 2s and 2s+1 are the
+    two 60-bit halves of md5(g|s): 8 hash functions for 4 md5 calls
+    (md5 dominates signature cost at corpus scale)."""
+    salt, off = k // 2, 1 if k % 2 == 0 else 17
     return (
         F.conv(
-            F.substring(F.md5(F.concat(F.col("g"), F.lit(f"|{k}"))), 1, 15), 16, 10
+            F.substring(
+                F.md5(F.concat(F.col("g"), F.lit(f"|{salt}"))), off, 15
+            ),
+            16,
+            10,
         ).cast("long")
     )
 
 
 def _minhash_sql(k: int) -> str:
-    return f"CAST('0x' || substr(md5(g || '|{k}'), 1, 15) AS BIGINT)"
+    salt, off = k // 2, 1 if k % 2 == 0 else 17
+    return f"CAST('0x' || substr(md5(g || '|{salt}'), {off}, 15) AS BIGINT)"
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
