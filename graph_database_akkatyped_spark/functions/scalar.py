@@ -43,6 +43,33 @@ FROM customer
 """
 
 
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family over document text: extract / replace-all / match /
+    count. Patterns stay in the common Java-regex ∩ RE2 subset so both
+    engines agree; DuckDB's regexp_replace needs the 'g' flag to match
+    Spark's replace-ALL semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 40)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
+        F.regexp_replace(head, "[aeiou]", "").alias("devoweled"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.regexp_count("text", F.lit("[aeiou]{2,}")).alias("n_vowel_runs"),
+    )
+
+
+_FN_REGEXP_SQL = """
+SELECT doc_id,
+       regexp_extract(text, '([0-9]+)', 1) AS first_num,
+       regexp_replace(substring(text, 1, 40), '[aeiou]', '', 'g') AS devoweled,
+       regexp_matches(text, '[0-9]') AS has_digit,
+       CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INTEGER)
+         AS n_vowel_runs
+FROM documents
+"""
+
+
 def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
@@ -298,6 +325,7 @@ FROM events
 
 QUERIES = {
     "fn_string": fn_string,
+    "fn_regexp": fn_regexp,
     "fn_date": fn_date,
     "fn_math": fn_math,
     "fn_hash": fn_hash,
@@ -314,6 +342,7 @@ QUERIES = {
 
 ORACLES = {
     "fn_string": _FN_STRING_SQL,
+    "fn_regexp": _FN_REGEXP_SQL,
     "fn_date": _FN_DATE_SQL,
     "fn_math": _FN_MATH_SQL,
     "fn_hash": (

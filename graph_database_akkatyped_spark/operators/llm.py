@@ -169,20 +169,21 @@ _NGRAM_HASHES = 8  # deterministic minhash functions (1 band each, r=1)
 _JACCARD_MIN = 0.1
 
 
+# word-3-gram shingles; the slice length is clamped to ≥ 0: a doc with
+# < 3 tokens has no 3-grams — an unclamped ``size - 2`` goes negative
+# and Spark raises INVALID_PARAMETER_VALUE on exactly the short/empty
+# docs a real dedup corpus contains (the DuckDB twin's list_slice
+# clamps, so the engines would diverge)
+_GRAM_EXPR = (
+    f"transform(slice({_TOKS}, 1, greatest(size({_TOKS}) - 2, 0)), "
+    f"(x, i) -> concat(x, ' ', {_TOKS}[i + 1], ' ', {_TOKS}[i + 2]))"
+)
+
+
 def _gram_frame(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, g) word-3-gram shingles. The slice length is
-    clamped to ≥ 0: a doc with < 3 tokens has no 3-grams — an unclamped
-    ``size - 2`` goes negative and Spark raises INVALID_PARAMETER_VALUE
-    on exactly the short/empty docs a real dedup corpus contains (the
-    DuckDB twin's list_slice clamps, so the engines would diverge)."""
+    """Distinct (doc_id, g) word-3-gram shingles (see ``_GRAM_EXPR``)."""
     return docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(slice({_TOKS}, 1, greatest(size({_TOKS}) - 2, 0)), "
-                f"(x, i) -> concat(x, ' ', {_TOKS}[i + 1], ' ', {_TOKS}[i + 2]))"
-            )
-        ).alias("g"),
+        "doc_id", F.explode(F.expr(_GRAM_EXPR)).alias("g")
     ).distinct()
 
 

@@ -30,27 +30,30 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-_STREAM_DIRS: dict[str, str] = {}
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """Spark's file stream source wants a directory; each fixture is a
+    single file, so expose it through a cached temp-dir symlink."""
+    key = (sf_dir, name)
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_stream_")
+        os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` as a file-source stream.
-
-    Spark's file stream source wants a directory; the fixture is a
-    single file, so expose it through a cached temp dir symlink. The ns
-    timestamp is converted exactly like the batch reader.
-    """
+    """``events`` as a file-source stream. The ns timestamp is
+    converted exactly like the batch reader."""
     # must be set BEFORE any read of events.parquet: a vanilla session
     # (the driver's) rejects TIMESTAMP(NANOS) parquet outright
     _ensure_session_confs(spark)
-    if sf_dir not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="spark_graft_stream_")
-        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-        _STREAM_DIRS[sf_dir] = d
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     return (
         spark.readStream.schema(raw_schema)
-        .parquet(_STREAM_DIRS[sf_dir])
+        .parquet(_stream_dir(sf_dir, "events"))
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
@@ -355,8 +358,125 @@ FROM events
 """
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with EXPLICIT session ids (gaps-and-islands):
+    a session breaks after a > 30 min silence; ``session_seq`` numbers a
+    user's sessions in time order. This is the feature-pipeline variant
+    of ``stream_session`` — downstream joins need the stable session id
+    column, not just window bounds. All window math is integer µs, so
+    ids and aggregates hash-match the oracle."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = e.select("user_id", "event_id", "ts", "value", brk.alias("brk"))
+    sessions = marked.withColumn("session_seq", F.sum("brk").over(cum))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dec2double(F.sum(F.col("value").cast("decimal(30,2)"))).alias(
+            "total_value"
+        ),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+              OR epoch_us(CAST(ts AS TIMESTAMP))
+                 - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                 > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+def stream_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-sketch maintenance as a STREAM: documents flow
+    through the file source, shingles explode statelessly, and the
+    per-doc minhash signature aggregates in the state store — each new
+    micro-batch refines only the touched docs, which is how the
+    signature table stays current on a 100 TB ingest without corpus
+    rescans. The minhashes are deterministic (salted md5), so even this
+    streaming query has a FULL hash oracle (duplicate shingles don't
+    move a min, hence no stream-side distinct is needed)."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        _GRAM_EXPR,
+        _NGRAM_HASHES,
+        _minhash,
+    )
+
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
+    grams = stream.select("doc_id", F.explode(F.expr(_GRAM_EXPR)).alias("g"))
+    sigs = grams.groupBy("doc_id").agg(
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
+    )
+    name = f"sig_{uuid.uuid4().hex[:8]}"
+    q = (
+        sigs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _stream_minhash_sql() -> str:
+    from graph_database_akkatyped_spark.operators.llm import (
+        _NGRAM_HASHES,
+        _minhash_sql,
+    )
+
+    mins = ", ".join(
+        f"min({_minhash_sql(k)}) AS m{k}" for k in range(_NGRAM_HASHES)
+    )
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           list_transform(
+             list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+             (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+           g -> g IS NOT NULL)) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT doc_id, {mins} FROM grams GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "source_event_stream": source_event_stream,
+    "sessionize_events": sessionize_events,
+    "stream_minhash_signature": stream_minhash_signature,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
@@ -368,6 +488,8 @@ QUERIES = {
 
 ORACLES = {
     "source_event_stream": _SOURCE_STREAM_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
+    "stream_minhash_signature": _stream_minhash_sql(),
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
     "stream_session": _SESSION_SQL,
