@@ -686,6 +686,30 @@ FROM ce LEFT JOIN pc ON pc.p = ce.a AND pc.q = ce.b
 )
 
 
+_RECURSIVE_REACH_SQL = f"""
+WITH RECURSIVE {NATION_EDGES_CTE},
+reach(id, lvl) AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl
+  UNION ALL
+  SELECT CAST(e.dst AS BIGINT), r.lvl + 1
+  FROM reach r JOIN nedges e ON e.src = r.id
+  WHERE r.lvl < 4
+)
+SELECT id AS n_nationkey, CAST(min(lvl) AS INTEGER) AS hops
+FROM reach GROUP BY id
+"""
+
+
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph reachability as a RECURSIVE CTE — the IDENTICAL SQL text
+    runs on Spark 4 (recursive CTE support) and on the DuckDB oracle:
+    the declarative traversal surface next to the Pregel/frontier
+    implementations of the same semantics. Level-capped UNION ALL keeps
+    both engines' recursion finite on the cyclic nation graph."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RECURSIVE_REACH_SQL)
+
+
 def graph_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row profile of the strong user graph: vertex/edge counts,
     max/avg degree, density — the pre-flight sanity numbers before any
@@ -757,6 +781,7 @@ QUERIES = {
     "mutual_neighbors": mutual_neighbors,
     "clustering_coefficient": clustering_coefficient,
     "graph_summary_stats": graph_summary_stats,
+    "sql_recursive_reachability": sql_recursive_reachability,
 }
 
 ORACLES = {
@@ -774,4 +799,5 @@ ORACLES = {
     "mutual_neighbors": _MUTUAL_SQL,
     "clustering_coefficient": _CLUSTERING_SQL,
     "graph_summary_stats": _GRAPH_SUMMARY_SQL,
+    "sql_recursive_reachability": _RECURSIVE_REACH_SQL,
 }

@@ -74,6 +74,38 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(docs.schema).json(out)
 
 
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (the other columnar format Spark ships a
+    native vectorized reader for). DuckDB cannot read ORC, so the
+    oracle checks the roundtrip against the ORIGIN table — byte-exact
+    values surviving the format hop is precisely the claim."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    supplier.write.mode("overwrite").orc(out)
+    return spark.read.schema(supplier.schema).orc(out)
+
+
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + partition-PRUNED read as a first-class
+    operator: orders laid out by o_orderpriority, then one partition
+    read back with a key predicate. At 100 TB the predicate prunes
+    whole directories (PartitionFilters, asserted in
+    tests/test_plans.py) — the scan never touches the other partitions'
+    bytes."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="spark_graft_part_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+        "o_totalprice",
+    )
+
+
 def write_bucketed(
     df, table: str, key: str, buckets: int = 8, sort: bool = True
 ) -> None:
@@ -96,6 +128,8 @@ QUERIES = {
     "sink_parquet": sink_parquet,
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_json_roundtrip": sink_json_roundtrip,
+    "sink_orc_roundtrip": sink_orc_roundtrip,
+    "sink_partitioned_pruned": sink_partitioned_pruned,
 }
 
 ORACLES = {
@@ -110,4 +144,9 @@ ORACLES = {
     ),
     "sink_csv_roundtrip": "SELECT * FROM nation",
     "sink_json_roundtrip": "SELECT * FROM documents",
+    "sink_orc_roundtrip": "SELECT * FROM supplier",
+    "sink_partitioned_pruned": (
+        "SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice "
+        "FROM orders WHERE o_orderpriority = '1-URGENT'"
+    ),
 }
