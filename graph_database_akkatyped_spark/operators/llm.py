@@ -619,6 +619,58 @@ GROUP BY d.lang
 """
 
 
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-of-pipeline artifact: one row per RETAINED
+    training document — exact-dedup keeper, length-filtered (5..1000
+    tokens), with its deterministic train/val/test assignment and token
+    count. This is the manifest a tokenization job consumes; every
+    ingredient (hash keeper, hash split, token count) is a pure function
+    of the row, so the manifest is reproducible on any engine or
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("text_hash")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", th.alias("text_hash"), n_tok.alias("n_tokens")
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.min("doc_id").over(w))
+        .where(F.col("is_keeper") & F.col("n_tokens").between(5, 1000))
+        .select("doc_id", "lang", split.alias("split"), "n_tokens")
+    )
+
+
+_CORPUS_MANIFEST_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, sha256(lower(trim(text))) AS th,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+k AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY th) AS keep FROM h
+)
+SELECT doc_id, lang,
+       CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END
+         AS split,
+       CAST(n_tokens AS INTEGER) AS n_tokens
+FROM (
+  SELECT *,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 10 AS b
+  FROM k WHERE doc_id = keep AND n_tokens BETWEEN 5 AND 1000
+)
+"""
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — 4x storage
     compression before a 100 TB vector corpus is written back. Per-row
@@ -1479,6 +1531,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "text_minhash_signature": text_minhash_signature,
     "embedding_quantize": embedding_quantize,
+    "corpus_training_manifest": corpus_training_manifest,
     "simsearch_topk": simsearch_topk,
     "simsearch_ivf": simsearch_ivf,
     "simsearch_lsh": simsearch_lsh,
@@ -1510,6 +1563,7 @@ ORACLES = {
     "dedup_incremental": _DEDUP_INCR_SQL,
     "text_minhash_signature": _TEXT_MINHASH_SQL,
     "embedding_quantize": _EMB_QUANTIZE_SQL,
+    "corpus_training_manifest": _CORPUS_MANIFEST_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,

@@ -414,6 +414,57 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event counts with missing hours ZERO-FILLED over
+    the full span — the resample step every time-series consumer needs
+    (a gap and a zero are different facts). The hour grid is a
+    ``sequence`` explode from one aggregated row joined against the
+    sparse counts; at scale the grid is O(span·types), independent of
+    event volume."""
+    e = _events(spark, sf_dir)
+    hr = F.date_trunc("hour", "ts")
+    counts = e.groupBy(hr.alias("hr"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = e.agg(
+        F.min(hr).alias("lo"), F.max(hr).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        grid.crossJoin(types)
+        .join(counts, ["hr", "event_type"], "left")
+        .select("hr", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+         max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds),
+                                INTERVAL '1 hour')) AS hr
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT g.hr, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid g CROSS JOIN types t
+LEFT JOIN counts c ON c.hr = g.hr AND c.event_type = t.event_type
+"""
+
+
 def stream_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup-sketch maintenance as a STREAM: documents flow
     through the file source, shingles explode statelessly, and the
@@ -476,6 +527,7 @@ SELECT doc_id, {mins} FROM grams GROUP BY doc_id
 QUERIES = {
     "source_event_stream": source_event_stream,
     "sessionize_events": sessionize_events,
+    "timeseries_gapfill": timeseries_gapfill,
     "stream_minhash_signature": stream_minhash_signature,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
@@ -489,6 +541,7 @@ QUERIES = {
 ORACLES = {
     "source_event_stream": _SOURCE_STREAM_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
+    "timeseries_gapfill": _GAPFILL_SQL,
     "stream_minhash_signature": _stream_minhash_sql(),
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
