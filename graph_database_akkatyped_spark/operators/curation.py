@@ -1,0 +1,325 @@
+"""Training-corpus curation operators (extensions beyond SURVEY.md §2-G).
+
+The ops a large-scale LLM training-data pipeline runs between raw
+ingest and tokenization: benchmark decontamination (n-gram overlap of
+the test split against the train split), PII redaction, repetition /
+boilerplate scoring, corpus shape statistics, language re-balancing
+weights, and text normalization.
+
+Scale notes: every op here is linear in corpus size — explodes are
+per-token, joins are equi-joins on shingle/gram strings (shuffle on the
+gram key, never all-pairs), and everything stays in JVM expressions
+(no Python in the row path). The decontamination join's build side (the
+distinct shingle set of the *test* split, ~1/10 of the corpus,
+deduplicated) is the natural broadcast candidate on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.operators.llm import _GRAM_EXPR, _TOKS
+
+# deterministic md5 split bucket — identical expression family to
+# operators.llm.split_train_test (membership is a pure function of the
+# id: stable across runs, engines, partitionings, appends)
+_BUCKET = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+    "AS BIGINT) % 10"
+)
+_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10"
+)
+
+_GRAMS_SQL_CTE = """
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+           (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every TRAIN-split document, count
+    word-3-gram shingles that also occur anywhere in the TEST split;
+    ``contaminated`` = ≥ 3 shared shingles (the n-gram-overlap rule used
+    to scrub eval sets out of pretraining corpora).
+
+    Shape at scale: the test shingle set is deduplicated (distinct g)
+    and ~10x smaller than the corpus — broadcast it; the train side
+    streams through a single equi-join on the gram string. No pairwise
+    doc x doc comparison anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "b", F.expr(_BUCKET)
+    )
+    train = docs.where(F.col("b") <= 7)
+    test = docs.where(F.col("b") == 9)
+    test_grams = (
+        test.select(F.explode(F.expr(_GRAM_EXPR)).alias("g")).distinct()
+    )
+    train_grams = train.select(
+        "doc_id", F.explode(F.expr(_GRAM_EXPR)).alias("g")
+    ).distinct()
+    shared = (
+        train_grams.join(F.broadcast(test_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH split AS (SELECT doc_id, text, {_BUCKET_SQL} AS b FROM documents),
+tg AS MATERIALIZED (
+  SELECT DISTINCT unnest(list_transform(
+           list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+           (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM (SELECT string_split(text, ' ') AS toks FROM split WHERE b = 9)
+),
+trg AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+           (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM split WHERE b <= 7)
+),
+shared AS (
+  SELECT trg.doc_id, count(*) AS n_shared
+  FROM trg JOIN tg ON tg.g = trg.g
+  GROUP BY trg.doc_id
+)
+SELECT s.doc_id,
+       COALESCE(shared.n_shared, 0) AS n_shared,
+       COALESCE(shared.n_shared, 0) >= 3 AS contaminated
+FROM split s LEFT JOIN shared ON shared.doc_id = s.doc_id
+WHERE s.b <= 7
+"""
+
+
+# regex subset common to Java regex (Spark) and RE2-ish (DuckDB): char
+# classes, bounded repeats, alternation — no lookarounds/backrefs
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: replace email addresses and long digit runs
+    (account/phone-shaped) with typed placeholder tokens; report match
+    counts and the md5 of the redacted text (hash keeps the checked
+    output small while pinning every redacted byte).
+
+    Pure regexp expressions — linear scan per document, embarrassingly
+    parallel, no shuffle at all (narrow map-only plan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("text", F.lit(_LONGNUM_RE)).alias("n_longnum"),
+        F.length(red).alias("n_red_chars"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
+_PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER)
+         AS n_email,
+       CAST(len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS INTEGER)
+         AS n_longnum,
+       CAST(length(red) AS INTEGER) AS n_red_chars,
+       md5(red) AS red_md5
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_LONGNUM_RE}', '<NUM>', 'g') AS red
+  FROM documents
+)
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate score per document: duplicate-3-gram
+    ratio (1 - distinct/total) and distinct-token ratio — the standard
+    cheap filters for looped or template text. All higher-order array
+    expressions; no explode, no shuffle (map-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tri = F.greatest(F.expr(f"size({_TOKS}) - 2"), F.lit(0))
+    n_tri_d = F.size(F.array_distinct(F.expr(_GRAM_EXPR)))
+    n_tok = F.expr(f"size({_TOKS})")
+    n_tok_d = F.expr(f"size(array_distinct({_TOKS}))")
+    return docs.select(
+        "doc_id",
+        n_tri.alias("n_tri"),
+        n_tri_d.alias("n_tri_distinct"),
+        F.when(n_tri > 0, F.round(1.0 - n_tri_d / n_tri, 6))
+        .otherwise(F.lit(0.0))
+        .alias("tri_dup_ratio"),
+        F.when(n_tok > 0, F.round(n_tok_d / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("tok_distinct_ratio"),
+    )
+
+
+_REPETITION_SQL = """
+SELECT doc_id,
+       CAST(n_tri AS INTEGER) AS n_tri,
+       CAST(n_tri_d AS INTEGER) AS n_tri_distinct,
+       CASE WHEN n_tri > 0
+            THEN round(1.0 - CAST(n_tri_d AS DOUBLE) / n_tri, 6)
+            ELSE 0.0 END AS tri_dup_ratio,
+       CASE WHEN n_tok > 0
+            THEN round(CAST(n_tok_d AS DOUBLE) / n_tok, 6)
+            ELSE 0.0 END AS tok_distinct_ratio
+FROM (
+  SELECT doc_id,
+         greatest(len(toks) - 2, 0) AS n_tri,
+         len(list_distinct(list_transform(
+           list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+           (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS n_tri_d,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_tok_d
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape: per (source, 250-char bucket) doc counts + exact
+    char totals — the length histogram every curation run starts from.
+    Integer bucket arithmetic (no float log buckets: log2 boundary
+    rounding differs across libm implementations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("len_bucket", (F.col("n_chars") / 250).cast("long"))
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_LENGTH_HIST_SQL = """
+SELECT source,
+       CAST(n_chars // 250 AS BIGINT) AS len_bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source, CAST(n_chars // 250 AS BIGINT)
+"""
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language re-balancing: per-language token counts, corpus share,
+    and the sampling weight that equalizes languages (weight =
+    equal-share tokens / actual tokens). One narrow agg + a scalar
+    cross-joined total — the broadcast-friendly shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"size({_TOKS})")).alias("n_tokens"),
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return per_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("share"),
+        F.round(
+            F.col("total_tokens")
+            / (F.col("n_langs") * F.col("n_tokens")),
+            6,
+        ).alias("weight"),
+    )
+
+
+_MIX_SQL = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_langs
+  FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS share,
+       round(CAST(total_tokens AS DOUBLE) / (n_langs * n_tokens), 6) AS weight
+FROM per_lang, totals
+"""
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, collapse whitespace
+    runs, trim) reported as (length, md5) so the checked output pins
+    every byte without shipping the full text. Map-only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    # explicit whitespace class: Java's \s includes \x0B, RE2's does not
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \t\n\r]+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_norm_chars"),
+        F.md5(norm).alias("norm_md5"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+_NORMALIZE_SQL = """
+SELECT doc_id,
+       CAST(length(norm) AS INTEGER) AS n_norm_chars,
+       md5(norm) AS norm_md5,
+       norm <> text AS changed
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS norm
+  FROM documents
+)
+"""
+
+
+QUERIES = {
+    "decontam_ngram_overlap": decontam_ngram_overlap,
+    "pii_redact": pii_redact,
+    "text_repetition": text_repetition,
+    "doc_length_histogram": doc_length_histogram,
+    "corpus_mix_weights": corpus_mix_weights,
+    "text_normalize": text_normalize,
+}
+
+ORACLES = {
+    "decontam_ngram_overlap": _DECONTAM_SQL,
+    "pii_redact": _PII_SQL,
+    "text_repetition": _REPETITION_SQL,
+    "doc_length_histogram": _LENGTH_HIST_SQL,
+    "corpus_mix_weights": _MIX_SQL,
+    "text_normalize": _NORMALIZE_SQL,
+}

@@ -1,0 +1,330 @@
+"""Graph-algorithm extensions beyond SURVEY.md §2-C.
+
+Personalized PageRank (seeded restart), DAG longest-path layering,
+per-edge neighborhood Jaccard similarity, and a bounded bipartite
+projection (customer co-purchase via shared parts).
+
+Determinism discipline matches operators.algos: integer µ-unit
+arithmetic for rank masses, canonical (a<b) edges, exact-decimal
+weights for rankings — every key hash-matches its unrolled-SQL DuckDB
+oracle.
+
+Scale notes: PPR runs on the Pregel kernel (checkpointed lineage,
+shuffle-key reuse); longest-path joins only the frontier-carrying edge
+list per round; edge Jaccard is bounded by the triangle count (same
+plan family as triangle_count); the bipartite projection caps the
+per-part fan-out at top-3 customers, so output is ≤ 3 pairs per part —
+linear, never |customers-per-part|² (the classic projection blow-up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.operators.algos import (
+    _BASE,
+    _SEED_SQL,
+    _TRI_BASE,
+    _UNIT,
+    _canonical_edges,
+)
+from graph_database_akkatyped_spark.operators.graph_build import (
+    USER_EDGES_CTE,
+    user_edges_sym,
+    user_vertices,
+)
+from graph_database_akkatyped_spark.operators.pregel import pregel
+
+_PPR_ITERS = 5
+
+
+def ppr_frame(
+    verts: DataFrame, edges_sym: DataFrame, seed_id: int, iters: int
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart to a single seed,
+    damping 0.85, fixed supersteps, INTEGER µ-units (exact integer
+    arithmetic -> bit-reproducible across partitionings and engines).
+    Only the seed receives the 0.15 restart mass each step."""
+    v = verts.select(
+        "id",
+        F.when(F.col("id") == seed_id, F.lit(_UNIT))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("state"),
+    )
+    deg = edges_sym.groupBy(F.col("a").alias("src")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    e = edges_sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).join(
+        deg, "src"
+    )
+    res = pregel(
+        v,
+        e,
+        msg=F.expr("src_state div weight"),
+        agg=F.sum("msg"),
+        vprog=F.expr(
+            f"CAST(CASE WHEN id = {seed_id} THEN {_BASE} ELSE 0 END "
+            f"+ (85 * coalesce(agg_msg, 0)) div 100 AS LONG)"
+        ),
+        max_iter=iters,
+        check_convergence=False,
+    )
+    return res.vertices.select(
+        "id",
+        F.col("state").alias("rank_e12"),
+        (F.col("state").cast("double") / F.lit(1e12)).alias("rank"),
+    )
+
+
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR from the min user id over the user graph (reference analog:
+    'related vertices' ranked from a query vertex). The seed fetch is
+    the one sanctioned scalar driver action (same as BFS seeds)."""
+    events = load_table(spark, sf_dir, "events")
+    seed = events.agg(F.min("user_id")).first()[0]
+    return ppr_frame(
+        user_vertices(spark, sf_dir),
+        user_edges_sym(spark, sf_dir),
+        seed,
+        _PPR_ITERS,
+    ).select(F.col("id").alias("user_id"), "rank_e12", "rank")
+
+
+def _ppr_sql(iters: int = _PPR_ITERS) -> str:
+    ctes = [
+        USER_EDGES_CTE.strip(),
+        "deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM uedges GROUP BY a)",
+        f"seed AS (SELECT {_SEED_SQL} AS s)",
+        f"r0 AS (SELECT v, CAST(CASE WHEN v = (SELECT s FROM seed) "
+        f"THEN {_UNIT} ELSE 0 END AS BIGINT) AS r FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"m{i} AS (SELECT u.b AS v, CAST(SUM(r{i-1}.r // deg.d) AS BIGINT) AS s "
+            f"FROM uedges u JOIN deg ON deg.a = u.a "
+            f"JOIN r{i-1} ON r{i-1}.v = u.a GROUP BY u.b)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT verts.v, CAST("
+            f"CASE WHEN verts.v = (SELECT s FROM seed) THEN {_BASE} ELSE 0 END "
+            f"+ (85 * COALESCE(m{i}.s, 0)) // 100 "
+            f"AS BIGINT) AS r FROM verts LEFT JOIN m{i} ON m{i}.v = verts.v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS user_id, r AS rank_e12, CAST(r AS DOUBLE) / 1e12 AS rank "
+        f"FROM r{iters}"
+    )
+
+
+_TOPO_ROUNDS = 6
+
+
+def topo_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path layer per vertex in the canonical strong-edge DAG
+    (a<b orients every edge low->high, so the graph is acyclic by
+    construction — the standard trick for dependency-layering a
+    symmetric graph). Fixed ≤6-edge horizon on both engines.
+
+    Per round only (edges ⋈ current-layer) is joined — no all-pairs
+    path enumeration; layers are localCheckpoint-ed (flat lineage).
+    """
+    ce = _canonical_edges(spark, sf_dir)
+    verts = (
+        ce.select(F.col("a").alias("id"))
+        .unionAll(ce.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    d = verts.withColumn("depth", F.lit(0).cast("long"))
+    for _ in range(_TOPO_ROUNDS):
+        msgs = (
+            ce.join(d.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.max(F.col("depth") + 1).alias("m"))
+        )
+        d = (
+            d.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.greatest("depth", F.coalesce("m", F.lit(0))).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return d.select(F.col("id").alias("user_id"), "depth")
+
+
+_TOPO_SQL = (
+    _TRI_BASE.replace("WITH ce AS", "WITH RECURSIVE ce AS")
+    + f"""
+, dverts AS (SELECT DISTINCT v FROM (
+    SELECT a AS v FROM ce UNION ALL SELECT b AS v FROM ce)),
+paths(v, len) AS (
+  SELECT v, CAST(0 AS BIGINT) FROM dverts
+  UNION
+  SELECT e.b, p.len + 1
+  FROM paths p JOIN ce e ON e.a = p.v
+  WHERE p.len < {_TOPO_ROUNDS}
+)
+SELECT v AS user_id, max(len) AS depth FROM paths GROUP BY v
+"""
+)
+
+
+def edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity per strong edge (x<y):
+    |N(x)∩N(y)| / |N(x)∪N(y) \\ {x,y}| — the standard link-prediction /
+    edge-strength score.
+
+    Common-neighbor counts come from the canonical a<b<c triangle join
+    (intermediates bounded by the triangle count, as in
+    ``mutual_neighbors``); degrees are one groupBy over the symmetric
+    edge view. Integers throughout, one rounded division at the end.
+    """
+    ce = _canonical_edges(spark, sf_dir)
+    e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ce.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ce.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pairs = (
+        tri.select(F.col("x").alias("p"), F.col("y").alias("q"))
+        .unionAll(tri.select(F.col("x").alias("p"), F.col("z").alias("q")))
+        .unionAll(tri.select(F.col("y").alias("p"), F.col("z").alias("q")))
+    )
+    common = pairs.groupBy("p", "q").agg(F.count(F.lit(1)).alias("n_common"))
+    deg = (
+        ce.select(F.col("a").alias("v"))
+        .unionAll(ce.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    denom = F.col("deg_a") + F.col("deg_b") - 2 - F.col("n_common")
+    return (
+        ce.join(
+            common, (ce["a"] == common["p"]) & (ce["b"] == common["q"]), "left"
+        )
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0).cast("long")))
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("x"),
+            F.col("b").alias("y"),
+            "n_common",
+            F.when(denom > 0, F.round(F.col("n_common") / denom, 6))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
+
+
+_EDGE_JACCARD_SQL = (
+    _TRI_BASE.replace("WITH ce AS", "WITH ce AS MATERIALIZED")
+    + """
+, tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pc AS (
+  SELECT p, q, count(*) AS n_common FROM (
+    SELECT x AS p, y AS q FROM tri
+    UNION ALL SELECT x AS p, z AS q FROM tri
+    UNION ALL SELECT y AS p, z AS q FROM tri
+  ) GROUP BY p, q
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM ce UNION ALL SELECT b AS v FROM ce
+  ) GROUP BY v
+)
+SELECT ce.a AS x, ce.b AS y,
+       CAST(COALESCE(pc.n_common, 0) AS BIGINT) AS n_common,
+       CASE WHEN da.deg + db.deg - 2 - COALESCE(pc.n_common, 0) > 0
+            THEN round(CAST(COALESCE(pc.n_common, 0) AS DOUBLE)
+                       / (da.deg + db.deg - 2 - COALESCE(pc.n_common, 0)), 6)
+            ELSE 0.0 END AS jaccard
+FROM ce
+LEFT JOIN pc ON pc.p = ce.a AND pc.q = ce.b
+JOIN deg da ON da.v = ce.a
+JOIN deg db ON db.v = ce.b
+"""
+)
+
+
+_PROJ_TOPK = 3
+
+
+def bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded bipartite projection: customer–customer co-purchase
+    edges via shared parts, keeping only each part's top-3 customers by
+    exact-decimal quantity (ties -> smaller custkey).
+
+    The cap is the scale story: an uncapped projection is quadratic in
+    customers-per-part (a hot part at 100 TB links millions of customer
+    pairs); top-k per part bounds output at k(k-1)/2 pairs per part and
+    the rank is a single window over the part-customer aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pc = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("qty"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("qty"), F.asc("o_custkey")
+    )
+    top = pc.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _PROJ_TOPK
+    )
+    t1 = top.select(
+        F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("c1")
+    )
+    t2 = top.select(
+        F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("c2")
+    )
+    return (
+        t1.join(t2, "pk")
+        .where(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n_shared_parts"))
+    )
+
+
+_BIPARTITE_SQL = f"""
+WITH pc AS (
+  SELECT l_partkey, o_custkey,
+         sum(CAST(l_quantity AS DECIMAL(30,2))) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey, o_custkey
+),
+top AS (
+  SELECT l_partkey, o_custkey FROM pc
+  QUALIFY row_number() OVER (
+    PARTITION BY l_partkey ORDER BY qty DESC, o_custkey ASC) <= {_PROJ_TOPK}
+)
+SELECT t1.o_custkey AS c1, t2.o_custkey AS c2, count(*) AS n_shared_parts
+FROM top t1 JOIN top t2
+  ON t1.l_partkey = t2.l_partkey AND t1.o_custkey < t2.o_custkey
+GROUP BY t1.o_custkey, t2.o_custkey
+"""
+
+
+QUERIES = {
+    "pagerank_personalized": pagerank_personalized,
+    "topo_longest_path": topo_longest_path,
+    "edge_jaccard": edge_jaccard,
+    "bipartite_copurchase": bipartite_copurchase,
+}
+
+ORACLES = {
+    "pagerank_personalized": _ppr_sql(),
+    "topo_longest_path": _TOPO_SQL,
+    "edge_jaccard": _EDGE_JACCARD_SQL,
+    "bipartite_copurchase": _BIPARTITE_SQL,
+}

@@ -1,0 +1,139 @@
+"""Relational extensions beyond SURVEY.md §2-D.
+
+Distribution window functions, deterministic hash sampling, filtered
+aggregates, and journal->interval reconstruction (the event-sourcing
+"replay to validity intervals" pattern of the reference's persistence
+layer [R], expressed as one window pass).
+
+All map/window/agg shapes — no new shuffle patterns beyond what the
+§2-D core already exercises; every key is SQL-hash-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.numerics import dec2double
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist of account balance within market
+    segment — rank-based, so results are exact integer ratios
+    (deterministic doubles on both engines, no rounding needed)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+_WINDOW_DIST_SQL = """
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of orders: membership = md5 bucket of
+    the key — a pure function of the row (stable across runs, engines,
+    partitionings, and appends), unlike ``df.sample``/TABLESAMPLE whose
+    output depends on physical row order. The filter is map-side only
+    (no shuffle) and composes with pushdown on everything upstream."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    return orders.where(bucket == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+      % 10 = 0
+"""
+
+
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates per order priority (SQL FILTER clause
+    semantics): high-value counts and exact-decimal sums restricted by
+    predicate — one pass, partial+final agg, no separate scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_totalprice") > 150000
+    open_ = F.col("o_orderstatus") == "O"
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(high, 1)).alias("n_high"),
+        dec2double(
+            F.sum(F.when(high, F.col("o_totalprice")).cast("decimal(30,2)"))
+        ).alias("sum_high"),
+        F.count(F.when(open_ & high, 1)).alias("n_open_high"),
+    )
+
+
+_AGG_FILTERED_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_high,
+       CAST(CAST(SUM(CASE WHEN o_totalprice > 150000
+                          THEN CAST(o_totalprice AS DECIMAL(30,2)) END)
+                 AS VARCHAR) AS DOUBLE) AS sum_high,
+       count(*) FILTER (WHERE o_orderstatus = 'O' AND o_totalprice > 150000)
+         AS n_open_high
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def journal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-journal replay into validity intervals: each user's event
+    stream becomes rows (event_type, valid_from, valid_to, is_current)
+    where valid_to = next event's timestamp — the reference's
+    event-sourced state reconstruction [R], as a single lead() window
+    (one shuffle on user_id, linear in journal size)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+_JOURNAL_SQL = """
+SELECT user_id, event_type,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES = {
+    "window_distribution": window_distribution,
+    "sample_hash": sample_hash,
+    "agg_filtered": agg_filtered,
+    "journal_intervals": journal_intervals,
+}
+
+ORACLES = {
+    "window_distribution": _WINDOW_DIST_SQL,
+    "sample_hash": _SAMPLE_SQL,
+    "agg_filtered": _AGG_FILTERED_SQL,
+    "journal_intervals": _JOURNAL_SQL,
+}

@@ -23,6 +23,9 @@ _MODULES = (
     "graph_database_akkatyped_spark.operators.graph_build",
     "graph_database_akkatyped_spark.operators.algos",
     "graph_database_akkatyped_spark.operators.llm",
+    "graph_database_akkatyped_spark.operators.curation",
+    "graph_database_akkatyped_spark.operators.graph_extras",
+    "graph_database_akkatyped_spark.operators.relational_extras",
     "graph_database_akkatyped_spark.functions.scalar",
     "graph_database_akkatyped_spark.functions.udfs",
     "graph_database_akkatyped_spark.streaming.windows",

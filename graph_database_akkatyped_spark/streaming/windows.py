@@ -524,8 +524,52 @@ SELECT doc_id, {mins} FROM grams GROUP BY doc_id
 """
 
 
+def _topk_types(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "rn",
+        )
+    )
+
+
+def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detector: top-3 event types per tumbling hour (count
+    desc, type asc tie-break). Batch twin of the foreachBatch streaming
+    pattern — rank-over-window isn't incrementalizable, so the
+    streaming deployment aggregates with a watermark and ranks each
+    micro-batch's completed windows in foreachBatch (the shape
+    tests/test_streaming.py exercises for custom sinks)."""
+    return _topk_types(_events(spark, sf_dir))
+
+
+_TOPK_TYPES_SQL = """
+SELECT window_start, event_type, n, rn FROM (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, count(*) AS n,
+         CAST(row_number() OVER (
+           PARTITION BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+           ORDER BY count(*) DESC, event_type ASC) AS INTEGER) AS rn
+  FROM events
+  GROUP BY 1, 2
+)
+WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "source_event_stream": source_event_stream,
+    "stream_topk_types": stream_topk_types,
     "sessionize_events": sessionize_events,
     "timeseries_gapfill": timeseries_gapfill,
     "stream_minhash_signature": stream_minhash_signature,
@@ -540,6 +584,7 @@ QUERIES = {
 
 ORACLES = {
     "source_event_stream": _SOURCE_STREAM_SQL,
+    "stream_topk_types": _TOPK_TYPES_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "timeseries_gapfill": _GAPFILL_SQL,
     "stream_minhash_signature": _stream_minhash_sql(),
