@@ -124,11 +124,137 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user: each stage's
+    first timestamp must follow the previous stage's (strict event-order
+    semantics, not mere presence). Three stage aggregates chained by
+    join — each is one groupBy over a filtered slice, so the whole
+    funnel is three shuffles on user_id regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage_reached"),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t_view
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t_click
+  GROUP BY e.user_id
+)
+SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+       CAST(1 + (t2.t_click IS NOT NULL)::INT
+              + (t3.t_purchase IS NOT NULL)::INT AS INTEGER) AS stage_reached
+FROM t1
+LEFT JOIN t2 ON t2.user_id = t1.user_id
+LEFT JOIN t3 ON t3.user_id = t1.user_id
+"""
+
+
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per (event_type, hour) counts scored
+    against the type's hourly distribution; |z| > 2 flags the hour.
+
+    Determinism: counts are exact integers; variance comes from the
+    exact integer identity n·Σx² − (Σx)² over counts, so there is ONE
+    double division, one sqrt, one final rounded division — identical
+    IEEE ops on both engines (no order-dependent float accumulation).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("k")
+    var = (F.col("k") * F.col("ss") - F.col("s") * F.col("s")) / (
+        F.col("k") * (F.col("k") - 1)
+    )
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 4)
+    return (
+        hourly.join(stats, "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            z.alias("z"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS k, sum(n) AS s, sum(n * n) AS ss
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, hr, n, z, abs(z) > 2 AS is_anomaly FROM (
+  SELECT h.event_type, h.hr, h.n,
+         round((h.n - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+               / sqrt(CAST(k * ss - s * s AS DOUBLE)
+                      / CAST(k * (k - 1) AS DOUBLE)), 4) AS z
+  FROM hourly h JOIN stats USING (event_type)
+)
+"""
+
+
 QUERIES = {
     "window_distribution": window_distribution,
     "sample_hash": sample_hash,
     "agg_filtered": agg_filtered,
     "journal_intervals": journal_intervals,
+    "funnel_conversion": funnel_conversion,
+    "events_anomaly_hours": events_anomaly_hours,
 }
 
 ORACLES = {
@@ -136,4 +262,6 @@ ORACLES = {
     "sample_hash": _SAMPLE_SQL,
     "agg_filtered": _AGG_FILTERED_SQL,
     "journal_intervals": _JOURNAL_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
+    "events_anomaly_hours": _ANOMALY_SQL,
 }

@@ -87,3 +87,41 @@ def test_pagerank_mass_conserved(spark, edges):
     total = sum(r["rank"] for r in ranks)
     assert 0.99 * len(nodes) < total <= len(nodes) + 1e-9
     assert all(r["rank"] >= 0.1499999 for r in ranks)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_normalize_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for any input."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def norm(c):
+        return F.trim(F.regexp_replace(F.lower(c), "[ \t\n\r]+", " "))
+
+    rows = df.select(
+        (norm(norm(F.col("text"))) == norm(F.col("text"))).alias("fixed")
+    ).collect()
+    assert all(r["fixed"] for r in rows)
+
+
+@given(keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_hash_sample_stable_under_append(spark, keys):
+    """Hash-sample membership is per-row: sampling a superset never
+    changes which of the original rows are selected (unlike df.sample)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    base = spark.createDataFrame([(k,) for k in keys], "k long")
+    extended = base.unionAll(
+        spark.createDataFrame([(k + 10**7,) for k in keys], "k long")
+    )
+    picked_base = {r["k"] for r in base.where(bucket == 0).collect()}
+    picked_ext = {
+        r["k"] for r in extended.where(bucket == 0).collect() if r["k"] < 10**7
+    }
+    assert picked_base == picked_ext
