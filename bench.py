@@ -7,7 +7,10 @@ JSON line: ``{"metric", "value", "unit", "queries": {...}, "sf"}``.
 Execution is a ``noop``-format write: the full plan runs on executors
 (no column pruning shortcut like ``count()``, no driver collect skew).
 Per query: 1 warm-up, then median of ``$SPARK_GRAFT_BENCH_RUNS`` (default
-2) timed runs.
+1) timed runs. (Default dropped from 2 once the registry passed ~145
+keys: iterative operators also pay eager materialization during plan
+construction, so every extra run costs far more wall-clock than its
+timed write — and the driver's bench window is finite.)
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ def _run_once(df) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = collect()

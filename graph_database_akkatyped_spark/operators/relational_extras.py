@@ -248,8 +248,99 @@ SELECT event_type, hr, n, z, abs(z) > 2 AS is_anomaly FROM (
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month; for
+    each (cohort, months-since-first) cell, how many distinct customers
+    ordered. Two aggregates over orders — the cohort assignment is a
+    window-free groupBy+join (broadcastable: one row per customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    return (
+        orders.join(first, "o_custkey")
+        .withColumn("m", F.date_trunc("month", "o_orderdate"))
+        .groupBy(
+            "cohort",
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            ).alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+
+
+_RETENTION_SQL = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+)
+SELECT cohort,
+       CAST((year(m) - year(cohort)) * 12 + (month(m) - month(cohort))
+            AS INTEGER) AS month_offset,
+       count(DISTINCT o_custkey) AS n_active
+FROM (
+  SELECT o.o_custkey, f.cohort, date_trunc('month', o.o_orderdate) AS m
+  FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+)
+GROUP BY 1, 2
+"""
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartiles of recency (days since last
+    order), frequency (order count), monetary (exact-decimal spend) via
+    ntile — rank-based, so quartile membership is deterministic with
+    explicit key tie-breaks.
+
+    Scale note: the global ntile windows serialize the per-customer
+    rollup through one task. That rollup is orders-of-magnitude smaller
+    than the fact table, but with billions of customers the scale path
+    is approx_percentile thresholds (computed distributed, joined back
+    as constants) instead of exact global ranking — same output
+    contract minus exact boundary ties."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "frequency",
+        dec2double(F.col("monetary")).alias("monetary"),
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+
+
+_RFM_SQL = """
+SELECT o_custkey, frequency,
+       CAST(CAST(monetary AS VARCHAR) AS DOUBLE) AS monetary,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC)
+            AS INTEGER) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)
+            AS INTEGER) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+            AS INTEGER) AS m_quartile
+FROM (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(30,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+"""
+
+
 QUERIES = {
     "window_distribution": window_distribution,
+    "retention_cohorts": retention_cohorts,
+    "rfm_segmentation": rfm_segmentation,
     "sample_hash": sample_hash,
     "agg_filtered": agg_filtered,
     "journal_intervals": journal_intervals,
@@ -259,6 +350,8 @@ QUERIES = {
 
 ORACLES = {
     "window_distribution": _WINDOW_DIST_SQL,
+    "retention_cohorts": _RETENTION_SQL,
+    "rfm_segmentation": _RFM_SQL,
     "sample_hash": _SAMPLE_SQL,
     "agg_filtered": _AGG_FILTERED_SQL,
     "journal_intervals": _JOURNAL_SQL,

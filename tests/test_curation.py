@@ -95,3 +95,35 @@ def test_topo_depth_on_chain(spark):
         )
     depths = {r["id"]: r["depth"] for r in d.collect()}
     assert depths == {1: 0, 2: 1, 3: 2}
+
+
+def test_retention_cohort_offsets(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 10)),
+            (1, dt.date(2024, 3, 5)),
+            (2, dt.date(2024, 2, 1)),
+        ],
+        "o_custkey long, o_orderdate date",
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    cells = {
+        (r["cohort"].month, r["month_offset"]): r["n_active"]
+        for r in orders.join(first, "o_custkey")
+        .withColumn("m", F.date_trunc("month", "o_orderdate"))
+        .groupBy(
+            "cohort",
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            ).alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+        .collect()
+    }
+    # cust 1: cohort Jan, active at offsets 0 and 2; cust 2: cohort Feb
+    assert cells == {(1, 0): 1, (1, 2): 1, (2, 0): 1}

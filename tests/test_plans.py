@@ -89,3 +89,30 @@ def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf_lines and "l_returnflag" in pf_lines[0], plan
     assert df.count() == li.where(F.col("l_returnflag") == "A").count()
+
+
+def test_decontam_broadcasts_test_grams(spark):
+    """The eval-set gram side must broadcast: at 100 TB the train side
+    streams and only the (fixed-size) test shingle set is replicated."""
+    from graph_database_akkatyped_spark.operators import curation
+
+    df = curation.decontam_ngram_overlap(spark, SF_ORACLE)
+    assert uses(df, "BroadcastHashJoin"), "test gram set not broadcast"
+
+
+def test_sample_hash_is_map_only(spark):
+    """Deterministic hash sampling must not shuffle: membership is a
+    per-row function, so the plan is scan -> filter -> project."""
+    from graph_database_akkatyped_spark.operators import relational_extras
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(relational_extras.sample_hash(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
+
+
+def test_pii_redact_is_map_only(spark):
+    from graph_database_akkatyped_spark.operators import curation
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(curation.pii_redact(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
