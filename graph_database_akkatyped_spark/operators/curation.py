@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graph_database_akkatyped_spark.catalog import load_table
-from graph_database_akkatyped_spark.operators.llm import _GRAM_EXPR, _TOKS
+from graph_database_akkatyped_spark.operators.llm import (
+    _GRAM_FROM_TOKS,
+    _TOKS,
+    _toks_frame,
+)
 
 # deterministic md5 split bucket — identical expression family to
 # operators.llm.split_train_test (membership is a pure function of the
@@ -60,11 +64,15 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("b") <= 7)
     test = docs.where(F.col("b") == 9)
     test_grams = (
-        test.select(F.explode(F.expr(_GRAM_EXPR)).alias("g")).distinct()
+        _toks_frame(test)
+        .select(F.explode(F.expr(_GRAM_FROM_TOKS)).alias("g"))
+        .distinct()
     )
-    train_grams = train.select(
-        "doc_id", F.explode(F.expr(_GRAM_EXPR)).alias("g")
-    ).distinct()
+    train_grams = (
+        _toks_frame(train, "doc_id")
+        .select("doc_id", F.explode(F.expr(_GRAM_FROM_TOKS)).alias("g"))
+        .distinct()
+    )
     shared = (
         train_grams.join(F.broadcast(test_grams), "g")
         .groupBy("doc_id")
@@ -163,11 +171,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap filters for looped or template text. All higher-order array
     expressions; no explode, no shuffle (map-only)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tri = F.greatest(F.expr(f"size({_TOKS}) - 2"), F.lit(0))
-    n_tri_d = F.size(F.array_distinct(F.expr(_GRAM_EXPR)))
-    n_tok = F.expr(f"size({_TOKS})")
-    n_tok_d = F.expr(f"size(array_distinct({_TOKS}))")
-    return docs.select(
+    n_tri = F.greatest(F.expr("size(toks) - 2"), F.lit(0))
+    n_tri_d = F.size(F.array_distinct(F.expr(_GRAM_FROM_TOKS)))
+    n_tok = F.expr("size(toks)")
+    n_tok_d = F.expr("size(array_distinct(toks))")
+    return _toks_frame(docs, "doc_id").select(
         "doc_id",
         n_tri.alias("n_tri"),
         n_tri_d.alias("n_tri_distinct"),

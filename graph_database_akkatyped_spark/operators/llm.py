@@ -179,12 +179,31 @@ _GRAM_EXPR = (
     f"(x, i) -> concat(x, ' ', {_TOKS}[i + 1], ' ', {_TOKS}[i + 2]))"
 )
 
+# Same shingles over a PRE-PROJECTED `toks` array column. Expressions
+# referenced inside a higher-order-function lambda re-evaluate per
+# element access, so `split(text)[i + 1]` inside transform() re-splits
+# the whole document for every gram — O(tokens²) character work.
+# Projecting the split once (CollapseProject keeps multi-use aliases
+# materialized) made text_repetition 6x faster at sf0.1; every
+# gram-family operator goes through this form.
+_GRAM_FROM_TOKS = (
+    "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), "
+    "(x, i) -> concat(x, ' ', toks[i + 1], ' ', toks[i + 2]))"
+)
+
+
+def _toks_frame(docs: DataFrame, *cols: str) -> DataFrame:
+    """Project the whitespace token array ONCE (see _GRAM_FROM_TOKS)."""
+    return docs.select(*cols, F.expr(_TOKS).alias("toks"))
+
 
 def _gram_frame(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, g) word-3-gram shingles (see ``_GRAM_EXPR``)."""
-    return docs.select(
-        "doc_id", F.explode(F.expr(_GRAM_EXPR)).alias("g")
-    ).distinct()
+    return (
+        _toks_frame(docs, "doc_id")
+        .select("doc_id", F.explode(F.expr(_GRAM_FROM_TOKS)).alias("g"))
+        .distinct()
+    )
 
 
 def _minhash(k: int) -> Column:
@@ -1045,12 +1064,12 @@ SELECT doc_id, token, tfidf_r8, CAST(rnk AS INTEGER) AS rnk FROM (
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 word bigrams per language."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    grams = _toks_frame(docs, "lang").select(
         "lang",
         F.explode(
             F.expr(
-                f"transform(slice({_TOKS}, 1, size({_TOKS}) - 1), "
-                f"(x, i) -> concat(x, ' ', {_TOKS}[i + 1]))"
+                "transform(slice(toks, 1, size(toks) - 1), "
+                "(x, i) -> concat(x, ' ', toks[i + 1]))"
             )
         ).alias("bigram"),
     )

@@ -475,9 +475,10 @@ def stream_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming query has a FULL hash oracle (duplicate shingles don't
     move a min, hence no stream-side distinct is needed)."""
     from graph_database_akkatyped_spark.operators.llm import (
-        _GRAM_EXPR,
+        _GRAM_FROM_TOKS,
         _NGRAM_HASHES,
         _minhash,
+        _toks_frame,
     )
 
     _ensure_session_confs(spark)
@@ -485,7 +486,9 @@ def stream_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(
         _stream_dir(sf_dir, "documents")
     )
-    grams = stream.select("doc_id", F.explode(F.expr(_GRAM_EXPR)).alias("g"))
+    grams = _toks_frame(stream, "doc_id").select(
+        "doc_id", F.explode(F.expr(_GRAM_FROM_TOKS)).alias("g")
+    )
     sigs = grams.groupBy("doc_id").agg(
         *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
     )

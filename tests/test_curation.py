@@ -8,9 +8,9 @@ from pyspark.sql import functions as F
 
 from graph_database_akkatyped_spark.operators.curation import (
     _EMAIL_RE,
-    _GRAM_EXPR,
     _LONGNUM_RE,
 )
+from graph_database_akkatyped_spark.operators.llm import _GRAM_EXPR
 from graph_database_akkatyped_spark.operators.graph_extras import ppr_frame
 
 
