@@ -1539,6 +1539,138 @@ FROM documents
 """
 
 
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_CAND = 20  # per-branch candidate depth before fusion
+
+
+def simsearch_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense (cosine over embeddings) + sparse
+    (distinct-token overlap) candidate lists fused by reciprocal-rank
+    fusion — the standard two-tower RAG retrieval shape.
+
+    RRF works on RANKS, not raw scores, so the fused score is a sum of
+    two exact reciprocals of small integers: bit-deterministic across
+    engines with no score-calibration step. Each branch is top-20 per
+    query (vector branch: broadcast query side + window, the re-rank
+    shape; text branch: equi-join on the token — linear, shuffle on the
+    token key); the fusion is a full outer join of two ≤20-row-per-query
+    lists — trivially small however large the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    vq = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    vec = (
+        base.crossJoin(F.broadcast(vq))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .where(F.col("vec_rank") <= _RRF_CAND)
+        .select("q_id", F.col("vec_id").alias("cand_id"), "vec_rank")
+    )
+
+    toks = _toks_frame(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
+    )
+    qt = toks.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    ov = (
+        toks.join(F.broadcast(qt), "tok")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.col("ov").desc(), "cand_id")
+    txt = (
+        ov.withColumn("txt_rank", F.row_number().over(wt))
+        .where(F.col("txt_rank") <= _RRF_CAND)
+        .select("q_id", "cand_id", "txt_rank")
+    )
+
+    fused = vec.join(txt, ["q_id", "cand_id"], "full")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("txt_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "cand_id")
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "cand_id", "vec_rank", "txt_rank", "rrf", "rank")
+    )
+
+
+_HYBRID_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+vec AS (
+  SELECT q_id, cand_id, vec_rank FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'c.embedding')}
+                       / (sqrt(q.nrm) * sqrt(c.nrm)) DESC, c.vec_id)
+             AS vec_rank
+    FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) WHERE vec_rank <= {_RRF_CAND}
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+ov AS (
+  SELECT q.doc_id AS q_id, d.doc_id AS cand_id, count(*) AS ov
+  FROM tok q JOIN tok d ON d.tok = q.tok
+  WHERE q.doc_id < 5 AND d.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+txt AS (
+  SELECT q_id, cand_id, txt_rank FROM (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY ov DESC, cand_id)
+             AS txt_rank
+    FROM ov
+  ) WHERE txt_rank <= {_RRF_CAND}
+),
+fused AS (
+  SELECT COALESCE(vec.q_id, txt.q_id) AS q_id,
+         COALESCE(vec.cand_id, txt.cand_id) AS cand_id,
+         vec.vec_rank, txt.txt_rank,
+         round(COALESCE(1.0::DOUBLE / ({_RRF_K} + vec.vec_rank), 0.0)
+               + COALESCE(1.0::DOUBLE / ({_RRF_K} + txt.txt_rank), 0.0), 6)
+           AS rrf
+  FROM vec FULL JOIN txt
+    ON txt.q_id = vec.q_id AND txt.cand_id = vec.cand_id
+)
+SELECT q_id, cand_id, CAST(vec_rank AS INTEGER) AS vec_rank,
+       CAST(txt_rank AS INTEGER) AS txt_rank, rrf,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, cand_id)
+            AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -1552,6 +1684,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "corpus_training_manifest": corpus_training_manifest,
     "simsearch_topk": simsearch_topk,
+    "simsearch_hybrid_rrf": simsearch_hybrid_rrf,
     "simsearch_ivf": simsearch_ivf,
     "simsearch_lsh": simsearch_lsh,
     "simsearch_pairs_label": simsearch_pairs_label,
@@ -1584,6 +1717,7 @@ ORACLES = {
     "embedding_quantize": _EMB_QUANTIZE_SQL,
     "corpus_training_manifest": _CORPUS_MANIFEST_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
+    "simsearch_hybrid_rrf": _HYBRID_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,
     "text_wordcount": _TEXT_WORDCOUNT_SQL,
