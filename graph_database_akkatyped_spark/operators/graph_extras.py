@@ -30,7 +30,9 @@ from graph_database_akkatyped_spark.operators.algos import (
     _canonical_edges,
 )
 from graph_database_akkatyped_spark.operators.graph_build import (
+    NATION_EDGES_CTE,
     USER_EDGES_CTE,
+    nation_edges,
     user_edges_sym,
     user_vertices,
 )
@@ -315,8 +317,64 @@ GROUP BY t1.o_custkey, t2.o_custkey
 """
 
 
+def sssp_pred_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSSP with predecessor tree — the reference's traversal that
+    returns the PATH, not just the distance [R ask-pattern reply]:
+    after distance relaxation converges, each vertex's parent is the
+    min-id predecessor lying on a shortest path (dist[src] + w ==
+    dist[dst]). The parent recovery is one extra edge⋈dist⋈dist join —
+    no per-path backtracking loop; the full tree materializes at once
+    and any path is read off by following parents."""
+    from graph_database_akkatyped_spark.operators.algos import sssp_weighted
+
+    dist = sssp_weighted(spark, sf_dir).select(
+        F.col("n_nationkey").alias("v"), "dist"
+    )
+    edges = nation_edges(spark, sf_dir).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "weight",
+    )
+    ds = dist.select(F.col("v").alias("src"), F.col("dist").alias("d_src"))
+    dd = dist.select(F.col("v").alias("dst"), F.col("dist").alias("d_dst"))
+    pred = (
+        edges.join(ds, "src")
+        .join(dd, "dst")
+        .where(F.col("d_src") + F.col("weight") == F.col("d_dst"))
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.min("src").alias("pred"))
+    )
+    return dist.join(pred, "v", "left").select(
+        F.col("v").alias("n_nationkey"), "dist", "pred"
+    )
+
+
+_PRED_TREE_SQL = f"""
+WITH RECURSIVE {NATION_EDGES_CTE},
+paths(v, d) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, p.d + e.w
+  FROM paths p JOIN nedges e ON e.src = p.v
+  WHERE p.d + e.w <= 25
+),
+dist AS (SELECT CAST(v AS BIGINT) AS v, min(d) AS dist FROM paths GROUP BY v),
+pred AS (
+  SELECT CAST(e.dst AS BIGINT) AS v, min(CAST(e.src AS BIGINT)) AS pred
+  FROM nedges e
+  JOIN dist ds ON ds.v = e.src
+  JOIN dist dd ON dd.v = e.dst
+  WHERE ds.dist + e.w = dd.dist
+  GROUP BY e.dst
+)
+SELECT d.v AS n_nationkey, d.dist, p.pred
+FROM dist d LEFT JOIN pred p ON p.v = d.v
+"""
+
+
 QUERIES = {
     "pagerank_personalized": pagerank_personalized,
+    "sssp_pred_tree": sssp_pred_tree,
     "topo_longest_path": topo_longest_path,
     "edge_jaccard": edge_jaccard,
     "bipartite_copurchase": bipartite_copurchase,
@@ -324,6 +382,7 @@ QUERIES = {
 
 ORACLES = {
     "pagerank_personalized": _ppr_sql(),
+    "sssp_pred_tree": _PRED_TREE_SQL,
     "topo_longest_path": _TOPO_SQL,
     "edge_jaccard": _EDGE_JACCARD_SQL,
     "bipartite_copurchase": _BIPARTITE_SQL,
