@@ -29,3 +29,27 @@ def test_ivf_recall_vs_exact(spark):
     # and return full result sets
     assert all(len(s) == 10 for s in approx_sets.values())
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_hybrid_rrf_score_consistency(spark):
+    """RRF output must be internally consistent: the fused score equals
+    the reciprocal-rank formula over its own rank columns, and ranks
+    are dense 1..k per query."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        _RRF_K,
+        simsearch_hybrid_rrf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pdf = simsearch_hybrid_rrf(spark, SF_SMOKE).toPandas()
+    assert set(pdf["q_id"]) == set(range(5))
+    for _, r in pdf.iterrows():
+        expect = 0.0
+        if r["vec_rank"] == r["vec_rank"] and r["vec_rank"] is not None:
+            expect += 1.0 / (_RRF_K + r["vec_rank"])
+        if r["txt_rank"] == r["txt_rank"] and r["txt_rank"] is not None:
+            expect += 1.0 / (_RRF_K + r["txt_rank"])
+        assert abs(r["rrf"] - round(expect, 6)) < 1e-9
+    for q in range(5):
+        ranks = sorted(pdf[pdf["q_id"] == q]["rank"])
+        assert ranks == list(range(1, len(ranks) + 1))

@@ -125,3 +125,60 @@ def test_stateful_count_matches_batch(spark):
         .collect()
     }
     assert {u: n for u, (n, _) in res.items()} == batch
+
+
+def test_stream_topk_foreachbatch_matches_batch(spark):
+    """The streaming deployment of stream_topk_types: windowed counts
+    aggregate under the engine, foreachBatch ranks each batch's
+    completed windows — final ranking must equal the batch twin."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window, functions as F
+
+    from graph_database_akkatyped_spark.streaming.windows import (
+        stream_events,
+        stream_topk_types,
+    )
+
+    name = f"topk_{_uuid.uuid4().hex[:8]}"
+    collected = []
+
+    def rank_batch(df, _epoch):
+        w = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+        collected.append(
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                "rn",
+            )
+            .toPandas()
+        )
+
+    agg = (
+        stream_events(spark, SF_SMOKE)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(rank_batch)
+        .outputMode("complete")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import pandas as pd
+
+    stream_pd = pd.concat(collected, ignore_index=True)
+    batch_pd = stream_topk_types(spark, SF_SMOKE).toPandas()
+    key = ["window_start", "event_type", "n", "rn"]
+    assert (
+        stream_pd.sort_values(key).reset_index(drop=True).equals(
+            batch_pd.sort_values(key).reset_index(drop=True)
+        )
+    )
