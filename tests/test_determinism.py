@@ -20,6 +20,12 @@ _KEYS = [
     "window_running",
     "simsearch_pairs_label",
     "text_lang_stats",
+    # round-2 extensions with float/rank outputs or iterative kernels
+    "pagerank_personalized",
+    "simsearch_hybrid_rrf",
+    "events_anomaly_hours",
+    "corpus_mix_weights",
+    "rfm_segmentation",
 ]
 
 
