@@ -372,9 +372,59 @@ FROM dist d LEFT JOIN pred p ON p.v = d.v
 """
 
 
+def graph_activity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph evolution: per hour — event volume, active users,
+    FIRST-SEEN users, and the cumulative vertex count (how the user
+    graph grows over the journal [R journal replay]). First-seen is a
+    groupBy(min), the cumulative sum is a window over the tiny hourly
+    rollup (thousands of rows however large the journal)."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", "ts")
+    hourly = ev.groupBy(hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_active"),
+    )
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .groupBy(F.date_trunc("hour", "first_ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hourly.join(first_seen, "hr", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0).cast("long")))
+        .withColumn("cum_users", F.sum("n_new").over(w))
+    )
+
+
+_ACTIVITY_TIMELINE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_active
+  FROM events GROUP BY 1
+),
+first_seen AS (
+  SELECT date_trunc('hour', first_ts) AS hr, count(*) AS n_new
+  FROM (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+        FROM events GROUP BY user_id)
+  GROUP BY 1
+)
+SELECT h.hr, h.n_events, h.n_active,
+       COALESCE(f.n_new, 0) AS n_new,
+       CAST(sum(COALESCE(f.n_new, 0)) OVER (
+         ORDER BY h.hr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM hourly h LEFT JOIN first_seen f ON f.hr = h.hr
+"""
+
+
 QUERIES = {
     "pagerank_personalized": pagerank_personalized,
     "sssp_pred_tree": sssp_pred_tree,
+    "graph_activity_timeline": graph_activity_timeline,
     "topo_longest_path": topo_longest_path,
     "edge_jaccard": edge_jaccard,
     "bipartite_copurchase": bipartite_copurchase,
@@ -383,6 +433,7 @@ QUERIES = {
 ORACLES = {
     "pagerank_personalized": _ppr_sql(),
     "sssp_pred_tree": _PRED_TREE_SQL,
+    "graph_activity_timeline": _ACTIVITY_TIMELINE_SQL,
     "topo_longest_path": _TOPO_SQL,
     "edge_jaccard": _EDGE_JACCARD_SQL,
     "bipartite_copurchase": _BIPARTITE_SQL,
