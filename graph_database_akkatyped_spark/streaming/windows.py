@@ -414,6 +414,72 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 
+def timeseries_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces the
+    hour / day / week resolutions via GROUPING SETS over pre-computed
+    time buckets (the multi-resolution rollup a time-series store
+    materializes). One shuffle feeds all three resolutions (Spark
+    expands grouping sets map-side); exact-decimal sums keep every
+    resolution hash-stable."""
+    ev = _events(spark, sf_dir)
+    bucketed = ev.select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("wk"),
+    )
+    return (
+        bucketed.groupingSets(
+            [
+                ["event_type", "hr"],
+                ["event_type", "day"],
+                ["event_type", "wk"],
+            ],
+            "event_type",
+            "hr",
+            "day",
+            "wk",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec2double(F.sum(F.col("value").cast("decimal(30,2)"))).alias(
+                "total"
+            ),
+        )
+        .select(
+            "event_type",
+            F.when(F.col("hr").isNotNull(), "hour")
+            .when(F.col("day").isNotNull(), "day")
+            .otherwise("week")
+            .alias("resolution"),
+            F.coalesce("hr", "day", "wk").alias("bucket_start"),
+            "n",
+            "total",
+        )
+    )
+
+
+_MULTIRES_SQL = """
+SELECT event_type,
+       CASE WHEN hr IS NOT NULL THEN 'hour'
+            WHEN day IS NOT NULL THEN 'day'
+            ELSE 'week' END AS resolution,
+       coalesce(hr, day, wk) AS bucket_start,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         AS total
+FROM (
+  SELECT event_type, value,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+  FROM events
+)
+GROUP BY event_type, GROUPING SETS ((hr), (day), (wk))
+"""
+
+
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-type event counts with missing hours ZERO-FILLED over
     the full span — the resample step every time-series consumer needs
@@ -575,6 +641,7 @@ QUERIES = {
     "stream_topk_types": stream_topk_types,
     "sessionize_events": sessionize_events,
     "timeseries_gapfill": timeseries_gapfill,
+    "timeseries_multires_rollup": timeseries_multires_rollup,
     "stream_minhash_signature": stream_minhash_signature,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
@@ -590,6 +657,7 @@ ORACLES = {
     "stream_topk_types": _TOPK_TYPES_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "timeseries_gapfill": _GAPFILL_SQL,
+    "timeseries_multires_rollup": _MULTIRES_SQL,
     "stream_minhash_signature": _stream_minhash_sql(),
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
