@@ -314,8 +314,90 @@ FROM (
 """
 
 
+def curation_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit view of the curation pipeline: per document, keep/drop
+    plus every reason that fired — duplicate (non-keeper of its exact
+    hash group), too short/long, repetitive (>50% duplicate trigrams,
+    decided in integer arithmetic), contains PII. The explain twin of
+    ``corpus_training_manifest``: the manifest says what survived, this
+    says why everything else didn't.
+
+    One window (hash-keeper) over otherwise map-only expressions; the
+    reason string is assembled in a fixed order so it is deterministic.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "text",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("th"),
+        F.expr(_TOKS).alias("toks"),
+    )
+    w = Window.partitionBy("th")
+    n_tok = F.size(F.col("toks"))
+    n_tri = F.greatest(F.expr("size(toks) - 2"), F.lit(0))
+    n_tri_d = F.size(F.array_distinct(F.expr(_GRAM_FROM_TOKS)))
+    dup = F.col("doc_id") != F.min("doc_id").over(w)
+    short = n_tok < 5
+    long_ = n_tok > 1000
+    # dup-trigram ratio > 0.5, integer form: 2*(n_tri - distinct) > n_tri
+    rep = (n_tri > 0) & ((n_tri - n_tri_d) * 2 > n_tri)
+    pii = (
+        F.regexp_count("text", F.lit(_EMAIL_RE))
+        + F.regexp_count("text", F.lit(_LONGNUM_RE))
+    ) > 0
+    reasons = F.concat_ws(
+        ",",
+        F.when(dup, "dup"),
+        F.when(short, "short"),
+        F.when(long_, "long"),
+        F.when(rep, "repetitive"),
+        F.when(pii, "pii"),
+    )
+    return t.select(
+        "doc_id",
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
+_FILTER_REPORT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         sha256(lower(trim(text))) AS th,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks,
+         doc_id <> min(doc_id) OVER (PARTITION BY th) AS dup,
+         len(toks) AS n_tok,
+         greatest(len(toks) - 2, 0) AS n_tri,
+         len(list_distinct(list_transform(
+           list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+           (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS n_tri_d
+  FROM t
+)
+SELECT doc_id, reasons, reasons = '' AS keep FROM (
+  SELECT doc_id,
+         concat_ws(',',
+           CASE WHEN dup THEN 'dup' END,
+           CASE WHEN n_tok < 5 THEN 'short' END,
+           CASE WHEN n_tok > 1000 THEN 'long' END,
+           CASE WHEN n_tri > 0 AND (n_tri - n_tri_d) * 2 > n_tri
+                THEN 'repetitive' END,
+           CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                     + len(regexp_extract_all(text, '{_LONGNUM_RE}')) > 0
+                THEN 'pii' END) AS reasons
+  FROM m
+)
+"""
+
+
 QUERIES = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
+    "curation_filter_report": curation_filter_report,
     "pii_redact": pii_redact,
     "text_repetition": text_repetition,
     "doc_length_histogram": doc_length_histogram,
@@ -325,6 +407,7 @@ QUERIES = {
 
 ORACLES = {
     "decontam_ngram_overlap": _DECONTAM_SQL,
+    "curation_filter_report": _FILTER_REPORT_SQL,
     "pii_redact": _PII_SQL,
     "text_repetition": _REPETITION_SQL,
     "doc_length_histogram": _LENGTH_HIST_SQL,
