@@ -32,14 +32,28 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-TZ TIMESTAMP regardless of
+    how the fixture stored it. Driver fixtures have shipped two ways:
+
+    - ns-precision INT64 (round 1): with nanosAsLong it arrives as
+      BIGINT; ``div 1000`` to µs is lossless (values are µs-resolution)
+    - µs-precision TIMESTAMP_NTZ (round 2+): cast NTZ→TIMESTAMP, which
+      under the UTC session timezone is a value-preserving relabel
+    """
+    kind = dict(df.dtypes).get("ts")
+    if kind == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # with spark.sql.legacy.parquet.nanosAsLong the ns-precision ts
-        # arrives as BIGINT; convert to µs TIMESTAMP (fixture values are
-        # µs-resolution, so `div 1000` is lossless — FIXTURES.md)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -22,7 +22,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graph_database_akkatyped_spark.catalog import _ensure_session_confs, load_table
+from graph_database_akkatyped_spark.catalog import (
+    _ensure_session_confs,
+    load_table,
+    normalize_events_ts,
+)
 from graph_database_akkatyped_spark.numerics import dec2double
 
 
@@ -51,10 +55,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the driver's) rejects TIMESTAMP(NANOS) parquet outright
     _ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(_stream_dir(sf_dir, "events"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(_stream_dir(sf_dir, "events"))
     )
 
 
