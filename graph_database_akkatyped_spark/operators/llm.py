@@ -81,16 +81,29 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin (Jaccard distance ≤ 0.7). The LSH banding makes
     this linear-ish in corpus size vs the quadratic exact join — the
     100 TB dedup path. Seeded -> deterministic; rows-only check (MinHash
-    is a sketch, engine-specific by design)."""
+    is a sketch, engine-specific by design).
+
+    The shingle->HashingTF frame is materialized (localCheckpoint)
+    before the self-join: approxSimilarityJoin references it on BOTH
+    sides, and without the cut each side re-tokenizes and re-hashes the
+    whole corpus — the round-2 bench showed that recomputation as a
+    2.4x regression. At cluster scale the same rule holds: persist the
+    featurized corpus once, band-join the cached blocks."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tokens")
     )
     grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(docs)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
-    ).transform(grams)
+    tf = (
+        HashingTF(
+            inputCol="shingles", outputCol="features",
+            numFeatures=1 << 18, binary=True,
+        )
+        .transform(grams)
+        .select("doc_id", "features")
+        .localCheckpoint(eager=True)
+    )
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=5, seed=42
     ).fit(tf)
@@ -696,7 +709,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     float arithmetic with a floor to integers is bit-identical across
     engines (memory-proven recipe), so even the array output
     hash-matches the oracle. scale = max|x| / 127; q_i = floor(x_i /
-    scale); all-zero vectors quantize to zeros with scale 0."""
+    scale); all-zero vectors quantize to zeros with scale 0.
+
+    The quantized vector is emitted as a comma-joined STRING (``q``),
+    not ARRAY<BIGINT>: the harness canonicalizes results through a
+    pandas sort and python lists are unhashable there. The serialized
+    form is engine-exact on both sides (Spark ``concat_ws`` / DuckDB
+    ``array_to_string``) and loses nothing — int8 codes have a unique
+    decimal rendering."""
     emb = load_table(spark, sf_dir, "embeddings")
     maxabs = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
@@ -717,18 +737,21 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             (F.col("maxabs") / F.lit(127.0)).alias("scale"),
-            q.alias("q"),
+            F.concat_ws(
+                ",", F.transform(q, lambda x: x.cast("string"))
+            ).alias("q"),
         )
     )
 
 
 _EMB_QUANTIZE_SQL = """
 SELECT vec_id, maxabs / 127.0 AS scale,
-       CASE WHEN maxabs > 0
-            THEN list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))
-            ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
-       END AS q
+       array_to_string(
+         CASE WHEN maxabs > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+         END, ',') AS q
 FROM (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
@@ -929,37 +952,73 @@ SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 
 
 def simsearch_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Avg intra-label cosine similarity (clustering sanity check).
-    The float average goes through the exact-decimal path so the result
-    is partition-order independent."""
+    """Avg intra-label cosine similarity (clustering sanity check) —
+    computed WITHOUT the all-pairs self-join.
+
+    For unit vectors v̂, Σ_{i<j} v̂_i·v̂_j = (‖Σv̂‖² − Σ‖v̂‖²) / 2, so the
+    per-label pair-sum needs only the per-label component sums: O(n·d)
+    work and two hash aggregations instead of the O(n²/L) join that made
+    this the worst scale-killer in round 2 (3.5 s at sf0.1; unbounded at
+    100 TB).
+
+    Exact-decimal discipline: each normalized component is floor-scaled
+    to integer micro-units (u_k = floor(v̂_k·1e6), BIGINT), so every sum
+    and square is exact integer math — bit-identical across engines and
+    partition orders. ``sum2_cos_e12`` is TWICE the pair-sum in e12
+    units (kept doubled so it stays a pure BIGINT; halving happens only
+    in the float ``avg_cos``). Headroom: squares go through
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so ‖Σu‖² is safe to
+    n ≈ 1e13 rows per label before the final BIGINT cast clips."""
     emb = load_table(spark, sf_dir, "embeddings")
     norm = _dot(F.col("embedding"), F.col("embedding"))
-    e = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
-    a = e.select(
-        F.col("vec_id").alias("a"), "label",
-        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("b"), F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
-    )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt("nrm_a") * F.sqrt("nrm_b")
-    )
-    # cosines are bit-identical across engines (fixed accumulation
-    # order), so floor-scale each to integer picounits and sum exactly —
-    # immune to both float-sum order and decimal-cast tie rounding
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
-        .withColumn("cos_e12", F.floor(cos * F.lit(1e12)).cast("long"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("cos_e12").alias("sum_cos_e12"),
+    # single pass: explode the RAW embedding alongside a once-per-row
+    # nrm column (Generate copies it to each emitted row — quantizing
+    # inside a transform() lambda instead would let CollapseProject
+    # inline the 64-term norm fold per ELEMENT, a measured 6x slowdown),
+    # quantize per exploded row in codegen, then the (label, pos) agg
+    # yields component sums S_k AND per-component square sums AND the
+    # row count n (identical at every pos) — so the whole identity
+    # reduces to two chained hash aggs, no join, one parquet scan
+    ui = F.floor(
+        F.col("x").cast("double") / F.sqrt(F.col("nrm")) * F.lit(1e6)
+    ).cast("long")
+    comp = (
+        emb.select(
+            "label",
+            norm.alias("nrm"),
+            F.posexplode("embedding").alias("pos", "x"),
         )
-        .withColumn(
-            "avg_cos",
-            F.col("sum_cos_e12").cast("double") / 1e12 / F.col("n_pairs"),
+        .select("label", "pos", ui.alias("ui"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("ui").alias("s"),
+            F.sum(F.col("ui") * F.col("ui")).alias("ss"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.max("cnt").alias("n"),
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
+            .alias("snorm2"),
+            F.sum(F.col("ss").cast("decimal(38,0)")).alias("sum_unorm2"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            "label",
+            F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
+            (
+                F.col("snorm2") - F.col("sum_unorm2").cast("decimal(38,0)")
+            ).cast("long").alias("sum2_cos_e12"),
+            (
+                (
+                    F.col("snorm2")
+                    - F.col("sum_unorm2").cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(2e12)
+                / F.expr("n * (n - 1) DIV 2")
+            ).alias("avg_cos"),
         )
     )
 
@@ -969,16 +1028,35 @@ WITH e AS (
   SELECT vec_id, label, embedding, {_sql_dot('embedding', 'embedding')} AS nrm
   FROM embeddings
 ),
-pairs AS (
-  SELECT e1.label,
-         CAST(floor(({_sql_dot('e1.embedding', 'e2.embedding')}
-           / (sqrt(e1.nrm) * sqrt(e2.nrm))) * 1e12) AS BIGINT) AS cos_e12
-  FROM e e1 JOIN e e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+q AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / sqrt(nrm) * 1e6) AS BIGINT)) AS u
+  FROM e
+),
+comp AS (
+  SELECT label, pos,
+         CAST(SUM(ui) AS BIGINT) AS s,
+         CAST(SUM(ui * ui) AS HUGEINT) AS ss,
+         count(*) AS cnt
+  FROM (
+    SELECT label, unnest(u) AS ui, generate_subscripts(u, 1) AS pos
+    FROM q
+  ) GROUP BY label, pos
+),
+agg AS (
+  SELECT label, MAX(cnt) AS n,
+         SUM(CAST(s AS HUGEINT) * s) AS snorm2,
+         SUM(ss) AS sum_unorm2
+  FROM comp GROUP BY label
 )
-SELECT label, count(*) AS n_pairs,
-       CAST(SUM(cos_e12) AS BIGINT) AS sum_cos_e12,
-       CAST(SUM(cos_e12) AS DOUBLE) / 1e12 / count(*) AS avg_cos
-FROM pairs GROUP BY label
+SELECT label,
+       n * (n - 1) // 2 AS n_pairs,
+       CAST(snorm2 - sum_unorm2 AS BIGINT) AS sum2_cos_e12,
+       CAST(snorm2 - sum_unorm2 AS DOUBLE) / 2e12
+         / (n * (n - 1) // 2) AS avg_cos
+FROM agg
+WHERE n >= 2
 """
 
 

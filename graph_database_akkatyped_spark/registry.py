@@ -32,46 +32,70 @@ _MODULES = (
     "graph_database_akkatyped_spark.streaming.stateful",
 )
 
-# driver-sweep priority. Block 1: keys with no CORRECTNESS_r01 row
-# (ascending sf0.1 cost per BENCH_r01). Block 2: keys already proven in
-# round 1, cheapest first, the slow trio last.
+# driver-sweep priority, rotated for round 3. The driver checks the
+# first ~50 keys per round (r01 and r02 each stopped at exactly 50).
+# Block 1: embedding_quantize (the one red r02 row, now fixed) followed
+# by the 53 keys with no driver row in r01∪r02, ascending sf0.1 cost
+# (BENCH_r02 + BENCH_FULL). Block 2: the 99 keys already driver-green,
+# cheapest first. RULE until the sweep closes: any NEW key must be
+# appended explicitly at the END of block 2 — an unranked key sorts
+# first (rank -1) and would displace a never-checked key from the
+# 50-key budget.
 _SWEEP_ORDER = (
-    # -- block 1: never driver-checked (round 1 sweep truncated at #50)
-    "label_propagation", "khop_neighbors", "sssp_user_weighted",
-    "kcore_decompose", "pagerank_fixed", "stream_stream_join",
-    "stream_watermark_late", "path_exists", "split_train_test",
-    "sssp_weighted", "text_lang_stats", "text_token_count",
-    "stream_stateful_count", "dedup_clusters", "stream_static_join",
-    "multimodal_enrich", "text_chunk_sliding", "text_quality_score",
-    "text_wordcount", "source_event_stream", "multimodal_decode_stub",
-    "stream_sliding", "stream_tumbling", "udf_python", "pack_sequences",
-    "simsearch_ivf", "simsearch_topk", "text_fingerprint",
-    "stream_session", "stream_dedup", "udf_pandas", "simsearch_lsh",
-    "text_sentiment_lexicon", "agg_approx_percentile", "bfs_levels",
-    "build_user_graph", "clustering_coefficient", "connected_components",
-    "dedup_exact", "dedup_near_minhash", "dedup_simhash", "fn_array",
-    "fn_bitwise", "fn_conditional", "fn_date", "fn_explode", "fn_hash",
-    "fn_hash_native", "fn_json", "fn_map", "fn_math", "fn_string",
-    "fn_string_rewrite", "udf_mapinarrow", "text_tfidf",
-    "text_langid_ngram", "udaf_applyinpandas", "dedup_embedding_cosine",
-    "udtf_python", "text_ngrams", "simsearch_pairs_label",
-    "dedup_ngram_jaccard", "motif_triangle_sql", "triangle_count",
-    "mutual_neighbors", "udaf_cogrouped_asof",
-    # -- block 2: green in CORRECTNESS_r01, cheapest first
-    "scan_parquet", "sink_parquet", "sink_csv_roundtrip",
-    "sink_json_roundtrip", "sort_limit_topk", "join_cross_small",
-    "scan_pruned", "set_union", "join_full", "subquery_in",
-    "vertex_lookup", "join_semi", "unpivot_melt", "join_inner_hash",
-    "set_except", "set_intersect", "subquery_scalar",
-    "join_asof_nearest", "join_left", "window_first_last",
-    "window_lead_lag", "window_rank", "window_ntile", "neighbors_out",
-    "pivot_segment", "window_running", "window_range_frame",
-    "join_theta_range", "agg_approx_distinct", "agg_distinct",
-    "agg_hash", "agg_listagg", "agg_minmax_by", "agg_mode",
-    "agg_moments", "agg_percentiles", "build_edges", "build_vertices",
-    "degree_distribution", "degree_in", "degree_out", "filter_project",
-    "flagship", "grouping_cube", "grouping_rollup", "grouping_sets",
-    "join_anti", "join_broadcast", "table_profile", "join_salted_skew",
+    # -- block 1a: red row in r02, serialization fixed this round
+    "embedding_quantize",
+    # -- block 1b: never driver-checked in r01∪r02, ascending cost
+    "dedup_clusters", "bfs_levels", "connected_components",
+    "fn_bitwise", "fn_hash", "fn_conditional", "fn_explode",
+    "fn_string", "dedup_exact", "source_event_stream",
+    "text_quality_score", "multimodal_enrich", "fn_string_rewrite",
+    "text_wordcount", "udf_python", "pack_sequences", "fn_date",
+    "udf_mapinarrow", "fn_hash_native", "text_chunk_sliding",
+    "stream_sliding", "fn_math", "stream_tumbling", "simsearch_topk",
+    "stream_dedup", "multimodal_decode_stub", "udf_pandas",
+    "stream_session", "udaf_applyinpandas", "agg_approx_percentile",
+    "text_fingerprint", "fn_array", "text_ngrams",
+    "simsearch_pairs_label", "simsearch_ivf", "stream_static_join",
+    "text_sentiment_lexicon", "fn_map", "simsearch_lsh",
+    "text_langid_ngram", "fn_json", "text_tfidf",
+    "dedup_embedding_cosine", "udtf_python", "build_user_graph",
+    "triangle_count", "dedup_simhash", "clustering_coefficient",
+    "udaf_cogrouped_asof", "motif_triangle_sql", "dedup_ngram_jaccard",
+    "mutual_neighbors", "dedup_near_minhash",
+    # -- block 2: driver-green in r01∪r02, cheapest first
+    "kcore_decompose", "topo_longest_path", "label_propagation",
+    "khop_neighbors", "sssp_weighted", "pagerank_personalized",
+    "sssp_user_weighted", "stream_minhash_signature", "scan_parquet",
+    "pagerank_fixed", "sink_parquet", "stream_stream_join",
+    "stream_watermark_late", "sink_csv_roundtrip",
+    "sink_partitioned_pruned", "sink_orc_roundtrip", "build_vertices",
+    "join_cross_small", "vertex_lookup", "split_train_test",
+    "window_distribution", "join_full", "sink_json_roundtrip",
+    "sort_limit_topk", "doc_length_histogram", "scan_pruned",
+    "text_lang_stats", "text_token_count", "set_union", "unpivot_melt",
+    "dedup_materialize", "join_semi", "subquery_in", "set_intersect",
+    "fn_regexp", "text_normalize", "corpus_training_manifest",
+    "window_lead_lag", "path_exists", "stream_topk_types",
+    "subquery_scalar", "window_first_last", "window_ntile",
+    "journal_intervals", "filter_project", "join_inner_hash",
+    "window_rank", "set_except", "join_left", "sssp_pred_tree",
+    "corpus_mix_weights", "join_anti", "timeseries_gapfill",
+    "stream_stateful_count", "agg_minmax_by", "join_asof_nearest",
+    "sessionize_events", "window_running", "pii_redact",
+    "timeseries_multires_rollup", "events_anomaly_hours", "agg_mode",
+    "agg_filtered", "curation_filter_report", "graph_summary_stats",
+    "pivot_segment", "agg_distinct", "neighbors_out",
+    "grouping_rollup", "agg_listagg", "join_theta_range",
+    "grouping_sets", "funnel_conversion", "simsearch_hybrid_rrf",
+    "graph_activity_timeline", "text_repetition", "join_broadcast",
+    "agg_percentiles", "sample_hash", "decontam_ngram_overlap",
+    "rfm_segmentation", "flagship", "sql_recursive_reachability",
+    "dedup_incremental", "grouping_cube", "window_range_frame",
+    "text_minhash_signature", "retention_cohorts", "degree_out",
+    "build_edges", "join_salted_skew", "degree_in",
+    "bipartite_copurchase", "agg_approx_distinct", "table_profile",
+    "degree_distribution", "agg_hash", "agg_moments", "edge_jaccard",
+    # -- new keys added after the r03 rotation go HERE (end of list)
 )
 
 
