@@ -94,6 +94,11 @@ def main() -> None:
         if len(json.dumps(compact)) > budget:
             del compact["queries"][key]
             break
+    # ORDERING CONTRACT: the compact metric line must be the LAST thing
+    # on stdout (nothing may print after it). The driver json-parses
+    # only the final ~2000-char tail of stdout; r01's record came back
+    # "parsed": null because output after the metric line pushed it out
+    # of that window. Keep this print as the final statement of main().
     print(json.dumps(compact))
 
 

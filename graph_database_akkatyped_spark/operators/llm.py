@@ -425,7 +425,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The banding is a pure function of the input floats, identical in
     SQL, so the result still hash-matches the oracle. The exact
     all-pairs form survives only as the small-n unit-test baseline
-    (tests/test_dedup_synthetic.py)."""
+    (tests/test_dedup_synthetic.py).
+
+    SKEW NOTE (100 TB): on a near-duplicate-HEAVY corpus a duplicate
+    cluster of k vectors shares one (band, key) bucket in every band —
+    the equi-join then emits its k² candidate pairs in a single task.
+    The threshold rule matches join_salted_skew: once one bucket holds
+    more than ~1 shuffle-partition's worth of rows
+    (spark.sql.files.maxPartitionBytes / row width, and beyond AQE's
+    skew-split reach because BOTH join sides share the bucket), switch
+    to :func:`dedup_embedding_cosine_salted`, which spreads each bucket
+    over a g·(g+1)/2 slot grid with IDENTICAL candidate semantics.
+    Demonstrated in tools/dedup_skew_check.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     banded = emb.select(
         "vec_id",
@@ -490,6 +501,81 @@ FROM cand c JOIN e e1 ON e1.vec_id = c.a JOIN e e2 ON e2.vec_id = c.b
 WHERE {_sql_dot('e1.embedding', 'e2.embedding')}
         / (sqrt(e1.nrm) * sqrt(e2.nrm)) >= {_EMB_COS_MIN}
 """
+
+
+def dedup_embedding_cosine_salted(
+    spark: SparkSession, sf_dir: str, n_salt: int = 8
+) -> DataFrame:
+    """Grid-salted twin of :func:`dedup_embedding_cosine` for
+    duplicate-heavy corpora (the hot-band skew case in its docstring).
+
+    Mechanism — the self-join analogue of join_salted_skew's
+    fact/dim salting: every member of a (band, key) bucket gets a
+    deterministic group g_r = xxhash64(vec_id) % g. A pair whose
+    members sit in groups (i, j), i = min, j = max, is produced under
+    join key (band, key, i, j): the left side replicates each row for
+    every slot j' ≥ g_r, the right side for every slot i' ≤ g_r. One
+    hot bucket therefore fans out over g·(g+1)/2 join keys → that many
+    tasks, instead of one. The candidate SET is unchanged (each pair
+    matches in exactly one slot; self/dup matches are removed by the
+    a < b filter and the distinct), so the verified output is
+    bit-identical to the unsalted operator — salting changes the
+    partitioning, never the semantics. Cost: ~(g+1)/2 × banded-row
+    replication, the price of parallelizing a bucket no skew handler
+    can split (both join sides share it)."""
+    g = n_salt
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_sign_band_key(b) for b in range(_EMB_BANDS)])
+        ).alias("band", "key"),
+    ).withColumn("grp", F.pmod(F.xxhash64("vec_id"), F.lit(g)).cast("int"))
+    left = banded.select(
+        F.col("vec_id").alias("a"), "band", "key",
+        F.col("grp").alias("i"),
+        F.explode(F.sequence(F.col("grp"), F.lit(g - 1))).alias("j"),
+    )
+    right = banded.select(
+        F.col("vec_id").alias("b"), "band", "key",
+        F.explode(F.sequence(F.lit(0), F.col("grp"))).alias("i"),
+        F.col("grp").alias("j"),
+    )
+    # a pair is guaranteed a grid match only in the orientation whose
+    # LEFT member has the smaller salt group — which may be the larger
+    # vec_id — so match unordered (a != b) and normalize with
+    # least/greatest before the distinct
+    cand = (
+        left.join(right, ["band", "key", "i", "j"])
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .distinct()
+    )
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    ea = e.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt("nrm_a") * F.sqrt("nrm_b")
+    )
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= _EMB_COS_MIN)
+        .select("a", "b", "cos")
+    )
 
 
 def text_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,7 +896,14 @@ SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: BucketedRandomProjectionLSH candidates -> exact
     re-rank top-10 per query by euclidean distance. Seeded;
-    rows-only (LSH candidate sets are probabilistic by design)."""
+    rows-only (LSH candidate sets are probabilistic by design).
+
+    Both approxSimilarityJoin sides derive from `emb`; unlike
+    dedup_near_minhash the re-derived work is one column cast
+    (array_to_vector), so a persist-before-self-join cut costs more
+    (eager materialization + cache blocks per call) than the recompute
+    it saves at bench scale — measured 0.8 s -> 1.7 s when tried. On a
+    real corpus where featurization dominates, persist `emb` first."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -867,7 +960,11 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnorm = _dot(F.col("centroid"), F.col("centroid"))
     cells = centroids.select("label", "centroid", cnorm.alias("cnrm"))
-    # 2) probe: top-2 cells per query by centroid cosine
+    # 2) probe: top-2 cells per query by centroid cosine. base feeds
+    # three consumers (query filter, probe, final cell join) but the
+    # re-derived work is one scan + norm fold — a checkpoint cut costs
+    # more than it saves at this scale (measured); persist on a real
+    # corpus where the scan dominates.
     norm = _dot(F.col("embedding"), F.col("embedding"))
     base = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
     queries = base.where(F.col("vec_id") < 5).select(

@@ -138,3 +138,19 @@ def test_embedding_banded_parity_nonempty(spark, emb_dir):
     con = _duck_for(emb_dir, "embeddings")
     oracle_pd = con.execute(llm._DEDUP_EMB_SQL).fetchdf()
     assert not compare(spark_pd, oracle_pd)
+
+
+@pytest.mark.parametrize("n_salt", [1, 3, 8])
+def test_embedding_salted_identical_to_unsalted(spark, emb_dir, n_salt):
+    """Grid salting must change partitioning only: the pair set and the
+    cosines are bit-identical to the unsalted operator at any g,
+    including g=1 (degenerate single slot) and g > n (over-split)."""
+    base = (
+        llm.dedup_embedding_cosine(spark, emb_dir)
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    salted = (
+        llm.dedup_embedding_cosine_salted(spark, emb_dir, n_salt=n_salt)
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert base.equals(salted)
