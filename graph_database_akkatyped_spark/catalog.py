@@ -1,9 +1,10 @@
 """Fixture catalog: load the ten driver tables and register temp views.
 
-Tables + schemas: /root/repo/FIXTURES.md. ``events.ts`` is stored with
-nanosecond precision in parquet; Spark truncates to microseconds on
-read (lossless here — fixture values are µs-resolution), the DuckDB
-oracle must ``CAST(ts AS TIMESTAMP)`` to match.
+Tables + schemas: /root/repo/FIXTURES.md. ``events.ts`` has shipped in
+two storage vintages (see FIXTURES.md): ns-precision INT64 (round 1)
+and µs TIMESTAMP_NTZ (round 2+). ``normalize_events_ts`` adapts per
+vintage so every consumer sees a session-TZ TIMESTAMP; the DuckDB
+oracle's matching cast is ``CAST(ts AS TIMESTAMP)``.
 """
 
 from __future__ import annotations
@@ -40,7 +41,13 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
       BIGINT; ``div 1000`` to µs is lossless (values are µs-resolution)
     - µs-precision TIMESTAMP_NTZ (round 2+): cast NTZ→TIMESTAMP, which
       under the UTC session timezone is a value-preserving relabel
+
+    The NTZ→TIMESTAMP cast is value-preserving ONLY under a UTC session
+    timezone, so this function enforces it itself (via the owning
+    session's confs) rather than trusting every caller to have run
+    ``_ensure_session_confs`` first.
     """
+    _ensure_session_confs(df.sparkSession)
     kind = dict(df.dtypes).get("ts")
     if kind == "bigint":
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

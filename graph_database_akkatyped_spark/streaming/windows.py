@@ -49,8 +49,9 @@ def _stream_dir(sf_dir: str, name: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` as a file-source stream. The ns timestamp is
-    converted exactly like the batch reader."""
+    """``events`` as a file-source stream. ``ts`` is normalized exactly
+    like the batch reader (``normalize_events_ts``, both storage
+    vintages)."""
     # must be set BEFORE any read of events.parquet: a vanilla session
     # (the driver's) rejects TIMESTAMP(NANOS) parquet outright
     _ensure_session_confs(spark)

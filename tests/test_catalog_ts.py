@@ -20,12 +20,16 @@ def test_live_fixture_ts_is_timestamp(spark):
 
 
 def test_both_vintages_agree(spark, tmp_path):
-    # same instants written as ns-int64 and as µs-timestamp
+    # same instants written as TIMESTAMP(NANOS) and as µs-timestamp.
+    # The ns file must carry the real TIMESTAMP(isAdjustedToUTC, NANOS)
+    # logical type — not a plain INT64 column — so the test exercises
+    # the actual round-1 read path: vanilla sessions reject it, and
+    # under nanosAsLong it arrives as BIGINT for the div-1000 branch.
     micros = [1_704_067_200_000_000, 1_704_070_800_123_456]
     tb_ns = pa.table(
         {
             "event_id": pa.array([1, 2], pa.int64()),
-            "ts": pa.array([m * 1000 for m in micros], pa.int64()),
+            "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
         }
     )
     tb_us = pa.table(

@@ -127,6 +127,35 @@ def test_stateful_count_matches_batch(spark):
     assert {u: n for u, (n, _) in res.items()} == batch
 
 
+def test_stateful_minmax_transformwithstate(spark):
+    """transformWithStateInPandas per-user stats vs the batch twin.
+    Skips where the TWS protobuf protocol dependency is absent (this
+    container); runs for real on a standard Spark 4 image."""
+    import pytest
+    from pyspark.sql import functions as F
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.streaming import stateful
+
+    if not stateful._tws_available():
+        pytest.skip("google.protobuf missing: TWS state server cannot start")
+    res = {
+        r["user_id"]: (r["n_events"], r["min_value"], r["max_value"])
+        for r in stateful.stream_stateful_minmax(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["lo"], r["hi"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert res == batch
+
+
 def test_stream_topk_foreachbatch_matches_batch(spark):
     """The streaming deployment of stream_topk_types: windowed counts
     aggregate under the engine, foreachBatch ranks each batch's
