@@ -61,6 +61,18 @@ def test_dedup_embedding_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_pairs_label_no_join(spark):
+    """The intra-label cosine average must stay the Σv̂-identity shape:
+    explode + two hash aggregations and NO join of any kind — a join
+    here means the O(n²/label) all-pairs formulation crept back."""
+    from graph_database_akkatyped_spark.operators import llm
+
+    df = llm.simsearch_pairs_label(spark, SF_ORACLE)
+    assert not uses(df, "Join"), "all-pairs self-join reappeared"
+    assert count_occurrences(df, "HashAggregate") >= 2
+    assert uses(df, "Generate"), "expected posexplode over the embedding"
+
+
 def test_pack_sequences_no_global_sort(spark):
     """The prefix sum must stay distributed: a single-partition Exchange
     before the window means the whole corpus funnels through one task."""
