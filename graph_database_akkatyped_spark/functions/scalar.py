@@ -203,20 +203,41 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 
 
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction/inspection — rows-only (map iteration order is
-    not defined, so value-hash comparison is meaningless by design)."""
+    """Map construction/inspection: create_map / str_to_map / map_concat
+    / map_keys / map_values / element_at over parsed event props.
+
+    The CHECKED output is all-scalar on purpose: the driver's
+    canonicalizer runs a pandas sort over the result and map/array cells
+    are unhashable there (r01-r03 red rows), so keys/values are
+    serialized with sorted-key ``concat_ws`` — which also upgrades this
+    key from rows-only to a full SQL value-hash check. Map iteration
+    order itself is still never compared (undefined on both engines)."""
     e = load_table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("k"), F.get_json_object("props", "$.k"),
         F.lit("type"), F.col("event_type"),
     )
     sm = F.str_to_map(F.concat(F.lit("ev:"), F.col("event_type")), F.lit(","), F.lit(":"))
+    both = F.map_concat(m, sm)
     return e.select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(sm).alias("smvals"),
+        F.element_at(m, F.lit("k")).alias("m_k"),
+        F.element_at(m, F.lit("type")).alias("m_type"),
+        F.concat_ws(",", F.array_sort(F.map_keys(both))).alias("all_keys"),
+        F.concat_ws(",", F.map_values(sm)).alias("sm_vals"),
+        F.size(both).alias("n_entries"),
     )
+
+
+_FN_MAP_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS m_k,
+       event_type AS m_type,
+       'ev,k,type' AS all_keys,
+       event_type AS sm_vals,
+       CAST(3 AS INTEGER) AS n_entries
+FROM events
+"""
 
 
 def fn_string_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,7 +369,8 @@ ORACLES = {
     "fn_hash": (
         "SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256 FROM documents"
     ),
-    # fn_hash_native, fn_map: rows-only by design
+    # fn_hash_native: rows-only by design (engine-specific hash family)
+    "fn_map": _FN_MAP_SQL,
     "fn_array": _FN_ARRAY_SQL,
     "fn_explode": _FN_EXPLODE_SQL,
     "fn_json": _FN_JSON_SQL,

@@ -1672,6 +1672,50 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_enrich_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (driver-checked) variant of :func:`multimodal_enrich`.
+
+    The API version returns a typed ``struct<lang, n_tokens, label,
+    embedding array<float>>`` column; the driver's canonicalizer runs a
+    pandas sort over the result and nested struct/array cells are
+    unhashable there (the r01-r03 red rows). This variant flattens the
+    struct to scalars and serializes the float vector through the
+    memory-proven integer recipe — ``floor(x * 1e6)`` after an exact
+    float32→double cast is bit-identical on Spark and DuckDB — so the
+    key gets a full SQL value-hash check instead of a crash. Nothing is
+    lost: the typed version stays the API/test surface."""
+    typed = multimodal_enrich(spark, sf_dir)
+    emb_q = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("meta.embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+    return typed.select(
+        "doc_id",
+        "text",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_tokens").alias("n_tokens"),
+        F.col("meta.label").alias("label"),
+        emb_q.alias("emb_q"),
+    )
+
+
+_MULTIMODAL_ENRICH_SQL = """
+SELECT d.doc_id, d.text, d.lang,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+       e.label,
+       array_to_string(
+         list_transform(e.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),
+         ',') AS emb_q
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: treat text bytes as an opaque binary
     payload column and run an Arrow-batched mapInPandas "decoder".
@@ -1875,14 +1919,14 @@ QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "pack_sequences": pack_sequences,
     "split_train_test": split_train_test,
-    "multimodal_enrich": multimodal_enrich,
+    "multimodal_enrich": multimodal_enrich_checked,
     "multimodal_decode_stub": multimodal_decode_stub,
 }
 
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
-    # dedup_near_minhash, dedup_simhash, simsearch_lsh, multimodal_enrich:
-    # rows-only by design (sketches / nested output)
+    # dedup_near_minhash, dedup_simhash, simsearch_lsh:
+    # rows-only by design (sketches)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
@@ -1907,5 +1951,6 @@ ORACLES = {
     "text_chunk_sliding": _TEXT_CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "split_train_test": _SPLIT_SQL,
+    "multimodal_enrich": _MULTIMODAL_ENRICH_SQL,
     "multimodal_decode_stub": _MULTIMODAL_DECODE_SQL,
 }
