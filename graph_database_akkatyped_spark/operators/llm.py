@@ -1063,9 +1063,17 @@ def simsearch_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     and square is exact integer math — bit-identical across engines and
     partition orders. ``sum2_cos_e12`` is TWICE the pair-sum in e12
     units (kept doubled so it stays a pure BIGINT; halving happens only
-    in the float ``avg_cos``). Headroom: squares go through
-    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so ‖Σu‖² is safe to
-    n ≈ 1e13 rows per label before the final BIGINT cast clips."""
+    in the float ``avg_cos``). Headroom, stage by stage: ``ss`` and all
+    later sums accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    from the FIRST aggregation — a LONG accumulator for Σui² would wrap
+    at ~9.2e6 rows per label. The remaining limits are the LONG ``s``
+    (|Σui| ≤ n·1e6 → n ≲ 9e12), the DECIMAL(38,0) ‖Σu‖² (n ≲ 1e12),
+    and — tightest — the e12-scaled BIGINT output ``sum2_cos_e12``
+    itself (≈ n²·avg_cos·1e12 ≤ 9.2e18 → n ≲ 3e3/√avg_cos for tightly
+    clustered labels). That last one is an output-unit choice, not an
+    internal hazard: both engines fail the final cast loudly and
+    identically; for corpora beyond it, drop the unit scale (e6) or
+    emit the DECIMAL directly."""
     emb = load_table(spark, sf_dir, "embeddings")
     norm = _dot(F.col("embedding"), F.col("embedding"))
     # single pass: explode the RAW embedding alongside a once-per-row
@@ -1089,7 +1097,13 @@ def simsearch_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(
             F.sum("ui").alias("s"),
-            F.sum(F.col("ui") * F.col("ui")).alias("ss"),
+            # each product fits BIGINT (|ui| <= 1e6 -> ui^2 <= 1e12) but
+            # the SUM must accumulate in DECIMAL(38,0): a LONG
+            # accumulator wraps at ~9.2e6 rows per label (silent with
+            # ANSI off, ARITHMETIC_OVERFLOW under Spark 4's ANSI
+            # default) while the DuckDB oracle sums into HUGEINT —
+            # engine parity would break exactly at scale
+            F.sum((F.col("ui") * F.col("ui")).cast("decimal(38,0)")).alias("ss"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )

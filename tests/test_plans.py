@@ -73,6 +73,24 @@ def test_pairs_label_no_join(spark):
     assert uses(df, "Generate"), "expected posexplode over the embedding"
 
 
+def test_pairs_label_ss_accumulates_in_decimal(spark):
+    """The first-stage Σui² must accumulate in DECIMAL(38,0): a LONG
+    sum wraps at ~9.2e6 rows per label (ui² up to 1e12) while the
+    DuckDB oracle sums into HUGEINT — a silent parity break that only
+    shows up at scale, never on the fixtures."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    df = llm.simsearch_pairs_label(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    agg_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "partial_sum" in ln and "decimal(38,0)" in ln
+    ]
+    assert agg_lines, f"Σui² no longer sums in decimal(38,0):\n{plan}"
+
+
 def test_pack_sequences_no_global_sort(spark):
     """The prefix sum must stay distributed: a single-partition Exchange
     before the window means the whole corpus funnels through one task."""
