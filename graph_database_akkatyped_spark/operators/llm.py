@@ -1509,10 +1509,24 @@ FROM documents
 _PACK_BUDGET = 512
 
 
-_PACK_SHARDS = 32
+def _pack_shard_count(spark: SparkSession, docs: DataFrame) -> int:
+    """Shard count for the distributed prefix sum, derived from the
+    INPUT instead of a constant: the physical scan's partition count
+    (one task per ~``spark.sql.files.maxPartitionBytes`` of parquet, so
+    it grows linearly with corpus bytes), floored by the cluster's
+    default parallelism. The round-3 audit flagged the previous
+    ``_PACK_SHARDS = 32``: at 100 TB it would funnel ~3 TB through each
+    of 32 ordered running-window tasks. Pack assignment is
+    shard-count-invariant (offsets compose), so this is purely a
+    parallelism knob — tests pin equality at 8/32/128."""
+    return max(
+        spark.sparkContext.defaultParallelism, docs.rdd.getNumPartitions()
+    )
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, n_shards: int | None = None
+) -> DataFrame:
     """Assign docs to fixed token-budget packs (offset binning over the
     doc_id-ordered running token total) — the batch-construction step
     before training. Integer-exact, so pack assignment is deterministic
@@ -1523,18 +1537,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     single un-partitioned window would serialize the whole corpus
     through one task at 100 TB:
 
-    1. range-partition by doc_id, take per-partition token subtotals
-       (tiny: one row per shard, collected driver-side),
-    2. cumulative offsets per shard go back as a broadcast map literal;
-       each shard computes its local running sum + offset in parallel.
+    1. range-partition by doc_id into ``n_shards`` (input-scaled, see
+       :func:`_pack_shard_count`), take per-partition token subtotals
+       (tiny: one row per shard, collected driver-side — the collect is
+       O(shards), never O(rows)),
+    2. cumulative offsets per shard go back via a broadcast equi-join
+       on the shard id (a map literal would embed O(shards) constants
+       in the plan); each shard computes its local running sum + offset
+       in parallel.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if n_shards is None:
+        n_shards = _pack_shard_count(spark, docs)
     n_tok = F.size(F.split(F.col("text"), " "))
     sized = (
         docs.select("doc_id", n_tok.cast("long").alias("n_tok"))
         # range partitioning => shard i holds strictly smaller doc_ids
         # than shard i+1, so per-shard offsets compose a global order
-        .repartitionByRange(_PACK_SHARDS, "doc_id")
+        .repartitionByRange(n_shards, "doc_id")
         .withColumn("pid", F.spark_partition_id())
         # freeze the shard assignment so pass 1 and pass 2 see the
         # exact same partitioning (range boundaries are sampled)
@@ -1548,14 +1568,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(subtot):
         offsets[pid] = running
         running += subtot[pid]
-    off = (
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("pid"),
+    if offsets:
+        off_df = spark.createDataFrame(
+            list(offsets.items()), "pid int, off bigint"
         )
-        if offsets
-        else F.lit(0).cast("long")
-    )
+        sized = sized.join(F.broadcast(off_df), "pid")
+    else:
+        sized = sized.withColumn("off", F.lit(0).cast("long"))
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")
@@ -1563,7 +1582,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = sized.withColumn(
         "pack_id",
-        F.floor((off + F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET),
+        F.floor(
+            (F.col("off") + F.sum("n_tok").over(w) - F.col("n_tok"))
+            / _PACK_BUDGET
+        ),
     )
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
