@@ -96,7 +96,7 @@ _SWEEP_ORDER = (
     "bipartite_copurchase", "agg_approx_distinct", "table_profile",
     "degree_distribution", "agg_hash", "agg_moments", "edge_jaccard",
     # -- new keys added after the r03 rotation go HERE (end of list)
-    "stream_stateful_minmax",
+    "stream_stateful_minmax", "stream_stateful_ttl",
 )
 
 

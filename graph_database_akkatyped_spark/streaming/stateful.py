@@ -122,35 +122,17 @@ class _UserStatsProcessor(_StatefulProcessorBase):
         pass
 
 
-def stream_stateful_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event count + value min/max via
-    ``transformWithStateInPandas`` (real micro-batch run, AvailableNow,
-    memory sink). Update mode can emit once per micro-batch per user;
-    n_events is strictly monotone, so the final per-user row is the one
-    with the highest counter — min/max travel with it via max_by."""
-    proc = _UserStatsProcessor()
-    from graph_database_akkatyped_spark.streaming.windows import stream_events
+_MINMAX_OUT_SCHEMA = (
+    "user_id long, n_events long, min_value double, max_value double"
+)
 
-    stream = stream_events(spark, sf_dir).select("user_id", "value")
-    counted = stream.groupBy("user_id").transformWithStateInPandas(
-        proc,
-        outputStructType=(
-            "user_id long, n_events long, min_value double, max_value double"
-        ),
-        outputMode="Update",
-        timeMode="None",
-    )
-    name = f"stateful_tws_{uuid.uuid4().hex[:8]}"
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+def _latest_minmax_per_user(spark: SparkSession, table: str) -> DataFrame:
+    """Update mode can emit once per micro-batch per user; n_events is
+    strictly monotone, so the final per-user row is the one with the
+    highest counter — min/max travel with it via max_by."""
     return (
-        spark.table(name)
+        spark.table(table)
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -160,10 +142,163 @@ def stream_stateful_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_to_memory_sink(counted: DataFrame, prefix: str) -> str:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def _minmax_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas path (needs google.protobuf)."""
+    proc = _UserStatsProcessor()
+    from graph_database_akkatyped_spark.streaming.windows import stream_events
+
+    stream = stream_events(spark, sf_dir).select("user_id", "value")
+    counted = stream.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=_MINMAX_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _latest_minmax_per_user(spark, _run_to_memory_sink(counted, "stateful_tws"))
+
+
+def _update_minmax(key, pdfs, state: GroupState):
+    """applyInPandasWithState twin of _UserStatsProcessor: same state
+    math, same emission shape, the legacy one-tuple state handle."""
+    (user_id,) = key
+    n, vmin, vmax = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        lo = float(pdf["value"].min())
+        hi = float(pdf["value"].max())
+        vmin = lo if vmin is None else min(vmin, lo)
+        vmax = hi if vmax is None else max(vmax, hi)
+    state.update((n, vmin, vmax))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "min_value": [vmin],
+            "max_value": [vmax],
+        }
+    )
+
+
+def _minmax_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free path: same output contract via the (stable)
+    applyInPandasWithState surface, which speaks plain Arrow to the
+    Python worker instead of the TWS protobuf state-server protocol."""
+    from graph_database_akkatyped_spark.streaming.windows import stream_events
+
+    stream = stream_events(spark, sf_dir).select("user_id", "value")
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        _update_minmax,
+        outputStructType=_MINMAX_OUT_SCHEMA,
+        stateStructType="n long, vmin double, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _latest_minmax_per_user(spark, _run_to_memory_sink(counted, "stateful_aip"))
+
+
+def stream_stateful_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event count + value min/max with arbitrary per-key state
+    (real micro-batch run, AvailableNow, memory sink).
+
+    Two interchangeable engines under ONE key and ONE output contract:
+    ``transformWithStateInPandas`` (Spark 4's typed-state surface) where
+    its ``google.protobuf`` dependency exists, else the stable
+    ``applyInPandasWithState`` fallback — so the operator is always
+    runnable instead of latent on runtimes without protobuf (the round-3
+    gap). The statistics are order-independent, so both paths are
+    engine-exact against the same SQL oracle, and
+    tests/test_streaming.py asserts the fallback's oracle parity
+    unconditionally (the TWS path stays skip-gated on the dependency)."""
+    if _tws_available():
+        return _minmax_tws(spark, sf_dir)
+    return _minmax_apply_in_pandas(spark, sf_dir)
+
+
 _STATEFUL_MINMAX_SQL = """
 SELECT user_id, count(*) AS n_events,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY user_id
+"""
+
+
+_TTL_MS = 600_000  # 10-minute idle TTL per user key
+
+
+def _expire_idle_users(key, pdfs, state: GroupState):
+    """Event-time TTL: the Spark analog of actor passivation in the
+    reference pattern — an entity whose mailbox stays empty past the
+    idle window is stopped and its state evicted. Here: a user key with
+    no events for 10 event-time minutes gets its state timed out; the
+    expiry emission is the 'passivation' record."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, _last_ms = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "status": ["expired"]}
+        )
+        return
+    n, last_ms = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # truncate to ms exactly like Spark's watermark tracker does
+        last_ms = max(last_ms, int(pdf["ts"].max().value // 10**6))
+    state.update((n, last_ms))
+    state.setTimeoutTimestamp(last_ms + _TTL_MS)
+    # live users emit nothing: the stream's OUTPUT is expirations
+
+
+def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State expiry via event-time timers (``EventTimeTimeout`` +
+    ``setTimeoutTimestamp``): per-user state carries a 10-minute idle
+    TTL; when the watermark (10-minute delay) passes a user's timeout,
+    the no-data micro-batch that AvailableNow runs after the last file
+    fires ``hasTimedOut`` and the handler emits the eviction record.
+
+    Deterministic, hence SQL-oracle-able: with the single-file fixture
+    source there is exactly one data batch, so a user expires iff
+    ``last_event_ms + TTL < max_event_ms - watermark_delay`` (both
+    sides ms-truncated, matching Spark's internal watermark math, and
+    strict ``<`` matching its fire condition). At scale this is the
+    state-store-eviction story: without TTL, 100 TB of keys accumulate
+    in the store forever; with it, state size tracks the ACTIVE key
+    set."""
+    from graph_database_akkatyped_spark.streaming.windows import stream_events
+
+    stream = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts")
+    )
+    expired = stream.groupBy("user_id").applyInPandasWithState(
+        _expire_idle_users,
+        outputStructType="user_id long, n_events long, status string",
+        stateStructType="n long, last_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return spark.table(_run_to_memory_sink(expired, "stateful_ttl"))
+
+
+_STATEFUL_TTL_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT user_id, count(*) AS n_events, 'expired' AS status
+FROM events, mx
+GROUP BY user_id, m
+HAVING epoch_ms(max(ts)) + 600000 < epoch_ms(m) - 600000
 """
 
 
@@ -183,11 +318,18 @@ def _tws_available() -> bool:
         return False
 
 
-QUERIES = {"stream_stateful_count": stream_stateful_count}
 # stream_stateful_count stays rows-only (float running total is
 # order-dependent); the minmax key's statistics are order-independent,
 # so it carries a full SQL oracle despite the arbitrary-state path.
-ORACLES: dict[str, str] = {}
-if _tws_available():  # pragma: no cover - container lacks protobuf
-    QUERIES["stream_stateful_minmax"] = stream_stateful_minmax
-    ORACLES["stream_stateful_minmax"] = _STATEFUL_MINMAX_SQL
+# stream_stateful_minmax registers UNCONDITIONALLY: the public function
+# picks transformWithStateInPandas when protobuf exists, else the
+# applyInPandasWithState fallback with the identical output contract.
+QUERIES = {
+    "stream_stateful_count": stream_stateful_count,
+    "stream_stateful_minmax": stream_stateful_minmax,
+    "stream_stateful_ttl": stream_stateful_ttl,
+}
+ORACLES: dict[str, str] = {
+    "stream_stateful_minmax": _STATEFUL_MINMAX_SQL,
+    "stream_stateful_ttl": _STATEFUL_TTL_SQL,
+}

@@ -127,22 +127,11 @@ def test_stateful_count_matches_batch(spark):
     assert {u: n for u, (n, _) in res.items()} == batch
 
 
-def test_stateful_minmax_transformwithstate(spark):
-    """transformWithStateInPandas per-user stats vs the batch twin.
-    Skips where the TWS protobuf protocol dependency is absent (this
-    container); runs for real on a standard Spark 4 image."""
-    import pytest
+def _minmax_batch_twin(spark):
     from pyspark.sql import functions as F
     from graph_database_akkatyped_spark.catalog import load_table
-    from graph_database_akkatyped_spark.streaming import stateful
 
-    if not stateful._tws_available():
-        pytest.skip("google.protobuf missing: TWS state server cannot start")
-    res = {
-        r["user_id"]: (r["n_events"], r["min_value"], r["max_value"])
-        for r in stateful.stream_stateful_minmax(spark, SF_SMOKE).collect()
-    }
-    batch = {
+    return {
         r["user_id"]: (r["n"], r["lo"], r["hi"])
         for r in load_table(spark, SF_SMOKE, "events")
         .groupBy("user_id")
@@ -153,7 +142,94 @@ def test_stateful_minmax_transformwithstate(spark):
         )
         .collect()
     }
-    assert res == batch
+
+
+def test_stateful_minmax_matches_batch(spark):
+    """The REGISTERED stream_stateful_minmax (TWS where protobuf exists,
+    applyInPandasWithState fallback here) vs the batch twin — runs
+    unconditionally on every runtime."""
+    from graph_database_akkatyped_spark.streaming import stateful
+
+    res = {
+        r["user_id"]: (r["n_events"], r["min_value"], r["max_value"])
+        for r in stateful.stream_stateful_minmax(spark, SF_SMOKE).collect()
+    }
+    assert res == _minmax_batch_twin(spark)
+
+
+def test_stateful_minmax_transformwithstate(spark):
+    """The transformWithStateInPandas path specifically. Skips where the
+    TWS protobuf protocol dependency is absent (this container); runs
+    for real on a standard Spark 4 image."""
+    import pytest
+    from graph_database_akkatyped_spark.streaming import stateful
+
+    if not stateful._tws_available():
+        pytest.skip("google.protobuf missing: TWS state server cannot start")
+    res = {
+        r["user_id"]: (r["n_events"], r["min_value"], r["max_value"])
+        for r in stateful._minmax_tws(spark, SF_SMOKE).collect()
+    }
+    assert res == _minmax_batch_twin(spark)
+
+
+def test_userstats_processor_pure_python():
+    """Drive _UserStatsProcessor.handleInputRows with a stub state
+    handle — no TWS protocol, no Spark: verifies the state math and the
+    emission shape the foreign Spark 4 image will rely on (so an API
+    mismatch shows up here, not as a driver failure there)."""
+    import pandas as pd
+    from graph_database_akkatyped_spark.streaming.stateful import (
+        _UserStatsProcessor,
+    )
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.state = StubValueState()
+
+        def getValueState(self, name, schema):
+            assert name == "stats"
+            return self.state
+
+    proc = _UserStatsProcessor()
+    handle = StubHandle()
+    proc.init(handle)
+
+    out1 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [3.0, -1.5]})]), None
+        )
+    )
+    assert len(out1) == 1
+    assert out1[0].to_dict("records") == [
+        {"user_id": 7, "n_events": 2, "min_value": -1.5, "max_value": 3.0}
+    ]
+    assert handle.state.get() == (2, -1.5, 3.0)
+
+    # second micro-batch accumulates onto existing state
+    out2 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [10.0]})]), None
+        )
+    )
+    assert out2[0].to_dict("records") == [
+        {"user_id": 7, "n_events": 3, "min_value": -1.5, "max_value": 10.0}
+    ]
+    # timer hook must yield nothing (iter(()) contract)
+    assert list(proc.handleExpiredTimer((7,), None, None)) == []
 
 
 def test_stream_topk_foreachbatch_matches_batch(spark):
