@@ -1048,6 +1048,83 @@ SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+def _recall_vs_truth(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    """recall@k of a candidate set against exact ground truth: per-query
+    hit counts via a left join on (q_id, vec_id), then ONE exact integer
+    division per output column. The macro average is computed from the
+    window-summed integer hit/truth counts (all per-query truth sets
+    have equal size, so macro == micro) — never by averaging doubles,
+    whose accumulation order differs between engines."""
+    j = truth.join(
+        cand.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left"
+    )
+    per_q = (
+        j.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    wall = Window.partitionBy()  # 1 row per query — trivially tiny
+    return per_q.select(
+        "q_id",
+        "n_true",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_true")).alias("recall_at_10"),
+        (
+            F.sum("n_hit").over(wall).cast("double")
+            / F.sum("n_true").over(wall)
+        ).alias("macro_recall"),
+    )
+
+
+def simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN path vs exact brute-force ground truth
+    (`simsearch_topk`) — the number that tells a curator what nprobe=2
+    buys: IVF reads only the probed cells, so recall < 1 by design, and
+    this key turns the docstring claim into a measured, hash-checked
+    value per query plus the corpus macro average. At scale the same
+    query runs over a sampled query set as the standing ANN quality
+    monitor."""
+    truth = simsearch_topk(spark, sf_dir).select("q_id", "vec_id")
+    cand = simsearch_ivf(spark, sf_dir).select("q_id", "vec_id")
+    return _recall_vs_truth(truth, cand)
+
+
+def simsearch_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the BucketedRandomProjectionLSH path vs exact
+    ground truth. rows-only: the candidate set depends on Spark's
+    internal seeded RNG, which no SQL engine can reproduce — the
+    deterministic-recall twin for the SQL-expressible ANN path is
+    `simsearch_recall` (IVF)."""
+    truth = simsearch_topk(spark, sf_dir).select("q_id", "vec_id")
+    cand = simsearch_lsh(spark, sf_dir).select("q_id", "vec_id")
+    return _recall_vs_truth(truth, cand)
+
+
+_SIMSEARCH_RECALL_SQL = f"""
+WITH truth AS (
+  SELECT q_id, vec_id FROM ({_SIMSEARCH_TOPK_SQL})
+),
+cand AS (
+  SELECT q_id, vec_id FROM ({_SIMSEARCH_IVF_SQL})
+),
+per_q AS (
+  SELECT t.q_id, count(*) AS n_true,
+         CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN cand c
+    ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+  GROUP BY t.q_id
+)
+SELECT q_id, n_true, n_hit,
+       CAST(n_hit AS DOUBLE) / n_true AS recall_at_10,
+       CAST(sum(n_hit) OVER () AS DOUBLE) / sum(n_true) OVER ()
+         AS macro_recall
+FROM per_q
+"""
+
+
 def simsearch_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avg intra-label cosine similarity (clustering sanity check) —
     computed WITHOUT the all-pairs self-join.
@@ -1942,6 +2019,8 @@ QUERIES = {
     "simsearch_hybrid_rrf": simsearch_hybrid_rrf,
     "simsearch_ivf": simsearch_ivf,
     "simsearch_lsh": simsearch_lsh,
+    "simsearch_recall": simsearch_recall,
+    "simsearch_recall_lsh": simsearch_recall_lsh,
     "simsearch_pairs_label": simsearch_pairs_label,
     "text_wordcount": text_wordcount,
     "text_tfidf": text_tfidf,
@@ -1974,6 +2053,9 @@ ORACLES = {
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
     "simsearch_hybrid_rrf": _HYBRID_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
+    # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's
+    # seeded internal RNG — not SQL-reproducible)
+    "simsearch_recall": _SIMSEARCH_RECALL_SQL,
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,
     "text_wordcount": _TEXT_WORDCOUNT_SQL,
     "text_tfidf": _TEXT_TFIDF_SQL,

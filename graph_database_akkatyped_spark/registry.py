@@ -97,6 +97,7 @@ _SWEEP_ORDER = (
     "degree_distribution", "agg_hash", "agg_moments", "edge_jaccard",
     # -- new keys added after the r03 rotation go HERE (end of list)
     "stream_stateful_minmax", "stream_stateful_ttl",
+    "simsearch_recall", "simsearch_recall_lsh",
 )
 
 
