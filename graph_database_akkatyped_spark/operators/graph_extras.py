@@ -28,6 +28,7 @@ from graph_database_akkatyped_spark.operators.algos import (
     _TRI_BASE,
     _UNIT,
     _canonical_edges,
+    _edge_common_counts,
 )
 from graph_database_akkatyped_spark.operators.graph_build import (
     NATION_EDGES_CTE,
@@ -180,22 +181,14 @@ def edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |N(x)∩N(y)| / |N(x)∪N(y) \\ {x,y}| — the standard link-prediction /
     edge-strength score.
 
-    Common-neighbor counts come from the canonical a<b<c triangle join
-    (intermediates bounded by the triangle count, as in
-    ``mutual_neighbors``); degrees are one groupBy over the symmetric
-    edge view. Integers throughout, one rounded division at the end.
+    Common-neighbor counts come from the shared canonical a<b<c
+    triangle frame (``algos._edge_common_counts`` — intermediates
+    bounded by the triangle count, as in ``mutual_neighbors``); degrees
+    are one groupBy over the symmetric edge view. Integers throughout,
+    one rounded division at the end.
     """
     ce = _canonical_edges(spark, sf_dir)
-    e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = ce.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = ce.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    pairs = (
-        tri.select(F.col("x").alias("p"), F.col("y").alias("q"))
-        .unionAll(tri.select(F.col("x").alias("p"), F.col("z").alias("q")))
-        .unionAll(tri.select(F.col("y").alias("p"), F.col("z").alias("q")))
-    )
-    common = pairs.groupBy("p", "q").agg(F.count(F.lit(1)).alias("n_common"))
+    common = _edge_common_counts(spark, sf_dir)
     deg = (
         ce.select(F.col("a").alias("v"))
         .unionAll(ce.select(F.col("b").alias("v")))
