@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import time
 from collections.abc import Iterable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -42,20 +43,71 @@ _V_SCHEMA = "id string, kind string, name string, op string, batch long"
 _E_SCHEMA = "src string, dst string, rel string, weight double, op string, batch long"
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted a mutation while another held the
+    journal write lock."""
+
+
 class GraphDB:
+    """Concurrency model — SINGLE WRITER, many readers.
+
+    In the reference pattern, each vertex actor's mailbox serializes its
+    mutations; the journal analog here serializes at the whole-DB level:
+    ``batch`` ids (time_ns at append time) order events, and replay
+    takes the latest batch per key, which is only correct if batches
+    never interleave. Every mutation (add/remove/compact) therefore
+    takes an exclusive lock file (O_CREAT|O_EXCL — atomic on POSIX and
+    on object-store FUSE mounts that honor exclusive create) for the
+    duration of the append; a concurrent mutation raises
+    :class:`ConcurrentWriterError` instead of silently corrupting batch
+    order. Readers never lock: parquet appends are atomic at file
+    granularity, so a read sees a consistent prefix of the journal.
+    ``compact()`` additionally requires that NO reader holds a plan over
+    the journal while it swaps directories — schedule it off-path, as
+    its docstring says. If a writer dies holding the lock, remove the
+    stale ``journal/.write_lock`` manually (:meth:`force_unlock`)."""
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         self._vdir = os.path.join(path, "journal", "vertices")
         self._edir = os.path.join(path, "journal", "edges")
+        self._lock_path = os.path.join(path, "journal", ".write_lock")
         os.makedirs(self._vdir, exist_ok=True)
         os.makedirs(self._edir, exist_ok=True)
 
     # ------------------------------------------------------------ commands
 
-    def _append(self, rows: list, schema: str, dest: str) -> None:
+    @contextmanager
+    def _write_lock(self):
+        try:
+            fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriterError(
+                f"another writer holds {self._lock_path}; GraphDB is "
+                "single-writer (see class docstring). If the previous "
+                "writer crashed, call force_unlock()."
+            ) from None
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            os.unlink(self._lock_path)
+
+    def force_unlock(self) -> None:
+        """Remove a stale write lock left by a crashed writer. Only call
+        when you KNOW no other writer is alive."""
+        if os.path.exists(self._lock_path):
+            os.unlink(self._lock_path)
+
+    def _append_unlocked(self, rows: list, schema: str, dest: str) -> None:
         df = self.spark.createDataFrame(rows, schema)
         df.write.mode("append").parquet(dest)
+
+    def _append(self, rows: list, schema: str, dest: str) -> None:
+        with self._write_lock():
+            self._append_unlocked(rows, schema, dest)
 
     def add_vertices(self, rows: Iterable[tuple]) -> None:
         """rows: (id, kind, name). Reference: AddNode command."""
@@ -75,20 +127,28 @@ class GraphDB:
         permanently. Appending explicit edge deletes makes replay
         compaction-invariant. The incident-edge fetch is a point lookup
         on one vertex id (OLTP-sized), not a scan."""
-        incident = (
-            self.edges()
-            .where((F.col("src") == vid) | (F.col("dst") == vid))
-            .select("src", "dst", "rel")
-            .collect()
-        )
-        batch = time.time_ns()
-        if incident:
-            self._append(
-                [(r.src, r.dst, r.rel, None, "delete", batch) for r in incident],
-                _E_SCHEMA,
-                self._edir,
+        with self._write_lock():  # one lock spans both appends: the
+            # edge-tombstone + vertex-tombstone pair must not interleave
+            # with another writer's re-add of the same id
+            incident = (
+                self.edges()
+                .where((F.col("src") == vid) | (F.col("dst") == vid))
+                .select("src", "dst", "rel")
+                .collect()
             )
-        self._append([(vid, None, None, "delete", batch)], _V_SCHEMA, self._vdir)
+            batch = time.time_ns()
+            if incident:
+                self._append_unlocked(
+                    [
+                        (r.src, r.dst, r.rel, None, "delete", batch)
+                        for r in incident
+                    ],
+                    _E_SCHEMA,
+                    self._edir,
+                )
+            self._append_unlocked(
+                [(vid, None, None, "delete", batch)], _V_SCHEMA, self._vdir
+            )
 
     def add_edges(self, rows: Iterable[tuple]) -> None:
         """rows: (src, dst, rel, weight). Reference: AddEdge command."""
@@ -142,27 +202,31 @@ class GraphDB:
 
         At scale this is the maintenance job that keeps replay cost
         O(live state); run it partition-by-partition off the write path.
+        Holds the write lock for its whole duration (snapshot + swap):
+        a mutation landing between the snapshot read and the directory
+        swap would be silently dropped.
         """
-        batch = time.time_ns()
-        v = self.vertices().withColumn("op", F.lit("upsert")).withColumn(
-            "batch", F.lit(batch)
-        )
-        e = self.edges().withColumn("op", F.lit("upsert")).withColumn(
-            "batch", F.lit(batch)
-        )
-        vtmp, etmp = self._vdir + ".tmp", self._edir + ".tmp"
-        v.select("id", "kind", "name", "op", "batch").write.mode(
-            "overwrite"
-        ).parquet(vtmp)
-        e.select("src", "dst", "rel", "weight", "op", "batch").write.mode(
-            "overwrite"
-        ).parquet(etmp)
-        import shutil
+        with self._write_lock():
+            batch = time.time_ns()
+            v = self.vertices().withColumn("op", F.lit("upsert")).withColumn(
+                "batch", F.lit(batch)
+            )
+            e = self.edges().withColumn("op", F.lit("upsert")).withColumn(
+                "batch", F.lit(batch)
+            )
+            vtmp, etmp = self._vdir + ".tmp", self._edir + ".tmp"
+            v.select("id", "kind", "name", "op", "batch").write.mode(
+                "overwrite"
+            ).parquet(vtmp)
+            e.select("src", "dst", "rel", "weight", "op", "batch").write.mode(
+                "overwrite"
+            ).parquet(etmp)
+            import shutil
 
-        shutil.rmtree(self._vdir)
-        shutil.rmtree(self._edir)
-        os.rename(vtmp, self._vdir)
-        os.rename(etmp, self._edir)
+            shutil.rmtree(self._vdir)
+            shutil.rmtree(self._edir)
+            os.rename(vtmp, self._vdir)
+            os.rename(etmp, self._edir)
 
     # ---------------------------------------------------------------- asks
 

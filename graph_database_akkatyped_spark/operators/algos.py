@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from graph_database_akkatyped_spark.caching import memoized_checkpoint as _memoized
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.operators.graph_build import (
     NATION_EDGES_CTE,
@@ -467,28 +468,6 @@ def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
 
 
 _STRONG_MIN_WEIGHT = 3
-
-
-# per-(session, sf_dir) memo for the materialized graph frames shared
-# across the motif/triangle family — bounded (one entry per sf_dir), so
-# repeated suite runs reuse ONE localCheckpoint instead of stacking a
-# fresh block per key invocation
-_GRAPH_FRAME_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
-
-
-def clear_graph_frame_cache() -> None:
-    """Drop memoized edge/triangle frames (tests, or to release the
-    executor storage their localCheckpoints hold)."""
-    _GRAPH_FRAME_CACHE.clear()
-
-
-def _memoized(spark: SparkSession, kind: str, sf_dir: str, build) -> DataFrame:
-    hit = _GRAPH_FRAME_CACHE.get((kind, sf_dir))
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    df = build().localCheckpoint(eager=True)
-    _GRAPH_FRAME_CACHE[(kind, sf_dir)] = (spark, df)
-    return df
 
 
 def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

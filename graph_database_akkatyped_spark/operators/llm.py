@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from graph_database_akkatyped_spark.caching import memoized_checkpoint
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.numerics import davg, sql_davg
 
@@ -83,27 +84,33 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB dedup path. Seeded -> deterministic; rows-only check (MinHash
     is a sketch, engine-specific by design).
 
-    The shingle->HashingTF frame is materialized (localCheckpoint)
-    before the self-join: approxSimilarityJoin references it on BOTH
-    sides, and without the cut each side re-tokenizes and re-hashes the
-    whole corpus — the round-2 bench showed that recomputation as a
-    2.4x regression. At cluster scale the same rule holds: persist the
-    featurized corpus once, band-join the cached blocks."""
+    The shingle->HashingTF frame is materialized (localCheckpoint,
+    memoized per session+sf_dir — see caching.py for why, and for the
+    replicated-persist guidance at cluster scale) before the self-join:
+    approxSimilarityJoin references it on BOTH sides, and without the
+    cut each side re-tokenizes and re-hashes the whole corpus — the
+    round-2 bench showed that recomputation as a 2.4x regression. At
+    cluster scale the same rule holds: persist the featurized corpus
+    once, band-join the cached blocks."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tokens")
-    )
-    grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(docs)
-    tf = (
-        HashingTF(
-            inputCol="shingles", outputCol="features",
-            numFeatures=1 << 18, binary=True,
+    def featurize() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("tokens")
         )
-        .transform(grams)
-        .select("doc_id", "features")
-        .localCheckpoint(eager=True)
-    )
+        grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(
+            docs
+        )
+        return (
+            HashingTF(
+                inputCol="shingles", outputCol="features",
+                numFeatures=1 << 18, binary=True,
+            )
+            .transform(grams)
+            .select("doc_id", "features")
+        )
+
+    tf = memoized_checkpoint(spark, "minhash_tf", sf_dir, featurize)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=5, seed=42
     ).fit(tf)
@@ -145,7 +152,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (any equal byte -> candidate), verify Hamming distance ≤ 6.
     Banding keeps the candidate set near-linear. rows-only (engine-
     native xxhash64 under the hood)."""
-    fp = _simhash_fingerprint(spark, sf_dir).localCheckpoint(eager=True)
+    fp = memoized_checkpoint(
+        spark, "simhash_fp", sf_dir,
+        lambda: _simhash_fingerprint(spark, sf_dir),
+    )
     banded = fp.select(
         "doc_id",
         "simhash32",
@@ -256,7 +266,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fringe. The exact all-pairs form lives only in the unit-test
     fixture (tests/test_dedup_synthetic.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _gram_frame(docs).localCheckpoint(eager=True)  # used 3x below
+    grams = memoized_checkpoint(  # used 3x below
+        spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
+    )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     sigs = grams.groupBy("doc_id").agg(
         *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
@@ -353,10 +365,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from graph_database_akkatyped_spark.operators.algos import cc_frame
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
-    sym = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    def sym_pairs() -> DataFrame:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+        return pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
+    sym = memoized_checkpoint(spark, "dedup_sym_pairs", sf_dir, sym_pairs)
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
     )
@@ -628,7 +643,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates only. Returns incoming docs that duplicate a stored
     doc."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _gram_frame(docs).localCheckpoint(eager=True)
+    grams = memoized_checkpoint(
+        spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
+    )
     sigs = grams.groupBy("doc_id").agg(
         *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
     )

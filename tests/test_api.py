@@ -85,3 +85,27 @@ def test_analytics_on_mutated_graph(db):
     assert lv["d"] == 2 and lv["e"] == 3
     pr = db.pagerank(iters=5)
     assert pr.count() == 6
+
+
+def test_single_writer_lock(db):
+    """A second writer attempting a mutation while the lock is held must
+    fail loudly (ConcurrentWriterError), never interleave batches; a
+    released/stale lock is recoverable via force_unlock."""
+    from graph_database_akkatyped_spark.api import ConcurrentWriterError
+
+    db.add_vertices([("v:1", "k", "a")])  # lock acquired + released per call
+    with db._write_lock():
+        with pytest.raises(ConcurrentWriterError):
+            db.add_vertices([("v:2", "k", "b")])
+    # lock released on exit -> mutations work again
+    db.add_vertices([("v:2", "k", "b")])
+    assert db.vertices().count() == 2
+    # simulate a crashed writer: stale lock file blocks, force_unlock clears
+    import os
+
+    os.close(os.open(db._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    with pytest.raises(ConcurrentWriterError):
+        db.add_vertices([("v:3", "k", "c")])
+    db.force_unlock()
+    db.add_vertices([("v:3", "k", "c")])
+    assert db.vertices().count() == 3

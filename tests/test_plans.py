@@ -61,6 +61,23 @@ def test_dedup_embedding_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_dedup_ngram_jaccard_stays_banded(spark):
+    """Candidate generation must stay the MinHash band equi-join: every
+    join in the plan is an equi-join (hash/sort-merge), never a
+    cartesian or nested-loop product — the one quadratic-regression
+    risk the round-3 audit left unpinned."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.dedup_ngram_jaccard(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the band join itself must survive as a real equi-join
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
 def test_pairs_label_no_join(spark):
     """The intra-label cosine average must stay the Σv̂-identity shape:
     explode + two hash aggregations and NO join of any kind — a join
