@@ -1,0 +1,248 @@
+"""Corpus sampling operators for training-data assembly.
+
+Three ops a pretraining pipeline runs after curation and before
+tokenization: per-stratum subsampling (language rebalancing), mixture
+re-weighting of oversized sources (inverse-sqrt temperature), and a
+unigram-LM quality score (the CCNet-style perplexity proxy used to
+tier documents into quality buckets).
+
+Determinism rules (same as the rest of the repo): every sampling
+decision is a pure function of the row's id (md5-bucket threshold — no
+``rand()``), and every float aggregate that crosses rows is summed in
+scaled integers so partition order cannot change the result. That is
+what makes these ops hash-checkable against the DuckDB oracle AND
+replayable at 100 TB: re-running a failed task, adding executors, or
+appending data never flips a keep/drop decision on an existing row.
+
+Scale notes: ``sample_stratified`` and the keep-decision of
+``corpus_sample_mixture`` are map-only (zero shuffle — the threshold
+table is a handful of rows, broadcast); ``quality_unigram_logprob`` is
+one explode + one equi-join against a vocabulary-sized frequency table
+(broadcast on a real cluster) + one per-doc agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+
+# deterministic per-row bucket in [0, 10000) — md5 is identical across
+# engines, so Spark and DuckDB agree row-by-row on keep/drop
+_B10K = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+    "AS BIGINT) % 10000"
+)
+_B10K_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) "
+    "% 10000"
+)
+
+# per-language keep rates (per-10000). A rebalancing config a curator
+# would hand in: downsample the dominant language, keep the tail.
+_LANG_THR = {"en": 8000, "de": 5000, "es": 5000, "fr": 5000, "zh": 2000}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified subsample of ``documents`` by md5-bucket
+    threshold: keep a row iff ``bucket(doc_id) < thr[lang]``.
+
+    Map-only — the sampling decision needs no shuffle, no window, no
+    count of the stratum: each task reads its split and keeps/drops
+    rows locally. That is the only shape that survives 100 TB (an
+    exact-k-per-stratum sample needs a per-stratum global sort; a rate
+    sample needs nothing). The realized rate converges to thr/10000 by
+    the law of large numbers; exactness of the *rate* is not the
+    contract, determinism of the *membership* is.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in _LANG_THR.items() for x in kv]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(0),
+    )
+    return (
+        docs.withColumn("bucket", F.expr(_B10K))
+        .where(F.col("bucket") < thr)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+_CASE_THR_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _LANG_THR.items()
+) + " ELSE 0 END"
+
+_SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, bucket FROM (
+  SELECT doc_id, lang, {_B10K_SQL} AS bucket FROM documents
+) WHERE bucket < {_CASE_THR_SQL}
+"""
+
+
+def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting: cap each ``source``'s contribution by an
+    inverse-sqrt rule — sources larger than ``n_cap`` docs keep a
+    ``sqrt(n_cap / n)`` fraction, small sources keep everything. The
+    standard temperature-style flattening of a source-skewed corpus
+    (dominant crawl dumps get downsampled, curated tails survive).
+
+    The per-source threshold is ``floor(sqrt(n_cap/n) * 10000)`` — a
+    single IEEE sqrt/divide on exact integer counts, bit-identical in
+    any engine, deliberately avoiding a cross-source normalizing sum
+    whose float accumulation order would differ between engines and
+    partitionings. Keep-decision: md5 bucket < threshold (map-only
+    after a broadcast of the ~|sources| threshold rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_cap = 20
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    thr = F.when(F.col("n_docs") <= n_cap, F.lit(10000)).otherwise(
+        F.floor(
+            F.sqrt(F.lit(float(n_cap)) / F.col("n_docs").cast("double"))
+            * 10000
+        ).cast("int")
+    )
+    rates = per_src.select("source", "n_docs", thr.alias("thr"))
+    kept = (
+        docs.withColumn("bucket", F.expr(_B10K))
+        .join(F.broadcast(rates), "source")
+        .where(F.col("bucket") < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "thr",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("eff_fraction"),
+        )
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_docs,
+         CASE WHEN n_docs <= 20 THEN 10000
+              ELSE CAST(floor(sqrt(20.0 / n_docs) * 10000) AS INT)
+         END AS thr
+  FROM per_src
+),
+kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM (SELECT source, {_B10K_SQL} AS bucket FROM documents) d
+  JOIN rates r ON r.source = d.source
+  WHERE d.bucket < r.thr
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.thr,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / r.n_docs, 4)
+         AS eff_fraction
+FROM rates r LEFT JOIN kept k ON k.source = r.source
+"""
+
+
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: train a unigram LM on the corpus
+    itself, score each document by its mean token negative-log-prob,
+    and tier documents into per-language quality terciles (bucket 1 =
+    most "typical" text, 3 = most surprising). The classic filter for
+    keeping head/middle-quality web text and flagging gibberish.
+
+    Cross-row float discipline: per-token ``ln p`` values are floored
+    into 1e9-scaled BIGINTs before the per-doc sum, so the aggregate is
+    exact integer arithmetic — partition-order-proof and engine-exact.
+    The tercile assignment sorts on that integer (tie-break doc_id), so
+    bucket boundaries cannot flip on a re-run either.
+
+    Scale: vocabulary frequency table is tiny relative to the corpus —
+    broadcast it; the token explode is linear; the per-doc agg is one
+    hash aggregate on doc_id. The only window is per-language ntile
+    over docs (not tokens); for 100 TB swap ntile for fixed score
+    thresholds learned on a sample to stay fully map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.expr("split(text, ' ')")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    total = toks.count()
+    # -ln p(tok), floored into scaled integers for order-proof summing
+    nll_int = F.floor(
+        -F.log(F.col("tc").cast("double") / F.lit(float(total))) * 1e9
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(nll_int).alias("nll_sum"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    # order key: double division of exact integers — IEEE-deterministic
+    # for identical inputs in every engine (a long*1e6 rescale would
+    # overflow int64 at ~1e13 scaled-nll per doc)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("nll_sum").cast("double") / F.col("n_toks"), "doc_id"
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.col("nll_sum").cast("double") / (F.col("n_toks") * 1e9), 8
+        ).alias("logprob"),
+        F.ntile(3).over(w).alias("q_bucket"),
+    )
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS tc FROM toks GROUP BY tok
+),
+total AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         SUM(CAST(floor(-ln(CAST(v.tc AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM total)) * 1e9) AS BIGINT)) AS nll_sum,
+         count(*) AS n_toks
+  FROM toks t JOIN vocab v ON v.tok = t.tok
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang,
+       round(CAST(nll_sum AS DOUBLE) / (n_toks * 1e9), 8) AS logprob,
+       CAST(ntile(3) OVER (
+         PARTITION BY lang
+         ORDER BY CAST(nll_sum AS DOUBLE) / n_toks, doc_id
+       ) AS INT) AS q_bucket
+FROM scored
+"""
+
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "corpus_sample_mixture": corpus_sample_mixture,
+    "quality_unigram_logprob": quality_unigram_logprob,
+}
+
+ORACLES = {
+    "sample_stratified": _SAMPLE_STRATIFIED_SQL,
+    "corpus_sample_mixture": _MIXTURE_SQL,
+    "quality_unigram_logprob": _UNIGRAM_SQL,
+}

@@ -26,6 +26,7 @@ _MODULES = (
     "graph_database_akkatyped_spark.operators.curation",
     "graph_database_akkatyped_spark.operators.graph_extras",
     "graph_database_akkatyped_spark.operators.relational_extras",
+    "graph_database_akkatyped_spark.operators.sampling",
     "graph_database_akkatyped_spark.functions.scalar",
     "graph_database_akkatyped_spark.functions.udfs",
     "graph_database_akkatyped_spark.streaming.windows",
@@ -98,6 +99,8 @@ _SWEEP_ORDER = (
     # -- new keys added after the r03 rotation go HERE (end of list)
     "stream_stateful_minmax", "stream_stateful_ttl",
     "simsearch_recall", "simsearch_recall_lsh",
+    "sample_stratified", "corpus_sample_mixture",
+    "quality_unigram_logprob",
 )
 
 
