@@ -1,0 +1,356 @@
+"""Physical-layout operators: z-order clustering, small-file
+compaction, and partial-aggregate (incremental materialized view)
+merging.
+
+These are the table-maintenance jobs a 100 TB lakehouse runs between
+queries — they don't answer questions, they make every later question
+cheaper. All three are expressed as ordinary DataFrame programs so the
+same Catalyst/AQE machinery that runs queries runs maintenance.
+
+Scale notes:
+- z-order: the production shape is ``repartitionByRange(morton)`` +
+  local sort + write (one range shuffle, no global window). Here the
+  file assignment uses a global ``row_number`` ONLY because the oracle
+  needs a bit-exact file id; the docstring documents the swap.
+- compaction: target file count derives from row counts (stand-in for
+  bytes), never a constant — the round-3 ``pack_sequences`` lesson.
+- partial-agg merge: sums are carried in scaled BIGINTs so the merge
+  is exact integer math — associative, commutative, partition-order-
+  proof. That associativity IS the incremental-view contract: merging
+  yesterday's partials with today's equals recomputing from scratch.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+
+_ZBITS = 16
+
+
+def _morton_terms(x: str, y: str, spark_side: bool) -> str:
+    """Bit-interleave expression built from div/mod arithmetic only —
+    the subset both Spark SQL (``div``) and DuckDB (``//``) evaluate
+    identically on BIGINTs. Bits of x land on even positions, y odd."""
+    dv = "div" if spark_side else "//"
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(({x} {dv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {dv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ROWS_PER_FILE = 4096
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map comparison of two physical layouts of ``lineitem``:
+    natural (shipdate/insert) order vs z-order on
+    ``(l_partkey, l_suppkey)``. Emits one row per (layout, file):
+    row count + min/max of both keys — exactly the zone-map a scan
+    consults, so the result IS the data-skipping story: under z-order
+    a point predicate on either key prunes all but ~sqrt-fraction of
+    files; under natural order every file straddles the full key range
+    and nothing prunes.
+
+    At 100 TB: replace the ``row_number`` file assignment with
+    ``df.repartitionByRange(n_files, F.expr(morton))`` + sortWithinPartitions
+    + write (one range shuffle, no single-task window); the per-file
+    min/max emitted here is what parquet row-group stats give for free.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 65536).alias("x"),
+        (F.col("l_suppkey") % 65536).alias("y"),
+    )
+    morton = F.expr(_morton_terms("x", "y", spark_side=True))
+    natural = Window.orderBy("l_orderkey", "l_linenumber")
+    zorder = Window.orderBy(morton, "l_orderkey", "l_linenumber")
+
+    def stats(df: DataFrame, w, layout: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w) - 1)
+            # integer div on both engines — a double-divide-then-cast
+            # would round in DuckDB but truncate in Spark
+            .withColumn(
+                "file_id",
+                F.expr(f"rn div {_ROWS_PER_FILE}").cast("int"),
+            )
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("x").alias("min_part"),
+                F.max("x").alias("max_part"),
+                F.min("y").alias("min_supp"),
+                F.max("y").alias("max_supp"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    return stats(li, natural, "natural").unionByName(
+        stats(li, zorder, "zorder")
+    ).select(
+        "layout", "file_id", "n_rows",
+        "min_part", "max_part", "min_supp", "max_supp",
+    )
+
+
+_ZORDER_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+  FROM lineitem
+),
+z AS (
+  SELECT x, y,
+         CAST((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+              // {_ROWS_PER_FILE} AS INT) AS nat_file,
+         CAST((row_number() OVER (
+                 ORDER BY {_morton_terms('x', 'y', spark_side=False)},
+                          l_orderkey, l_linenumber) - 1)
+              // {_ROWS_PER_FILE} AS INT) AS z_file
+  FROM base
+)
+SELECT 'natural' AS layout, nat_file AS file_id, count(*) AS n_rows,
+       min(x) AS min_part, max(x) AS max_part,
+       min(y) AS min_supp, max(y) AS max_supp
+FROM z GROUP BY nat_file
+UNION ALL
+SELECT 'zorder', z_file, count(*), min(x), max(x), min(y), max(y)
+FROM z GROUP BY z_file
+"""
+
+
+_COMPACT_ROWS_PER_FILE = 256
+
+
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: write ``documents`` deliberately shredded
+    into 64 tiny files (the streaming-ingest pathology), then rewrite
+    into ``ceil(n / {rows_per_file})`` right-sized files, verifying the
+    data survives byte-exactly (row count + order-independent content
+    checksum per phase).
+
+    The file count is measured from the filesystem
+    (``input_file_name``), not assumed; the target count derives from
+    the input size (rows here, bytes on a real table — via
+    ``spark.sql.files.maxRecordsPerFile`` / target-bytes accounting),
+    never a constant. At 100 TB compaction is the difference between a
+    NameNode/driver choking on 10^8 file statuses and a healthy scan;
+    it runs per-partition so the rewrite parallelism is the partition
+    count, not 1.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    small_dir = tempfile.mkdtemp(prefix="spark_graft_shred_")
+    docs.repartition(64).write.mode("overwrite").parquet(small_dir)
+    back_small = spark.read.parquet(small_dir)
+
+    n_rows = back_small.count()
+    n_target = max(1, math.ceil(n_rows / _COMPACT_ROWS_PER_FILE))
+    compact_dir = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    back_small.repartition(n_target).write.mode("overwrite").parquet(
+        compact_dir
+    )
+    back_compact = spark.read.parquet(compact_dir)
+
+    def phase_stats(df: DataFrame, phase: str) -> DataFrame:
+        # input_file_name is non-deterministic to Catalyst — project it
+        # to a column first, only then aggregate
+        projected = df.select(
+            F.input_file_name().alias("fname"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), "
+                "16, 10) AS BIGINT)"
+            ).alias("bucket"),
+        )
+        return projected.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fname").alias("n_files"),
+            F.sum("bucket").alias("checksum"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "n_files", "checksum")
+
+    return phase_stats(back_small, "small").unionByName(
+        phase_stats(back_compact, "compacted")
+    )
+
+
+# the oracle recomputes what the filesystem MUST contain: 64 shredded
+# files (500+ rows round-robin over 64 tasks leaves no empty partition),
+# then ceil(n/256) compacted ones; checksum is the same md5-bucket sum
+_COMPACT_SQL = f"""
+WITH s AS (
+  SELECT count(*) AS n_rows,
+         CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT)) AS BIGINT) AS checksum
+  FROM documents
+)
+SELECT 'small' AS phase, n_rows, CAST(64 AS BIGINT) AS n_files, checksum
+FROM s
+UNION ALL
+SELECT 'compacted', n_rows,
+       CAST(ceil(n_rows / {_COMPACT_ROWS_PER_FILE}.0) AS BIGINT), checksum
+FROM s
+"""
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: ``orders`` arrives in
+    two epochs (before/after 1997-01-01); each epoch computes PARTIAL
+    aggregates per priority (count / scaled-int sum / min / max), and
+    the view refresh MERGES partials instead of re-reading history —
+    merge(count)=sum, merge(sum)=sum, merge(min)=min, merge(max)=max.
+    The ``consistent`` column proves merge(partials) == full recompute.
+
+    This is the 100 TB refresh contract: a daily partition's partials
+    are O(day) to compute and O(groups) to merge; the naive recompute
+    re-reads the whole history every day. Sums are carried as cent-
+    scaled BIGINTs (floor(price*100)) so the merge is exact integer
+    arithmetic — float partials would drift by accumulation order and
+    the consistency bit would flap.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    tagged = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderdate") < split).alias("old_epoch"),
+        cents.alias("cents"),
+    )
+    partials = tagged.groupBy("o_orderpriority", "old_epoch").agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum("cents").alias("p_sum"),
+        F.min("cents").alias("p_min"),
+        F.max("cents").alias("p_max"),
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.sum("p_sum").alias("sum_cents"),
+        F.min("p_min").alias("min_cents"),
+        F.max("p_max").alias("max_cents"),
+    )
+    full = tagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum("cents").alias("f_sum"),
+        F.min("cents").alias("f_min"),
+        F.max("cents").alias("f_max"),
+    )
+    return (
+        merged.join(full, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "cnt",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+            (
+                (F.col("cnt") == F.col("f_cnt"))
+                & (F.col("sum_cents") == F.col("f_sum"))
+                & (F.col("min_cents") == F.col("f_min"))
+                & (F.col("max_cents") == F.col("f_max"))
+            ).alias("consistent"),
+        )
+    )
+
+
+_INCR_MERGE_SQL = """
+WITH tagged AS (
+  SELECT o_orderpriority,
+         o_orderdate < TIMESTAMP '1997-01-01' AS old_epoch,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+partials AS (
+  SELECT o_orderpriority, old_epoch,
+         count(*) AS p_cnt, SUM(cents) AS p_sum,
+         MIN(cents) AS p_min, MAX(cents) AS p_max
+  FROM tagged GROUP BY o_orderpriority, old_epoch
+),
+merged AS (
+  SELECT o_orderpriority,
+         CAST(SUM(p_cnt) AS BIGINT) AS cnt,
+         CAST(SUM(p_sum) AS BIGINT) AS sum_cents,
+         MIN(p_min) AS min_cents, MAX(p_max) AS max_cents
+  FROM partials GROUP BY o_orderpriority
+),
+full_agg AS (
+  SELECT o_orderpriority,
+         count(*) AS f_cnt, SUM(cents) AS f_sum,
+         MIN(cents) AS f_min, MAX(cents) AS f_max
+  FROM tagged GROUP BY o_orderpriority
+)
+SELECT m.o_orderpriority, m.cnt, m.sum_cents, m.min_cents, m.max_cents,
+       (m.cnt = f.f_cnt AND m.sum_cents = f.f_sum AND
+        m.min_cents = f.f_min AND m.max_cents = f.f_max) AS consistent
+FROM merged m JOIN full_agg f ON f.o_orderpriority = m.o_orderpriority
+"""
+
+
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the three ``lineitem`` join keys:
+    per-key row-count distribution (distinct keys, max, exact p50/p99,
+    skew ratio = max/mean). The pre-flight check before any large join
+    — a skew ratio in the tens says "salt this key or let AQE split
+    it", and the p99/p50 gap says whether the skew is one hot key or a
+    heavy tail.
+
+    Scale shape: one hash agg per key column (count per key) + one
+    tiny agg over the per-key counts; nothing quadratic, nothing
+    collected. The exact percentiles aggregate |keys| rows, not |rows|.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        counts = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
+            F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+            F.round(
+                F.max("cnt") / F.avg("cnt"),
+                4,
+            ).alias("skew_ratio"),
+        ).select(F.lit(col).alias("join_key"), "n_keys", "max_cnt",
+                 F.round("p50_cnt", 4).alias("p50_cnt"),
+                 F.round("p99_cnt", 4).alias("p99_cnt"), "skew_ratio")
+
+    return (
+        profile("l_orderkey")
+        .unionByName(profile("l_partkey"))
+        .unionByName(profile("l_suppkey"))
+    )
+
+
+def _skew_sql_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS join_key, count(*) AS n_keys, MAX(cnt) AS max_cnt,
+       round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+       round(MAX(cnt) / AVG(cnt), 4) AS skew_ratio
+FROM (SELECT {col}, count(*) AS cnt FROM lineitem GROUP BY {col})
+"""
+
+
+_SKEW_SQL = " UNION ALL ".join(
+    _skew_sql_one(c) for c in ("l_orderkey", "l_partkey", "l_suppkey")
+)
+
+
+QUERIES = {
+    "zorder_layout": zorder_layout,
+    "sink_compacted": sink_compacted,
+    "incremental_agg_merge": incremental_agg_merge,
+    "skew_profile": skew_profile,
+}
+
+ORACLES = {
+    "zorder_layout": _ZORDER_SQL,
+    "sink_compacted": _COMPACT_SQL,
+    "incremental_agg_merge": _INCR_MERGE_SQL,
+    "skew_profile": _SKEW_SQL,
+}

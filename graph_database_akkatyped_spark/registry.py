@@ -27,6 +27,7 @@ _MODULES = (
     "graph_database_akkatyped_spark.operators.graph_extras",
     "graph_database_akkatyped_spark.operators.relational_extras",
     "graph_database_akkatyped_spark.operators.sampling",
+    "graph_database_akkatyped_spark.operators.layout",
     "graph_database_akkatyped_spark.functions.scalar",
     "graph_database_akkatyped_spark.functions.udfs",
     "graph_database_akkatyped_spark.streaming.windows",
@@ -101,6 +102,8 @@ _SWEEP_ORDER = (
     "simsearch_recall", "simsearch_recall_lsh",
     "sample_stratified", "corpus_sample_mixture",
     "quality_unigram_logprob",
+    "zorder_layout", "sink_compacted", "incremental_agg_merge",
+    "skew_profile",
 )
 
 
