@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from graph_database_akkatyped_spark.caching import memoized_checkpoint as _memoized
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.operators.algos import (
     _BASE,
@@ -414,6 +415,298 @@ FROM hourly h LEFT JOIN first_seen f ON f.hr = h.hr
 """
 
 
+# ------------------------------------------- deterministic random walks
+
+_WALKS_PER_SEED = 3
+_WALK_STEPS = 4
+
+
+def _walk_choice_md5(step: int, b: str = "b") -> str:
+    """Selection key for step ``step``: md5 over (seed, walk_no, step,
+    candidate). Minimizing the 32-hex string IS the pseudo-random
+    uniform choice — identical in any engine, reproducible on any
+    partitioning, and tie-free short of an md5 collision."""
+    return (
+        f"md5(concat(CAST(seed AS STRING), '_', CAST(walk_no AS STRING), "
+        f"'_', CAST({step} AS STRING), '_', CAST({b} AS STRING)))"
+    )
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-style walk sampling over the user graph: from every
+    vertex, ``_WALKS_PER_SEED`` independent walks of ``_WALK_STEPS``
+    steps; the next hop is the out-neighbor minimizing a per-(walk,
+    step, candidate) md5 — a deterministic stand-in for the uniform
+    choice, so the sampled corpus is bit-reproducible (re-running a
+    failed executor cannot produce different walks, and the DuckDB
+    oracle hash-matches). Dangling vertices stay in place (lazy
+    self-loop), keeping one row per (seed, walk, step).
+
+    Scale shape: each step is one equi-join frontier⋈edges on the
+    current vertex + one hash agg (min_by) — O(frontier-out-degree)
+    work per step, the same join family as BFS. Walk count and length
+    are constants, so total work is (W · L) linear passes; the output
+    feeds skip-gram training exactly like a node2vec corpus.
+    """
+    verts = user_vertices(spark, sf_dir)
+    edges = user_edges_sym(spark, sf_dir)
+    state = verts.select(F.col("id").alias("seed")).crossJoin(
+        spark.range(_WALKS_PER_SEED).select(
+            F.col("id").cast("int").alias("walk_no")
+        )
+    ).withColumn("cur", F.col("seed"))
+    steps = [
+        state.select(
+            "seed", "walk_no", F.lit(0).alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for k in range(1, _WALK_STEPS + 1):
+        state = (
+            state.join(edges, state["cur"] == edges["a"], "left")
+            .groupBy("seed", "walk_no", "cur")
+            .agg(
+                F.expr(f"min_by(b, {_walk_choice_md5(k)})").alias("nxt")
+            )
+            .select(
+                "seed", "walk_no",
+                F.coalesce("nxt", "cur").alias("cur"),
+            )
+        )
+        steps.append(
+            state.select(
+                "seed", "walk_no", F.lit(k).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _walks_sql() -> str:
+    ctes = [USER_EDGES_CTE.strip().rstrip(",")]
+    walks_vals = ", ".join(f"({i})" for i in range(_WALKS_PER_SEED))
+    ctes.append(
+        f"w0 AS (SELECT v AS seed, CAST(t.w AS INT) AS walk_no, v AS cur "
+        f"FROM verts, (VALUES {walks_vals}) t(w))"
+    )
+    for k in range(1, _WALK_STEPS + 1):
+        choice = (
+            f"md5(CAST(seed AS VARCHAR) || '_' || CAST(walk_no AS VARCHAR) "
+            f"|| '_' || CAST({k} AS VARCHAR) || '_' || CAST(e.b AS VARCHAR))"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT seed, walk_no, "
+            f"COALESCE(arg_min(e.b, {choice}), cur) AS cur "
+            f"FROM w{k - 1} LEFT JOIN uedges e ON e.a = w{k - 1}.cur "
+            f"GROUP BY seed, walk_no, cur)"
+        )
+    selects = [
+        f"SELECT seed, walk_no, CAST({k} AS INT) AS step, cur AS node FROM w{k}"
+        for k in range(_WALK_STEPS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# -------------------------------------- strongly connected components
+
+_SCC_GATE_PCT = 5
+_SCC_ROUNDS = 10
+
+DIRECTED_EDGES_CTE = f"""
+dedges AS (
+  SELECT src, dst FROM (
+    SELECT DISTINCT e1.user_id AS src, e2.user_id AS dst
+    FROM events e1 JOIN events e2
+      ON e1.event_type = e2.event_type
+     AND date_trunc('hour', CAST(e2.ts AS TIMESTAMP))
+         = date_trunc('hour', CAST(e1.ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+     AND e1.user_id <> e2.user_id
+  )
+  WHERE CAST('0x' || substr(md5(CAST(src AS VARCHAR) || '_'
+          || CAST(dst AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {_SCC_GATE_PCT}
+),
+verts AS (SELECT DISTINCT user_id AS v FROM events)
+"""
+
+
+def user_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed succession graph: ``src -> dst`` when dst repeats src's
+    event type in the NEXT hour, thinned to a deterministic
+    {_SCC_GATE_PCT}% by an md5 gate on the (src, dst) pair — temporal
+    direction gives real asymmetry (cycles exist but edges don't pair
+    up), and the hash gate keeps the graph sparse enough that its SCC
+    structure is non-trivial. Equi-join on the (event_type, hour) slot
+    key, never a theta join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    a = e.select(F.col("user_id").alias("src"), "event_type", "hour")
+    b = e.select(
+        F.col("user_id").alias("dst"),
+        "event_type",
+        (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("hour"),
+    )
+    gate = (
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(src AS STRING), '_', "
+            "CAST(dst AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % 100
+        < _SCC_GATE_PCT
+    )
+    return (
+        a.join(b, ["event_type", "hour"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .where(gate)
+    )
+
+
+def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
+    """Strongly connected components by the distributed coloring
+    algorithm (Orzan; the same family GraphX's SCC uses):
+
+    1. forward max-id propagation to fixpoint -> ``color(v)`` = the
+       largest id that reaches v. Every non-empty color class contains
+       its root (the vertex whose id equals the color).
+    2. backward reachability from each root restricted to its color
+       class -> exactly SCC(root), for ALL roots in parallel.
+    3. peel the assigned SCCs off and repeat on the remainder.
+
+    Each phase is a monotone Pregel max-propagation (frontier-pruned,
+    lineage-checkpointed); one outer round resolves one "layer" of
+    SCCs, and layers shrink geometrically on real graphs. No transitive
+    closure, no O(V²) state — per-round cost is O(E) joins, which is
+    the only SCC shape that survives 100 TB. Output: one row per
+    vertex with ``scc_id`` = min member id (engine-neutral label) and
+    the component size.
+    """
+    # cut the edge build ONCE: pregel re-evaluates its edge input every
+    # superstep, and an un-materialized events self-join would re-run
+    # per superstep (measured 3.6 s/superstep -> 0.1 s after the cut)
+    remaining_v = verts.select("id").localCheckpoint(eager=True)
+    remaining_e = edges.select("src", "dst").localCheckpoint(eager=True)
+    assigned = None  # (id, root)
+    for _ in range(_SCC_ROUNDS):
+        if remaining_v.limit(1).count() == 0:
+            break
+        # 1. forward coloring: color = max id reaching v
+        colors = pregel(
+            remaining_v.select("id", F.col("id").alias("state")),
+            remaining_e,
+            msg=F.col("src_state"),
+            agg=F.max("msg"),
+            vprog=F.expr("greatest(state, coalesce(agg_msg, state))"),
+            max_iter=50,
+            frontier_only=True,
+        ).vertices.select("id", F.col("state").alias("color"))
+        # 2. backward mark inside each color class, from every root at
+        # once: message-edges are the original edges reversed and
+        # restricted to endpoints of the same color
+        ce = (
+            remaining_e.join(
+                colors.select(
+                    F.col("id").alias("src"), F.col("color").alias("c_src")
+                ),
+                "src",
+            )
+            .join(
+                colors.select(
+                    F.col("id").alias("dst"), F.col("color").alias("c_dst")
+                ),
+                "dst",
+            )
+            .where(F.col("c_src") == F.col("c_dst"))
+        )
+        rev = ce.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ).localCheckpoint(eager=True)
+        marks = pregel(
+            colors.select(
+                "id",
+                (F.col("id") == F.col("color")).cast("long").alias("state"),
+            ),
+            rev,
+            msg=F.col("src_state"),
+            agg=F.max("msg"),
+            vprog=F.expr("greatest(state, coalesce(agg_msg, state))"),
+            max_iter=50,
+            frontier_only=True,
+        ).vertices
+        members = (
+            marks.where(F.col("state") == 1)
+            .join(colors, "id")
+            .select("id", F.col("color").alias("root"))
+            .localCheckpoint(eager=True)
+        )
+        assigned = members if assigned is None else assigned.unionByName(members)
+        remaining_v = (
+            remaining_v.join(members.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        rm = members.select(F.col("id").alias("gone"))
+        remaining_e = (
+            remaining_e.join(
+                rm, remaining_e["src"] == rm["gone"], "left_anti"
+            )
+            .join(rm, remaining_e["dst"] == rm["gone"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    # relabel roots to min-member ids and attach sizes
+    labels = assigned.groupBy("root").agg(F.min("id").alias("scc_id"))
+    sized = (
+        assigned.join(labels, "root")
+        .groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("scc_size"))
+    )
+    return (
+        assigned.join(labels, "root")
+        .join(sized, "scc_id")
+        .select("id", "scc_id", "scc_size")
+    )
+
+
+def scc_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC decomposition of the directed user-succession graph — the
+    graph-DB query behind "find feedback loops / mutually-reachable
+    clusters". Oracle: DuckDB recursive transitive closure + mutual-
+    reachability min-id (exact; viable at oracle scale only — the
+    Spark side never materializes closure pairs). Memoized per
+    (session, sf_dir) like the triangle frame: repeated invocations in
+    a long-lived session reuse one checkpointed result instead of
+    stacking new blocks."""
+    return _memoized(
+        spark,
+        "scc",
+        sf_dir,
+        lambda: scc_frame(
+            user_vertices(spark, sf_dir), user_directed_edges(spark, sf_dir)
+        ).select(F.col("id").alias("user_id"), "scc_id", "scc_size"),
+    )
+
+
+_SCC_SQL = f"""
+WITH RECURSIVE {DIRECTED_EDGES_CTE.strip()},
+reach(s, d) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN dedges e ON e.src = r.d
+),
+scc AS (
+  SELECT r1.s AS v, min(r1.d) AS scc_id
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+  GROUP BY r1.s
+)
+SELECT v AS user_id, scc_id,
+       CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+FROM scc
+"""
+
+
 QUERIES = {
     "pagerank_personalized": pagerank_personalized,
     "sssp_pred_tree": sssp_pred_tree,
@@ -421,9 +714,13 @@ QUERIES = {
     "topo_longest_path": topo_longest_path,
     "edge_jaccard": edge_jaccard,
     "bipartite_copurchase": bipartite_copurchase,
+    "graph_random_walks": graph_random_walks,
+    "scc_strongly_connected": scc_strongly_connected,
 }
 
 ORACLES = {
+    "graph_random_walks": _walks_sql(),
+    "scc_strongly_connected": _SCC_SQL,
     "pagerank_personalized": _ppr_sql(),
     "sssp_pred_tree": _PRED_TREE_SQL,
     "graph_activity_timeline": _ACTIVITY_TIMELINE_SQL,

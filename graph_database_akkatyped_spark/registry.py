@@ -103,7 +103,7 @@ _SWEEP_ORDER = (
     "sample_stratified", "corpus_sample_mixture",
     "quality_unigram_logprob",
     "zorder_layout", "sink_compacted", "incremental_agg_merge",
-    "skew_profile",
+    "skew_profile", "graph_random_walks", "scc_strongly_connected",
 )
 
 

@@ -1,0 +1,80 @@
+"""Semantic tests for graph_random_walks and scc_strongly_connected
+(operators.graph_extras) beyond the oracle hash: walk validity on the
+real graph, SCC correctness on a hand-built digraph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_akkatyped_spark.operators.graph_extras import (
+    _WALK_STEPS,
+    _WALKS_PER_SEED,
+    graph_random_walks,
+    scc_frame,
+    user_edges_sym,
+    user_vertices,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_walks_shape_and_start(spark):
+    walks = graph_random_walks(spark, SF_ORACLE)
+    n_verts = user_vertices(spark, SF_ORACLE).count()
+    assert walks.count() == n_verts * _WALKS_PER_SEED * (_WALK_STEPS + 1)
+    bad_start = walks.where(
+        (F.col("step") == 0) & (F.col("node") != F.col("seed"))
+    )
+    assert bad_start.count() == 0
+
+
+def test_walk_hops_follow_edges(spark):
+    walks = graph_random_walks(spark, SF_ORACLE)
+    edges = user_edges_sym(spark, SF_ORACLE)
+    cur = walks.select("seed", "walk_no", "step", F.col("node").alias("a"))
+    nxt = walks.select(
+        "seed",
+        "walk_no",
+        (F.col("step") - 1).alias("step"),
+        F.col("node").alias("b"),
+    )
+    hops = cur.join(nxt, ["seed", "walk_no", "step"]).where(
+        F.col("a") != F.col("b")  # staying put is the dangling case
+    )
+    bad = hops.join(edges, ["a", "b"], "left_anti")
+    assert bad.count() == 0
+
+
+def test_scc_on_hand_built_digraph(spark):
+    # cycle {1,2,3} -> bridge 3->4 -> cycle {4,5}; 6 isolated
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)], ["src", "dst"]
+    )
+    got = {
+        r["id"]: (r["scc_id"], r["scc_size"])
+        for r in scc_frame(verts, edges).collect()
+    }
+    assert got == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        4: (4, 2),
+        5: (4, 2),
+        6: (6, 1),
+    }
+
+
+def test_scc_partition_covers_all_users(spark):
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        scc_strongly_connected,
+    )
+
+    out = scc_strongly_connected(spark, SF_ORACLE)
+    n_verts = user_vertices(spark, SF_ORACLE).count()
+    assert out.count() == n_verts
+    assert out.select("user_id").distinct().count() == n_verts
+    # scc_size agrees with the actual member count per scc_id
+    sizes = out.groupBy("scc_id", "scc_size").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert sizes.where(F.col("n") != F.col("scc_size")).count() == 0
