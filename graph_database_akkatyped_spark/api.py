@@ -180,21 +180,60 @@ class GraphDB:
             return self.spark.read.schema(schema).parquet(dest)
         return self.spark.createDataFrame([], schema)
 
-    def vertices(self) -> DataFrame:
-        return self._latest(self._read_journal(self._vdir, _V_SCHEMA), ["id"])
-
-    def edges(self) -> DataFrame:
-        """Live edges. Both endpoints must be live vertices — in the
-        reference, adjacency is vertex-actor state and dies with the
-        vertex, so a tombstoned vertex implicitly drops its edges."""
-        e = self._latest(
-            self._read_journal(self._edir, _E_SCHEMA), ["src", "dst", "rel"]
+    @staticmethod
+    def _as_of(df: DataFrame, as_of_batch: int | None) -> DataFrame:
+        return df if as_of_batch is None else df.where(
+            F.col("batch") <= as_of_batch
         )
-        live = self.vertices().select("id")
+
+    def vertices(self, as_of_batch: int | None = None) -> DataFrame:
+        """Live vertices; with ``as_of_batch`` set, the state as it was
+        after that journal batch — time travel is just replay with the
+        suffix filtered out, the event-sourcing feature the journal
+        layout buys for free. NOTE: ``compact()`` rewrites history into
+        one snapshot batch, so as-of points older than the last
+        compaction are gone (same contract as Akka snapshot deletion)."""
+        return self._latest(
+            self._as_of(self._read_journal(self._vdir, _V_SCHEMA), as_of_batch),
+            ["id"],
+        )
+
+    def edges(self, as_of_batch: int | None = None) -> DataFrame:
+        """Live edges (optionally as of a journal batch). Both endpoints
+        must be live vertices — in the reference, adjacency is
+        vertex-actor state and dies with the vertex, so a tombstoned
+        vertex implicitly drops its edges."""
+        e = self._latest(
+            self._as_of(self._read_journal(self._edir, _E_SCHEMA), as_of_batch),
+            ["src", "dst", "rel"],
+        )
+        live = self.vertices(as_of_batch).select("id")
         return (
             e.join(live.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(live.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst", "rel", "weight")
+        )
+
+    def batches(self) -> DataFrame:
+        """Distinct journal batch ids with event counts — the valid
+        as-of points for :meth:`vertices` / :meth:`edges` time travel."""
+        v = self._read_journal(self._vdir, _V_SCHEMA).select("batch")
+        e = self._read_journal(self._edir, _E_SCHEMA).select("batch")
+        return (
+            v.unionByName(e)
+            .groupBy("batch")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("batch")
+        )
+
+    def history(self, vid: str) -> DataFrame:
+        """Full event history of one vertex (the event-sourced audit
+        ask: every upsert/tombstone in batch order). Point read —
+        at scale, partition the journal by id-bucket so this prunes."""
+        return (
+            self._read_journal(self._vdir, _V_SCHEMA)
+            .where(F.col("id") == vid)
+            .orderBy("batch")
         )
 
     def compact(self) -> None:

@@ -109,3 +109,38 @@ def test_single_writer_lock(db):
     db.force_unlock()
     db.add_vertices([("v:3", "k", "c")])
     assert db.vertices().count() == 3
+
+
+def test_time_travel_reads(db):
+    """as-of reads replay only the journal prefix: state at batch b
+    excludes later upserts, tombstones, and edges."""
+    db.add_vertices([("v:1", "k", "one")])
+    db.add_vertices([("v:2", "k", "two")])
+    batches = [r["batch"] for r in db.batches().collect()]
+    assert len(batches) == 2
+    t1 = batches[0]
+    # as of t1 only v:1 exists
+    assert [r["id"] for r in db.vertices(as_of_batch=t1).collect()] == ["v:1"]
+    # later tombstone doesn't exist in the past
+    db.remove_vertex("v:1")
+    assert db.vertices().where("id = 'v:1'").count() == 0
+    assert db.vertices(as_of_batch=t1).where("id = 'v:1'").count() == 1
+    # edges respect the same as-of horizon
+    db.add_vertices([("v:3", "k", "three")])
+    db.add_edges([("v:2", "v:3", "rel", 1.0)])
+    full_edges = db.edges().count()
+    assert full_edges == 1
+    assert db.edges(as_of_batch=t1).count() == 0
+
+
+def test_history_and_compaction_horizon(db):
+    db.add_vertices([("v:1", "k", "first")])
+    db.add_vertices([("v:1", "k", "renamed")])
+    hist = db.history("v:1").collect()
+    assert [r["name"] for r in hist] == ["first", "renamed"]
+    assert all(r["op"] == "upsert" for r in hist)
+    # compaction folds history: one snapshot event survives, and the
+    # latest state is what it preserves
+    db.compact()
+    hist2 = db.history("v:1").collect()
+    assert len(hist2) == 1 and hist2[0]["name"] == "renamed"
