@@ -163,3 +163,54 @@ def test_pii_redact_is_map_only(spark):
 
     plan = formatted_plan(curation.pii_redact(spark, SF_ORACLE))
     assert "Exchange" not in plan, plan
+
+
+def test_sample_stratified_is_map_only(spark):
+    """The stratified sample must stay shuffle-free: the keep decision
+    is a pure function of the row, so ANY Exchange in the plan means a
+    regression that would shuffle 100 TB to sample it."""
+    from graph_database_akkatyped_spark.operators import sampling
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(sampling.sample_stratified(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_broadcasts_rate_table(spark):
+    """The per-source threshold table is ~|sources| rows — the keep
+    join must broadcast it, never shuffle the corpus."""
+    from graph_database_akkatyped_spark.operators import sampling
+
+    df = sampling.corpus_sample_mixture(spark, SF_ORACLE)
+    assert uses(df, "BroadcastHashJoin")
+
+
+def test_unigram_quality_broadcasts_vocab(spark):
+    from graph_database_akkatyped_spark.operators import sampling
+
+    df = sampling.quality_unigram_logprob(spark, SF_ORACLE)
+    assert uses(df, "BroadcastHashJoin"), "vocabulary table not broadcast"
+
+
+def test_pq_has_no_cartesian(spark):
+    """PQ encode + ADC are equi-joins on (pos) / (m, code); a nested-
+    loop anywhere here becomes |vectors| x |codebook| x |queries| at
+    scale."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.simsearch_pq(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert uses(llm.simsearch_pq(spark, SF_ORACLE), "BroadcastHashJoin")
+
+
+def test_skew_profile_partial_agg(spark):
+    """Per-key counting must map-side combine — shipping raw lineitem
+    rows to count keys defeats the point of a skew diagnostic."""
+    from graph_database_akkatyped_spark.operators import layout
+
+    df = layout.skew_profile(spark, SF_ORACLE)
+    assert uses(df, "partial_count") or uses(df, "partial_sum"), (
+        "no map-side partial aggregation"
+    )
