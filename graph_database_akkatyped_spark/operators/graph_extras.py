@@ -727,6 +727,66 @@ FROM scc
 """
 
 
+# ------------------------------------------------------ Katz centrality
+
+_KATZ_ITERS = 5
+
+
+def katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the directed succession graph: x ← 1 + α·Aᵀx
+    with α = 0.1, ``_KATZ_ITERS`` supersteps — counts attenuated
+    in-paths of every length, the classic "influence" ranking a graph
+    DB serves next to PageRank. Integer µ-unit arithmetic (UNIT=1e12,
+    α as ``div 10``) keeps every iterate exact: bit-reproducible across
+    partitionings and hash-identical to the unrolled-SQL oracle.
+    Per-superstep cost is one message join on the edge list (the same
+    monotone-free recompute family as PageRank: every vertex sends
+    every round, so ``frontier_only`` does not apply)."""
+    verts = user_vertices(spark, sf_dir)
+    edges = _memoized(
+        spark,
+        "dedges",
+        sf_dir,
+        lambda: user_directed_edges(spark, sf_dir),
+    )
+    v = verts.select("id", F.lit(_UNIT).cast("long").alias("state"))
+    res = pregel(
+        v,
+        edges,
+        msg=F.col("src_state"),
+        agg=F.sum("msg"),
+        vprog=F.expr(
+            f"CAST({_UNIT} + coalesce(agg_msg, 0) div 10 AS LONG)"
+        ),
+        max_iter=_KATZ_ITERS,
+        check_convergence=False,
+    )
+    return res.vertices.select(
+        F.col("id").alias("user_id"),
+        F.col("state").alias("katz_e12"),
+        (F.col("state").cast("double") / F.lit(1e12)).alias("katz"),
+    )
+
+
+def _katz_sql(iters: int = _KATZ_ITERS) -> str:
+    ctes = [DIRECTED_EDGES_CTE.strip().rstrip(","), (
+        f"k0 AS (SELECT v AS id, CAST({_UNIT} AS BIGINT) AS state FROM verts)"
+    )]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"k{i} AS (SELECT v.id, CAST({_UNIT} + "
+            f"COALESCE(SUM(p.state), 0) // 10 AS BIGINT) AS state "
+            f"FROM k{i - 1} v "
+            f"LEFT JOIN dedges e ON e.dst = v.id "
+            f"LEFT JOIN k{i - 1} p ON p.id = e.src "
+            f"GROUP BY v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id AS user_id, state AS "
+        f"katz_e12, CAST(state AS DOUBLE) / 1e12 AS katz FROM k{iters}"
+    )
+
+
 QUERIES = {
     "pagerank_personalized": pagerank_personalized,
     "sssp_pred_tree": sssp_pred_tree,
@@ -736,11 +796,13 @@ QUERIES = {
     "bipartite_copurchase": bipartite_copurchase,
     "graph_random_walks": graph_random_walks,
     "scc_strongly_connected": scc_strongly_connected,
+    "katz_centrality": katz_centrality,
 }
 
 ORACLES = {
     "graph_random_walks": _walks_sql(),
     "scc_strongly_connected": _SCC_SQL,
+    "katz_centrality": _katz_sql(),
     "pagerank_personalized": _ppr_sql(),
     "sssp_pred_tree": _PRED_TREE_SQL,
     "graph_activity_timeline": _ACTIVITY_TIMELINE_SQL,

@@ -337,8 +337,90 @@ FROM (
 """
 
 
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join, bucket-decomposed: per customer,
+    pairs of orders whose 7-day fulfillment windows overlap, with the
+    overlap length in days.
+
+    The scale pattern: a raw overlap predicate (``s1 <= e2 AND s2 <=
+    e1``) is a theta join — O(n·m) per customer and un-shuffleable. We
+    instead explode each interval into the (at most 2) week-buckets it
+    touches, equi-join on (custkey, bucket) — a plain hash shuffle —
+    deduplicate candidate pairs, and apply the exact overlap predicate
+    as a residual filter. Candidates per pair are bounded by
+    intervals-per-bucket, not by table size; the same decomposition
+    with coarser/finer buckets is how Spark range-join hints and
+    interval libraries (e.g. genomics overlap joins) execute at 100 TB.
+
+    Day arithmetic is integer (epoch-seconds div 86400) so the overlap
+    length is exact in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey"),
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("s"),
+        (F.expr("unix_timestamp(o_orderdate) div 86400") + 6).alias("e"),
+    )
+    buckets = base.select(
+        "o_custkey", "okey", "s", "e",
+        F.explode(
+            F.array_distinct(
+                F.array(F.expr("s div 7"), F.expr("e div 7"))
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(
+        "o_custkey", "bucket",
+        F.col("okey").alias("o1"), F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = buckets.select(
+        "o_custkey", "bucket",
+        F.col("okey").alias("o2"), F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    return (
+        a.join(b, ["o_custkey", "bucket"])
+        .where(
+            (F.col("o1") < F.col("o2"))
+            & (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1"))
+        )
+        .select(
+            "o_custkey", "o1", "o2",
+            (
+                F.least("e1", "e2") - F.greatest("s1", "s2") + 1
+            ).alias("overlap_days"),
+        )
+        .distinct()
+    )
+
+
+_INTERVAL_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey AS okey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS s,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 6 AS e
+  FROM orders
+),
+buckets AS (
+  SELECT o_custkey, okey, s, e,
+         unnest(list_distinct([s // 7, e // 7])) AS bucket
+  FROM base
+)
+SELECT DISTINCT a.o_custkey, a.okey AS o1, b.okey AS o2,
+       least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days
+FROM buckets a
+JOIN buckets b
+  ON a.o_custkey = b.o_custkey AND a.bucket = b.bucket
+WHERE a.okey < b.okey AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 QUERIES = {
     "window_distribution": window_distribution,
+    "join_interval_bucketed": join_interval_bucketed,
     "retention_cohorts": retention_cohorts,
     "rfm_segmentation": rfm_segmentation,
     "sample_hash": sample_hash,
@@ -350,6 +432,7 @@ QUERIES = {
 
 ORACLES = {
     "window_distribution": _WINDOW_DIST_SQL,
+    "join_interval_bucketed": _INTERVAL_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "rfm_segmentation": _RFM_SQL,
     "sample_hash": _SAMPLE_SQL,

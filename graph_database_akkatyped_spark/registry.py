@@ -52,6 +52,9 @@ _SWEEP_ORDER = (
     "dedup_near_minhash", "corpus_sample_mixture", "skew_profile",
     "stream_stateful_minmax", "dedup_ngram_jaccard", "zorder_layout",
     "simsearch_recall_lsh", "simsearch_recall", "graph_random_walks",
+    # -- block 1b: keys added after the r04 rotation, still unchecked
+    "join_interval_bucketed", "katz_centrality",
+    # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",
     "topo_longest_path", "connected_components", "sssp_weighted",

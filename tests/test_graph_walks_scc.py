@@ -78,3 +78,61 @@ def test_scc_partition_covers_all_users(spark):
         F.count(F.lit(1)).alias("n")
     )
     assert sizes.where(F.col("n") != F.col("scc_size")).count() == 0
+
+
+def test_interval_bucketed_equals_theta_join(spark):
+    """The bucket decomposition must produce EXACTLY the pairs the
+    naive theta join produces — decomposition is an execution strategy,
+    not a semantics change."""
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        join_interval_bucketed,
+    )
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    got = join_interval_bucketed(spark, SF_ORACLE)
+    base = load_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey"),
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("s"),
+    )
+    a = base.select("o_custkey", F.col("okey").alias("o1"), F.col("s").alias("s1"))
+    b = base.select("o_custkey", F.col("okey").alias("o2"), F.col("s").alias("s2"))
+    naive = (
+        a.join(b, "o_custkey")
+        .where(
+            (F.col("o1") < F.col("o2"))
+            & (F.col("s1") <= F.col("s2") + 6)
+            & (F.col("s2") <= F.col("s1") + 6)
+        )
+        .select(
+            "o_custkey", "o1", "o2",
+            (F.least(F.col("s1") + 6, F.col("s2") + 6)
+             - F.greatest("s1", "s2") + 1).alias("overlap_days"),
+        )
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_katz_floor_and_monotonicity(spark):
+    """Katz >= 1 everywhere (the injected unit mass), and vertices
+    with zero in-degree sit exactly at 1."""
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        katz_centrality,
+        user_directed_edges,
+    )
+
+    katz = katz_centrality(spark, SF_ORACLE)
+    assert katz.where(F.col("katz_e12") < 10**12).count() == 0
+    no_in = katz.join(
+        user_directed_edges(spark, SF_ORACLE).select(
+            F.col("dst").alias("user_id")
+        ).distinct(),
+        "user_id",
+        "left_anti",
+    )
+    assert no_in.where(F.col("katz_e12") != 10**12).count() == 0
