@@ -337,6 +337,44 @@ FROM (
 """
 
 
+def agg_sketch_epoch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting across ingest epochs: each
+    epoch (orders before/after 1997-01-01) builds a per-priority HLL
+    sketch of its customers (``hll_sketch_agg`` — Apache DataSketches,
+    deterministic, no RNG); the refresh UNIONs yesterday's sketches
+    with today's (``hll_union_agg``) instead of re-scanning history —
+    the sketch twin of ``incremental_agg_merge``, and the only way
+    COUNT(DISTINCT) stays incremental at 100 TB (exact distinct
+    requires re-shuffling all history; the sketch merge is O(groups)).
+
+    Output carries the exact distinct (for the quality gate), the
+    merged-sketch estimate, and the single-pass estimate. rows-only
+    check: no SQL engine reproduces the sketch binary, but the exact
+    column + the accuracy assertion live in tests/."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+    tagged = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderdate") < split).alias("old_epoch"),
+        "o_custkey",
+    )
+    per_epoch = tagged.groupBy("o_orderpriority", "old_epoch").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    merged = per_epoch.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_est")
+    )
+    full = tagged.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias(
+            "full_est"
+        ),
+    )
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority", "exact_distinct", "merged_est", "full_est"
+    )
+
+
 def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap self-join, bucket-decomposed: per customer,
     pairs of orders whose 7-day fulfillment windows overlap, with the
@@ -421,6 +459,8 @@ WHERE a.okey < b.okey AND a.s <= b.e AND b.s <= a.e
 QUERIES = {
     "window_distribution": window_distribution,
     "join_interval_bucketed": join_interval_bucketed,
+    # rows-only by design: the HLL sketch binary is not SQL-reproducible
+    "agg_sketch_epoch_merge": agg_sketch_epoch_merge,
     "retention_cohorts": retention_cohorts,
     "rfm_segmentation": rfm_segmentation,
     "sample_hash": sample_hash,

@@ -66,3 +66,21 @@ def test_skew_profile_shapes(spark):
     for r in out.values():
         assert r["max_cnt"] >= r["p99_cnt"] >= r["p50_cnt"] >= 1
         assert r["skew_ratio"] >= 1.0
+
+
+def test_sketch_merge_matches_exact_within_tolerance(spark):
+    """HLL merge-of-epochs and single-pass estimates must both land
+    within the sketch's error envelope of the exact distinct, and the
+    estimates must be deterministic across invocations (DataSketches
+    HLL has no RNG)."""
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        agg_sketch_epoch_merge,
+    )
+
+    a = agg_sketch_epoch_merge(spark, SF_ORACLE).collect()
+    assert len(a) == 5
+    for r in a:
+        for est in (r["merged_est"], r["full_est"]):
+            assert abs(est - r["exact_distinct"]) <= 0.05 * r["exact_distinct"], r
+    b = agg_sketch_epoch_merge(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
