@@ -1,7 +1,8 @@
-"""Pregel kernel scale check: run CC and PageRank on a deterministic
-pseudo-random graph far larger than the fixtures (default 100k vertices,
-1M undirected edges) and report supersteps + wall time. Records evidence
-that the kernel's checkpoint/frontier discipline holds beyond toy sizes.
+"""Pregel kernel scale check: run CC, PageRank, SCC, Katz and random
+walks on a deterministic pseudo-random graph far larger than the
+fixtures (default 100k vertices, 1M edges) and report wall time.
+Records evidence that the kernel's checkpoint/frontier discipline and
+the round-4 graph additions hold beyond toy sizes.
 
 Usage: python tools/graph_scale_check.py [n_vertices] [n_edges]
 """
@@ -50,6 +51,70 @@ def main() -> None:
         f"pagerank(5 iters): sum_rank={total / 1e12:.3f} "
         f"(<= {nv}) in {time.perf_counter() - t0:.1f}s"
     )
+
+    # round-4 additions on the same graph ------------------------------
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        _KATZ_ITERS,
+        _UNIT,
+        scc_frame,
+    )
+    from graph_database_akkatyped_spark.operators.pregel import pregel
+
+    directed = base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    scc = scc_frame(verts, directed)
+    n_scc, n_assigned = (
+        scc.select("scc_id").distinct().count(),
+        scc.count(),
+    )
+    print(
+        f"scc: {n_scc} components over {n_assigned}/{nv} vertices "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+
+    t0 = time.perf_counter()
+    katz = pregel(
+        verts.select("id", F.lit(_UNIT).cast("long").alias("state")),
+        directed,
+        msg=F.col("src_state"),
+        agg=F.sum("msg"),
+        vprog=F.expr(f"CAST({_UNIT} + coalesce(agg_msg, 0) div 10 AS LONG)"),
+        max_iter=_KATZ_ITERS,
+        check_convergence=False,
+    ).vertices
+    kmax = katz.agg(F.max("state")).first()[0]
+    print(
+        f"katz({_KATZ_ITERS} iters): max={kmax / 1e12:.3f} "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+
+    # walks: sorted-adjacency modular indexing, 1 walk x 4 steps per seed
+    t0 = time.perf_counter()
+    adj = (
+        sym.groupBy(F.col("a").alias("cur"))
+        .agg(F.array_sort(F.collect_list("b")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    state = verts.select(F.col("id").alias("seed"), F.lit(0).alias("walk_no"),
+                         F.col("id").alias("cur"))
+    for k in range(1, 5):
+        h = (
+            f"CAST(conv(substring(md5(concat(CAST(seed AS STRING), '_', "
+            f"CAST(walk_no AS STRING), '_', CAST({k} AS STRING))), 1, 12), "
+            f"16, 10) AS BIGINT)"
+        )
+        state = state.join(adj, "cur", "left").select(
+            "seed", "walk_no",
+            F.coalesce(
+                F.expr(f"element_at(nbrs, CAST({h} % size(nbrs) AS INT) + 1)"),
+                F.col("cur"),
+            ).alias("cur"),
+        ).localCheckpoint(eager=True)
+    n_final = state.count()
+    print(f"walks(4 steps, {n_final} walks) in {time.perf_counter() - t0:.1f}s")
 
 
 if __name__ == "__main__":
