@@ -361,6 +361,42 @@ FROM events
 """
 
 
+def stream_sampled_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling ON the ingest stream: the md5-bucket
+    threshold filter (same family as ``sample_stratified``) applied
+    inside the streaming plan, drained with AvailableNow. Because
+    membership is a pure function of ``event_id``, the sample is
+    replay-stable: restarting the stream from the journal, reordering
+    micro-batches, or re-processing after failure yields byte-identical
+    samples — which is why hash sampling (and never ``rand()``) is the
+    only sampling a streaming 100 TB ingest can run. Map-only: no
+    state store, no watermark, no shuffle."""
+    stream = stream_events(spark, sf_dir)
+    bucket = (
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) "
+        "AS BIGINT) % 10000"
+    )
+    sampled = stream.where(F.expr(bucket) < 2500)
+    name = f"samp_{uuid.uuid4().hex[:8]}"
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_SAMPLED_SQL = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+FROM events
+WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 10000 < 2500
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization with EXPLICIT session ids (gaps-and-islands):
     a session breaks after a > 30 min silence; ``session_seq`` numbers a
@@ -641,6 +677,7 @@ WHERE rn <= 3
 
 QUERIES = {
     "source_event_stream": source_event_stream,
+    "stream_sampled_ingest": stream_sampled_ingest,
     "stream_topk_types": stream_topk_types,
     "sessionize_events": sessionize_events,
     "timeseries_gapfill": timeseries_gapfill,
@@ -657,6 +694,7 @@ QUERIES = {
 
 ORACLES = {
     "source_event_stream": _SOURCE_STREAM_SQL,
+    "stream_sampled_ingest": _STREAM_SAMPLED_SQL,
     "stream_topk_types": _TOPK_TYPES_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "timeseries_gapfill": _GAPFILL_SQL,
