@@ -126,6 +126,38 @@ FROM z GROUP BY z_file
 """
 
 
+def zorder_layout_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION z-order shape: ``repartitionByRange`` on the
+    morton code (one range shuffle, boundaries from Spark's reservoir
+    sample) + per-partition zone-map stats via ``spark_partition_id``.
+    No global window, no single-task sort — this is what actually runs
+    at 100 TB, while `zorder_layout` keeps the row_number formulation
+    ONLY because the oracle needs bit-exact file ids. rows-only check:
+    range boundaries come from a sampled sketch, so exact file
+    membership is not cross-engine reproducible — the zone-map
+    tightness property is asserted in tests instead."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 65536).alias("x"),
+        (F.col("l_suppkey") % 65536).alias("y"),
+    )
+    n_files = max(
+        2, int(li.count() // _ROWS_PER_FILE) or 2
+    )
+    morton = F.expr(_morton_terms("x", "y", spark_side=True))
+    ranged = li.withColumn("z", morton).repartitionByRange(n_files, "z")
+    return (
+        ranged.select(F.spark_partition_id().alias("file_id"), "x", "y")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_part"),
+            F.max("x").alias("max_part"),
+            F.min("y").alias("min_supp"),
+            F.max("y").alias("max_supp"),
+        )
+    )
+
+
 _COMPACT_ROWS_PER_FILE = 256
 
 
@@ -343,6 +375,8 @@ _SKEW_SQL = " UNION ALL ".join(
 
 QUERIES = {
     "zorder_layout": zorder_layout,
+    # rows-only by design: range boundaries are sampled, not exact
+    "zorder_layout_ranged": zorder_layout_ranged,
     "sink_compacted": sink_compacted,
     "incremental_agg_merge": incremental_agg_merge,
     "skew_profile": skew_profile,

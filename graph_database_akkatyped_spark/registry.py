@@ -55,6 +55,7 @@ _SWEEP_ORDER = (
     # -- block 1b: keys added after the r04 rotation, still unchecked
     "join_interval_bucketed", "katz_centrality",
     "agg_sketch_epoch_merge", "stream_sampled_ingest",
+    "zorder_layout_ranged",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",

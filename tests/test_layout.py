@@ -84,3 +84,17 @@ def test_sketch_merge_matches_exact_within_tolerance(spark):
             assert abs(est - r["exact_distinct"]) <= 0.05 * r["exact_distinct"], r
     b = agg_sketch_epoch_merge(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_zorder_ranged_zone_maps_tighten(spark):
+    """The production (repartitionByRange) z-order must deliver the
+    same zone-map property the oracle-shape does: per-file key ranges
+    tighter than the full-span natural layout on the wide key."""
+    ranged = layout.zorder_layout_ranged(spark, SF_ORACLE)
+    rows = ranged.collect()
+    assert sum(r["n_rows"] for r in rows) == spark.read.parquet(
+        f"{SF_ORACLE}/lineitem.parquet"
+    ).count()
+    full_span = 2000  # sf0.01 part key range
+    avg_width = sum(r["max_part"] - r["min_part"] for r in rows) / len(rows)
+    assert avg_width < 0.6 * full_span, avg_width
