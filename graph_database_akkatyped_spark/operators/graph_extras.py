@@ -611,7 +611,41 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
     remaining_v = verts.select("id").localCheckpoint(eager=True)
     remaining_e = edges.select("src", "dst").localCheckpoint(eager=True)
     assigned = None  # (id, root)
+
+    def _absorb(members: DataFrame):
+        nonlocal assigned, remaining_v, remaining_e
+        assigned = (
+            members if assigned is None else assigned.unionByName(members)
+        )
+        remaining_v = remaining_v.join(
+            members.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        rm = members.select(F.col("id").alias("gone"))
+        remaining_e = (
+            remaining_e.join(rm, remaining_e["src"] == rm["gone"], "left_anti")
+            .join(rm, remaining_e["dst"] == rm["gone"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
     for _ in range(_SCC_ROUNDS):
+        if remaining_v.limit(1).count() == 0:
+            break
+        # TRIM to fixpoint: a vertex with no in-edge or no out-edge in
+        # the remaining graph is a singleton SCC. Peeling these without
+        # Pregel kills DAG tails and chains — the worst case for
+        # peel-based coloring (a directed chain with descending ids
+        # needs O(n) coloring rounds but trims away immediately).
+        for _ in range(30):
+            has_out = remaining_e.select(F.col("src").alias("id")).distinct()
+            has_in = remaining_e.select(F.col("dst").alias("id")).distinct()
+            core = has_out.join(has_in, "id").localCheckpoint(eager=True)
+            singles = remaining_v.join(core, "id", "left_anti")
+            if singles.limit(1).count() == 0:
+                break
+            _absorb(
+                singles.select("id", F.col("id").alias("root"))
+                .localCheckpoint(eager=True)
+            )
         if remaining_v.limit(1).count() == 0:
             break
         # 1. forward coloring: color = max id reaching v
@@ -663,18 +697,14 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
             .select("id", F.col("color").alias("root"))
             .localCheckpoint(eager=True)
         )
-        assigned = members if assigned is None else assigned.unionByName(members)
-        remaining_v = (
-            remaining_v.join(members.select("id"), "id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        rm = members.select(F.col("id").alias("gone"))
-        remaining_e = (
-            remaining_e.join(
-                rm, remaining_e["src"] == rm["gone"], "left_anti"
-            )
-            .join(rm, remaining_e["dst"] == rm["gone"], "left_anti")
-            .localCheckpoint(eager=True)
+        _absorb(members)
+    if remaining_v.limit(1).count() != 0:
+        # loud failure beats silently dropping vertices: the oracle
+        # (and any consumer) expects a TOTAL partition of the graph
+        raise RuntimeError(
+            f"scc_frame: vertices unassigned after {_SCC_ROUNDS} peeling "
+            "rounds — raise _SCC_ROUNDS for this graph (deep SCC-chain "
+            "topology)"
         )
     # relabel roots to min-member ids and attach sizes
     labels = assigned.groupBy("root").agg(F.min("id").alias("scc_id"))

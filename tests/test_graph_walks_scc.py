@@ -136,3 +136,20 @@ def test_katz_floor_and_monotonicity(spark):
         "left_anti",
     )
     assert no_in.where(F.col("katz_e12") != 10**12).count() == 0
+
+
+def test_scc_chain_topology_trims(spark):
+    """A descending-id directed chain is the peel-based-coloring worst
+    case (O(n) coloring rounds); the trim phase must absorb it in one
+    round. Appended cycles must still resolve as real SCCs."""
+    n = 30
+    verts = spark.createDataFrame(
+        [(i,) for i in range(1, n + 3)], ["id"]
+    )
+    chain = [(i, i - 1) for i in range(n, 1, -1)]  # n -> n-1 -> ... -> 1
+    cyc = [(n + 1, n + 2), (n + 2, n + 1), (n + 1, n)]  # 2-cycle feeding in
+    edges = spark.createDataFrame(chain + cyc, ["src", "dst"])
+    got = {r["id"]: (r["scc_id"], r["scc_size"]) for r in scc_frame(verts, edges).collect()}
+    for i in range(1, n + 1):
+        assert got[i] == (i, 1), (i, got[i])
+    assert got[n + 1] == (n + 1, 2) and got[n + 2] == (n + 1, 2)
