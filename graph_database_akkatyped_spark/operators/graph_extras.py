@@ -729,13 +729,16 @@ def scc_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) like the triangle frame: repeated invocations in
     a long-lived session reuse one checkpointed result instead of
     stacking new blocks."""
+    edges = _memoized(
+        spark, "dedges", sf_dir, lambda: user_directed_edges(spark, sf_dir)
+    )
     return _memoized(
         spark,
         "scc",
         sf_dir,
-        lambda: scc_frame(
-            user_vertices(spark, sf_dir), user_directed_edges(spark, sf_dir)
-        ).select(F.col("id").alias("user_id"), "scc_id", "scc_size"),
+        lambda: scc_frame(user_vertices(spark, sf_dir), edges).select(
+            F.col("id").alias("user_id"), "scc_id", "scc_size"
+        ),
     )
 
 
