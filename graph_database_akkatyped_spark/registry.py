@@ -28,6 +28,7 @@ _MODULES = (
     "graph_database_akkatyped_spark.operators.relational_extras",
     "graph_database_akkatyped_spark.operators.sampling",
     "graph_database_akkatyped_spark.operators.layout",
+    "graph_database_akkatyped_spark.operators.motif",
     "graph_database_akkatyped_spark.functions.scalar",
     "graph_database_akkatyped_spark.functions.udfs",
     "graph_database_akkatyped_spark.streaming.windows",
@@ -56,6 +57,7 @@ _SWEEP_ORDER = (
     "join_interval_bucketed", "katz_centrality",
     "agg_sketch_epoch_merge", "stream_sampled_ingest",
     "zorder_layout_ranged",
+    "motif_find_cosupplied", "motif_find_nonmutual",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",
