@@ -346,3 +346,11 @@ class GraphDB:
 
     def pagerank(self, iters: int = 10) -> DataFrame:
         return pagerank_frame(self.vertices().select("id"), self._sym_edges(), iters)
+
+    def find(self, pattern: str) -> DataFrame:
+        """Motif pattern match over the live edge state (the graph-DB
+        structural ask: ``db.find("(a)-[:bought]->(p); (b)-[:bought]->(p)")``).
+        Compiles to DataFrame joins — see operators.motif."""
+        from graph_database_akkatyped_spark.operators.motif import find
+
+        return find(self.edges(), pattern)

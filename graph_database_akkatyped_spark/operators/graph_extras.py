@@ -19,7 +19,7 @@ linear, never |customers-per-part|² (the classic projection blow-up).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from graph_database_akkatyped_spark.caching import memoized_checkpoint as _memoized
 from graph_database_akkatyped_spark.catalog import load_table
@@ -760,6 +760,85 @@ FROM scc
 """
 
 
+# ------------------------------------------- eccentricity / diameter
+
+_ECC_SEEDS = 3
+_ECC_MAX_LEVEL = 20
+
+
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity of the ``_ECC_SEEDS`` smallest-id vertices (max BFS
+    level from each) + the diameter lower bound they witness — the
+    standard sampled-BFS diameter estimate (exact diameter is all-pairs
+    and off the table at scale; eccentricity of a few seeds is K
+    frontier-BFS passes).
+
+    One MULTI-SOURCE keyed BFS runs all seeds together: the frontier
+    carries (seed, vertex), so K seeds cost one traversal with K-wide
+    state instead of K sequential passes — at 100 TB the per-superstep
+    join dominates, and this amortizes it across all seeds."""
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
+    verts = user_vertices(spark, sf_dir)
+    seeds = [
+        r[0] for r in verts.orderBy("id").limit(_ECC_SEEDS).collect()
+    ]
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "seed bigint")
+    visited = (
+        seed_df.select("seed", F.col("seed").alias("id"))
+        .withColumn("level", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("seed", "id")
+    for lvl in range(1, _ECC_MAX_LEVEL + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select("seed", F.col("b").alias("id"))
+            .distinct()
+            .join(visited, ["seed", "id"], "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "id")
+    ecc = visited.groupBy("seed").agg(
+        F.max("level").alias("eccentricity"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+    w = Window.partitionBy()
+    return ecc.select(
+        F.col("seed").alias("seed_id"),
+        "eccentricity",
+        "n_reached",
+        F.max("eccentricity").over(w).alias("diameter_lb"),
+    )
+
+
+_ECC_SQL = f"""
+WITH RECURSIVE {USER_EDGES_CTE.strip().rstrip(",")},
+seeds AS (SELECT v AS seed FROM verts ORDER BY v LIMIT {_ECC_SEEDS}),
+bfs(seed, id, lvl) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT bfs.seed, e.b, bfs.lvl + 1
+  FROM bfs JOIN uedges e ON e.a = bfs.id
+  WHERE bfs.lvl < {_ECC_MAX_LEVEL}
+),
+lv AS (SELECT seed, id, min(lvl) AS lvl FROM bfs GROUP BY seed, id),
+ecc AS (
+  SELECT seed, CAST(max(lvl) AS INT) AS eccentricity,
+         count(*) AS n_reached
+  FROM lv GROUP BY seed
+)
+SELECT seed AS seed_id, eccentricity, n_reached,
+       CAST(max(eccentricity) OVER () AS INT) AS diameter_lb
+FROM ecc
+"""
+
+
 # ------------------------------------------------------ Katz centrality
 
 _KATZ_ITERS = 5
@@ -830,9 +909,11 @@ QUERIES = {
     "graph_random_walks": graph_random_walks,
     "scc_strongly_connected": scc_strongly_connected,
     "katz_centrality": katz_centrality,
+    "graph_eccentricity": graph_eccentricity,
 }
 
 ORACLES = {
+    "graph_eccentricity": _ECC_SQL,
     "graph_random_walks": _walks_sql(),
     "scc_strongly_connected": _SCC_SQL,
     "katz_centrality": _katz_sql(),

@@ -58,6 +58,7 @@ _SWEEP_ORDER = (
     "agg_sketch_epoch_merge", "stream_sampled_ingest",
     "zorder_layout_ranged",
     "motif_find_cosupplied", "motif_find_nonmutual",
+    "graph_eccentricity",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",

@@ -144,3 +144,15 @@ def test_history_and_compaction_horizon(db):
     db.compact()
     hist2 = db.history("v:1").collect()
     assert len(hist2) == 1 and hist2[0]["name"] == "renamed"
+
+
+def test_find_motif_on_live_state(db):
+    db.add_vertices([("c:1", "c", "x"), ("c:2", "c", "y"), ("p:1", "p", "z")])
+    db.add_edges([("c:1", "p:1", "bought", 1.0), ("c:2", "p:1", "bought", 2.0)])
+    pairs = db.find("(a)-[:bought]->(p); (b)-[:bought]->(p)").where("a < b")
+    got = pairs.collect()
+    assert len(got) == 1
+    assert (got[0]["a"], got[0]["b"], got[0]["p"]) == ("c:1", "c:2", "p:1")
+    # tombstoning the shared part removes the motif match
+    db.remove_vertex("p:1")
+    assert db.find("(a)-[:bought]->(p); (b)-[:bought]->(p)").count() == 0
