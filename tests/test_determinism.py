@@ -26,6 +26,21 @@ _KEYS = [
     "events_anomaly_hours",
     "corpus_mix_weights",
     "rfm_segmentation",
+    # round-4 extensions. NOTE: keys whose FULL result is memoized per
+    # (session, sf_dir) (scc_strongly_connected) are excluded — the
+    # second invocation would return the same checkpointed frame and
+    # the check would be vacuous. For these, only sub-frames are
+    # memoized (walks' adjacency, katz's edge list), so the float/
+    # iterative parts genuinely recompute under the new partitioning.
+    "quality_unigram_logprob",
+    "corpus_sample_mixture",
+    "graph_random_walks",
+    "katz_centrality",
+    "simsearch_pq",
+    "skew_profile",
+    "incremental_agg_merge",
+    "graph_eccentricity",
+    "motif_find_cosupplied",
 ]
 
 
