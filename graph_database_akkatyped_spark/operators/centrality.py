@@ -1,0 +1,237 @@
+"""Centrality extensions: HITS hubs/authorities and sampled
+harmonic/closeness centrality.
+
+HITS runs on the directed succession graph (the same memoized
+``dedges`` frame SCC and Katz share); harmonic/closeness aggregates the
+memoized multi-source-BFS distance frame that also backs
+``graph_eccentricity`` — the traversal is paid once per (session,
+sf_dir) however many centrality keys run.
+
+Determinism discipline matches operators.algos: every iterate is exact
+integer µ-unit arithmetic (products widened through DECIMAL(38,0) /
+HUGEINT before the integral divide), so results are bit-reproducible
+across partitionings and hash-identical to the unrolled-SQL DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.caching import memoized_checkpoint as _memoized
+from graph_database_akkatyped_spark.operators.graph_extras import (
+    DIRECTED_EDGES_CTE,
+    _ECC_MAX_LEVEL,
+    _ECC_SEEDS,
+    msbfs_frame,
+    user_directed_edges,
+)
+from graph_database_akkatyped_spark.operators.graph_build import (
+    USER_EDGES_CTE,
+    user_vertices,
+)
+
+# ------------------------------------------------- HITS hubs/authorities
+
+_HITS_ITERS = 3
+_HITS_UNIT = 1_000_000
+
+
+def _hits_normalize(raw: DataFrame, out: str) -> DataFrame:
+    """Exact max-normalization: x <- x * UNIT div max(x). The max is a
+    1-row aggregate broadcast against the vertex frame (never a
+    window-over-() single-partition sort); the product is widened to
+    DECIMAL(38,0) before the integral divide so the step is exact and
+    overflow-proof up to raw ~ 1e31 (indeg 1e25 at UNIT=1e6 — far past
+    any real graph)."""
+    mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "id",
+        F.expr(
+            f"CAST(CAST(raw AS DECIMAL(38,0)) * {_HITS_UNIT} div mx AS BIGINT)"
+        ).alias(out),
+    )
+
+
+def hits_frame(
+    verts: DataFrame, edges: DataFrame, iters: int = _HITS_ITERS
+) -> DataFrame:
+    """HITS (Kleinberg) by alternating power iteration:
+    ``auth <- Σ_in hub; hub <- Σ_out auth``, each step followed by exact
+    integer max-normalization (the conventional L2 norm is irrational;
+    max-normalization keeps the same fixpoint direction and stays
+    bit-deterministic).
+
+    Per iteration: two message joins on the edge list + two tiny
+    broadcast normalizations — O(E) per superstep, the only HITS shape
+    that survives 100 TB. Vertices with no in/out edges keep score 0
+    via the left-join coalesce."""
+    hub = verts.select("id", F.lit(_HITS_UNIT).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(
+                hub.select(F.col("id").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a_raw = verts.join(a_raw, "id", "left").select(
+            "id", F.coalesce("raw", F.lit(0)).alias("raw")
+        )
+        auth = _hits_normalize(a_raw, "auth")
+        h_raw = (
+            edges.join(
+                auth.select(F.col("id").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        h_raw = verts.join(h_raw, "id", "left").select(
+            "id", F.coalesce("raw", F.lit(0)).alias("raw")
+        )
+        hub = _hits_normalize(h_raw, "hub")
+    return hub.join(auth, "id")
+
+
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the directed user-succession graph — the graph-DB query
+    behind "who initiates cascades (hubs) vs who is repeated (
+    authorities)", the classic companion ranking to PageRank/Katz.
+    Reuses the memoized ``dedges`` edge frame and memoizes its own
+    result like SCC (bounded checkpoint accumulation across bench/sweep
+    invocations)."""
+    edges = _memoized(
+        spark, "dedges", sf_dir, lambda: user_directed_edges(spark, sf_dir)
+    )
+    return _memoized(
+        spark,
+        "hits",
+        sf_dir,
+        lambda: hits_frame(user_vertices(spark, sf_dir), edges).select(
+            F.col("id").alias("user_id"),
+            F.col("hub").alias("hub_e6"),
+            F.col("auth").alias("auth_e6"),
+            (F.col("hub").cast("double") / F.lit(1e6)).alias("hub"),
+            (F.col("auth").cast("double") / F.lit(1e6)).alias("auth"),
+        ),
+    )
+
+
+def _hits_sql(iters: int = _HITS_ITERS) -> str:
+    u = _HITS_UNIT
+    ctes = [
+        DIRECTED_EDGES_CTE.strip().rstrip(","),
+        f"h0 AS (SELECT v AS id, CAST({u} AS BIGINT) AS hub FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT verts.v AS id, COALESCE(s.raw, 0) AS raw "
+            f"FROM verts LEFT JOIN (SELECT e.dst AS id, SUM(h.hub) AS raw "
+            f"FROM dedges e JOIN h{i - 1} h ON h.id = e.src GROUP BY e.dst"
+            f") s ON s.id = verts.v)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT id, CAST(CAST(raw AS HUGEINT) * {u} // "
+            f"(SELECT greatest(max(raw), 1) FROM ar{i}) AS BIGINT) AS auth "
+            f"FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT verts.v AS id, COALESCE(s.raw, 0) AS raw "
+            f"FROM verts LEFT JOIN (SELECT e.src AS id, SUM(a.auth) AS raw "
+            f"FROM dedges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src"
+            f") s ON s.id = verts.v)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT id, CAST(CAST(raw AS HUGEINT) * {u} // "
+            f"(SELECT greatest(max(raw), 1) FROM hr{i}) AS BIGINT) AS hub "
+            f"FROM hr{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h.id AS user_id, h.hub AS hub_e6, a.auth AS auth_e6, "
+        f"CAST(h.hub AS DOUBLE) / 1e6 AS hub, "
+        f"CAST(a.auth AS DOUBLE) / 1e6 AS auth "
+        f"FROM h{iters} h JOIN a{iters} a ON a.id = h.id"
+    )
+
+
+# ---------------------------------------- harmonic / closeness centrality
+
+_HARM_UNIT = 1_000_000
+
+
+def harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic + closeness centrality of the ``_ECC_SEEDS`` sampled
+    seed vertices: ``harmonic = Σ_{v≠s} 1/d(s,v)`` (µ-unit exact:
+    ``Σ UNIT div level``) and Lin-style closeness
+    ``(n_reached - 1) / Σ d`` — the standard sampled formulation (exact
+    centrality of every vertex is all-pairs BFS and off the table at
+    scale; centrality of K probe seeds is one shared multi-source
+    traversal). Aggregates the same memoized :func:`msbfs_frame` as
+    ``graph_eccentricity`` — zero extra traversal when both run."""
+    visited = msbfs_frame(spark, sf_dir)
+    return (
+        visited.groupBy("seed")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("level") > 0,
+                        F.expr(f"CAST({_HARM_UNIT} div level AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("harmonic_e6"),
+            F.sum("level").cast("long").alias("total_dist"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+        .select(
+            F.col("seed").alias("seed_id"),
+            "harmonic_e6",
+            "total_dist",
+            "n_reached",
+            F.when(
+                F.col("total_dist") > 0,
+                (F.col("n_reached") - F.lit(1)).cast("double")
+                / F.col("total_dist").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )
+
+
+_HARMONIC_SQL = f"""
+WITH RECURSIVE {USER_EDGES_CTE.strip().rstrip(",")},
+seeds AS (SELECT v AS seed FROM verts ORDER BY v LIMIT {_ECC_SEEDS}),
+bfs(seed, id, lvl) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT bfs.seed, e.b, bfs.lvl + 1
+  FROM bfs JOIN uedges e ON e.a = bfs.id
+  WHERE bfs.lvl < {_ECC_MAX_LEVEL}
+),
+lv AS (SELECT seed, id, min(lvl) AS lvl FROM bfs GROUP BY seed, id)
+SELECT seed AS seed_id,
+       CAST(COALESCE(SUM(CASE WHEN lvl > 0 THEN {_HARM_UNIT} // lvl END), 0)
+            AS BIGINT) AS harmonic_e6,
+       CAST(SUM(lvl) AS BIGINT) AS total_dist,
+       count(*) AS n_reached,
+       CASE WHEN SUM(lvl) > 0
+            THEN CAST(count(*) - 1 AS DOUBLE) / CAST(SUM(lvl) AS DOUBLE)
+            ELSE 0.0 END AS closeness
+FROM lv GROUP BY seed
+"""
+
+
+QUERIES = {
+    "hits_hubs_authorities": hits_hubs_authorities,
+    "harmonic_closeness": harmonic_closeness,
+}
+
+ORACLES = {
+    "hits_hubs_authorities": _hits_sql(),
+    "harmonic_closeness": _HARMONIC_SQL,
+}

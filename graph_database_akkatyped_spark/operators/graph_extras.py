@@ -766,44 +766,58 @@ _ECC_SEEDS = 3
 _ECC_MAX_LEVEL = 20
 
 
+def msbfs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distance frame ``(seed, id, level)`` from the
+    ``_ECC_SEEDS`` smallest-id vertices over the symmetric user graph.
+
+    One keyed BFS runs all seeds together: the frontier carries
+    (seed, vertex), so K seeds cost one traversal with K-wide state
+    instead of K sequential passes — at 100 TB the per-superstep join
+    dominates, and this amortizes it across all seeds. Memoized per
+    (session, sf_dir): eccentricity/diameter and harmonic/closeness
+    centrality both aggregate this frame, paying for the traversal
+    once."""
+
+    def _build() -> DataFrame:
+        edges = _memoized(
+            spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+        )
+        verts = user_vertices(spark, sf_dir)
+        seeds = [
+            r[0] for r in verts.orderBy("id").limit(_ECC_SEEDS).collect()
+        ]
+        seed_df = spark.createDataFrame([(s,) for s in seeds], "seed bigint")
+        visited = (
+            seed_df.select("seed", F.col("seed").alias("id"))
+            .withColumn("level", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        frontier = visited.select("seed", "id")
+        for lvl in range(1, _ECC_MAX_LEVEL + 1):
+            nxt = (
+                edges.join(frontier.withColumnRenamed("id", "a"), "a")
+                .select("seed", F.col("b").alias("id"))
+                .distinct()
+                .join(visited, ["seed", "id"], "left_anti")
+                .withColumn("level", F.lit(lvl))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("seed", "id")
+        return visited
+
+    return _memoized(spark, "msbfs", sf_dir, _build)
+
+
 def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eccentricity of the ``_ECC_SEEDS`` smallest-id vertices (max BFS
     level from each) + the diameter lower bound they witness — the
     standard sampled-BFS diameter estimate (exact diameter is all-pairs
     and off the table at scale; eccentricity of a few seeds is K
-    frontier-BFS passes).
-
-    One MULTI-SOURCE keyed BFS runs all seeds together: the frontier
-    carries (seed, vertex), so K seeds cost one traversal with K-wide
-    state instead of K sequential passes — at 100 TB the per-superstep
-    join dominates, and this amortizes it across all seeds."""
-    edges = _memoized(
-        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
-    )
-    verts = user_vertices(spark, sf_dir)
-    seeds = [
-        r[0] for r in verts.orderBy("id").limit(_ECC_SEEDS).collect()
-    ]
-    seed_df = spark.createDataFrame([(s,) for s in seeds], "seed bigint")
-    visited = (
-        seed_df.select("seed", F.col("seed").alias("id"))
-        .withColumn("level", F.lit(0))
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited.select("seed", "id")
-    for lvl in range(1, _ECC_MAX_LEVEL + 1):
-        nxt = (
-            edges.join(frontier.withColumnRenamed("id", "a"), "a")
-            .select("seed", F.col("b").alias("id"))
-            .distinct()
-            .join(visited, ["seed", "id"], "left_anti")
-            .withColumn("level", F.lit(lvl))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("seed", "id")
+    frontier-BFS passes over the shared :func:`msbfs_frame`)."""
+    visited = msbfs_frame(spark, sf_dir)
     ecc = visited.groupBy("seed").agg(
         F.max("level").alias("eccentricity"),
         F.count(F.lit(1)).alias("n_reached"),

@@ -2196,6 +2196,158 @@ FROM (
 """
 
 
+# -------------------------------------------------- hard-negative mining
+
+
+def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most cosine-similar vectors of a DIFFERENT label
+    — high-similarity wrong answers, the pairs a retrieval trainer
+    wants in the denominator.
+
+    Same physical shape as :func:`simsearch_topk` (broadcast tiny query
+    side, score, per-query window top-k); at corpus scale the candidate
+    generator is the LSH/IVF path and this exact scoring is the re-rank
+    stage over its candidates — the label filter is a pushed-down
+    predicate either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("label") != F.col("q_label"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "cos",
+            "rnk",
+        )
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+)
+SELECT q_id, q_label, neg_id, neg_label, cos, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         {_sql_dot('q.embedding', 'c.embedding')}
+           / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_dot('q.embedding', 'c.embedding')}
+                     / (sqrt(q.nrm) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk
+  FROM e q JOIN e c ON q.vec_id < 5 AND c.label <> q.label
+) WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------- multimodal frame sampling
+
+_FRAME_CHARS = 64  # chars per frame (the deterministic decode stand-in)
+_FRAME_SAMPLES = 8  # frames sampled per document
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque payload column: emit up to
+    ``_FRAME_SAMPLES`` evenly-strided frames per document with offset,
+    byte length, and content fingerprint — the video/audio
+    frame-extraction plumbing (sample k frames per clip for a vision
+    encoder), with the codec decode replaced by a deterministic
+    char-window stand-in (no codec libs in this container; a real
+    deployment swaps the frame expression for a Pandas-UDF decode like
+    :func:`multimodal_decode_stub`).
+
+    All built-in expressions — ``sequence`` + ``posexplode`` for the
+    frame index fan-out, ``substring``/``md5``/``octet_length`` for the
+    frame content — so the fan-out stays inside whole-stage codegen:
+    map-only, no shuffle, linear in Σ frames however large the corpus.
+    Frames are char-aligned so the fingerprint is engine-neutral
+    (UTF-8 md5 on both sides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = F.greatest(
+        F.lit(1), F.expr(f"CAST(n_chars div {_FRAME_CHARS} AS INT)")
+    )
+    stride = F.greatest(F.lit(1), F.expr(
+        f"CAST((n_chars div {_FRAME_CHARS}) div {_FRAME_SAMPLES} AS INT)"
+    ))
+    n_samp = F.least(F.lit(_FRAME_SAMPLES), total)
+    frame_txt = F.expr(
+        f"substring(text, frame_idx * {_FRAME_CHARS} + 1, {_FRAME_CHARS})"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            total.alias("total_frames"),
+            stride.alias("stride"),
+            F.posexplode(F.sequence(F.lit(0), n_samp - 1)).alias(
+                "sample_no", "i"
+            ),
+        )
+        .select(
+            "doc_id",
+            "total_frames",
+            F.col("sample_no").cast("int").alias("sample_no"),
+            (F.col("i") * F.col("stride")).cast("long").alias("frame_idx"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "total_frames",
+            "sample_no",
+            "frame_idx",
+            (F.col("frame_idx") * _FRAME_CHARS).cast("long").alias("offset"),
+            F.octet_length(frame_txt).cast("long").alias("frame_bytes"),
+            F.md5(frame_txt).alias("frame_md5"),
+        )
+    )
+
+
+_FRAME_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(n_chars // {_FRAME_CHARS} AS INT)) AS total_frames,
+         greatest(1, CAST((n_chars // {_FRAME_CHARS}) // {_FRAME_SAMPLES} AS INT))
+           AS stride
+  FROM documents
+),
+fan AS (
+  SELECT doc_id, text, total_frames,
+         unnest(range(least({_FRAME_SAMPLES}, total_frames))) AS sample_no,
+         stride
+  FROM base
+)
+SELECT doc_id, total_frames, CAST(sample_no AS INTEGER) AS sample_no,
+       CAST(sample_no * stride AS BIGINT) AS frame_idx,
+       CAST(sample_no * stride * {_FRAME_CHARS} AS BIGINT) AS offset,
+       CAST(strlen(substring(text, sample_no * stride * {_FRAME_CHARS} + 1,
+                             {_FRAME_CHARS})) AS BIGINT) AS frame_bytes,
+       md5(substring(text, sample_no * stride * {_FRAME_CHARS} + 1,
+                     {_FRAME_CHARS})) AS frame_md5
+FROM fan
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -2231,6 +2383,8 @@ QUERIES = {
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich_checked,
     "multimodal_decode_stub": multimodal_decode_stub,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "simsearch_hard_negatives": simsearch_hard_negatives,
 }
 
 ORACLES = {
@@ -2268,4 +2422,6 @@ ORACLES = {
     "split_train_test": _SPLIT_SQL,
     "multimodal_enrich": _MULTIMODAL_ENRICH_SQL,
     "multimodal_decode_stub": _MULTIMODAL_DECODE_SQL,
+    "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
+    "simsearch_hard_negatives": _HARD_NEG_SQL,
 }

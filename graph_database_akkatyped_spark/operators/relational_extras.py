@@ -456,7 +456,101 @@ WHERE a.okey < b.okey AND a.s <= b.e AND b.s <= a.e
 """
 
 
+def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) expressed as one full-outer join — the
+    snapshot-maintenance primitive behind every warehouse sink (Delta /
+    Iceberg MERGE; the reference's event-journal -> state fold [R]).
+
+    The CDC batch is derived deterministically from orders: each
+    customer's latest in-flight order (window latest, one row per key)
+    carries an op — D = delete, U = update balance, I = insert under a
+    fresh key — so all three MERGE branches execute. The merge itself
+    is ``base FULL OUTER JOIN batch ON key`` + branch logic, excluding
+    matched deletes: one shuffle on the merge key, linear in
+    |base| + |batch|.
+
+    100 TB shape: this is exactly how MERGE physically executes at
+    scale — co-partition base and batch by key (bucketed layout makes
+    the shuffle one-sided), or broadcast the batch when it is
+    OLTP-sized; AQE handles the skewed-key case. No driver-side state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    batch = (
+        orders.where(F.col("o_orderkey") % 7 < 4)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey"),
+            F.col("o_totalprice").alias("new_bal"),
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit("D"))
+            .when(F.col("o_orderkey") % 4 == 1, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        .select(
+            F.when(
+                F.col("op") == "I", F.col("o_custkey") + 1000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("key"),
+            "op",
+            "new_bal",
+        )
+    )
+    merged = cust.join(batch, cust.c_custkey == batch.key, "full_outer")
+    return merged.where(
+        F.coalesce(F.col("op"), F.lit("")) != "D"
+    ).select(
+        F.coalesce(F.col("key"), F.col("c_custkey")).alias("custkey"),
+        F.coalesce(
+            F.col("c_name"),
+            F.concat(F.lit("NEW#"), F.col("key").cast("string")),
+        ).alias("name"),
+        F.when(F.col("key").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("new_bal"))
+        .alias("acctbal"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("CDC")).alias("mktsegment"),
+        F.when(F.col("key").isNull(), F.lit("unchanged"))
+        .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("change_type"),
+    )
+
+
+_MERGE_SQL = """
+WITH cdc AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+           CASE o_orderkey % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op
+    FROM orders WHERE o_orderkey % 7 < 4
+  ) WHERE rn = 1
+),
+batch AS (
+  SELECT CASE WHEN op = 'I' THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+         op, o_totalprice AS new_bal
+  FROM cdc
+)
+SELECT
+  COALESCE(b.key, c.c_custkey) AS custkey,
+  COALESCE(c.c_name, 'NEW#' || CAST(b.key AS VARCHAR)) AS name,
+  CASE WHEN b.key IS NULL THEN c.c_acctbal ELSE b.new_bal END AS acctbal,
+  COALESCE(c.c_mktsegment, 'CDC') AS mktsegment,
+  CASE WHEN b.key IS NULL THEN 'unchanged'
+       WHEN c.c_custkey IS NULL THEN 'inserted'
+       ELSE 'updated' END AS change_type
+FROM customer c FULL OUTER JOIN batch b ON b.key = c.c_custkey
+WHERE COALESCE(b.op, '') <> 'D'
+"""
+
+
 QUERIES = {
+    "merge_cdc_upsert": merge_cdc_upsert,
     "window_distribution": window_distribution,
     "join_interval_bucketed": join_interval_bucketed,
     # rows-only by design: the HLL sketch binary is not SQL-reproducible
@@ -471,6 +565,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "merge_cdc_upsert": _MERGE_SQL,
     "window_distribution": _WINDOW_DIST_SQL,
     "join_interval_bucketed": _INTERVAL_SQL,
     "retention_cohorts": _RETENTION_SQL,

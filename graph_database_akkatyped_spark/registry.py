@@ -29,6 +29,7 @@ _MODULES = (
     "graph_database_akkatyped_spark.operators.sampling",
     "graph_database_akkatyped_spark.operators.layout",
     "graph_database_akkatyped_spark.operators.motif",
+    "graph_database_akkatyped_spark.operators.centrality",
     "graph_database_akkatyped_spark.functions.scalar",
     "graph_database_akkatyped_spark.functions.udfs",
     "graph_database_akkatyped_spark.streaming.windows",
@@ -58,7 +59,9 @@ _SWEEP_ORDER = (
     "agg_sketch_epoch_merge", "stream_sampled_ingest",
     "zorder_layout_ranged",
     "motif_find_cosupplied", "motif_find_nonmutual",
-    "graph_eccentricity",
+    "graph_eccentricity", "hits_hubs_authorities", "harmonic_closeness",
+    "merge_cdc_upsert", "simsearch_hard_negatives",
+    "multimodal_frame_sample",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",

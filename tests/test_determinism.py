@@ -39,7 +39,12 @@ _KEYS = [
     "simsearch_pq",
     "skew_profile",
     "incremental_agg_merge",
+    # graph_eccentricity/harmonic_closeness aggregate the memoized
+    # msbfs frame, so only their aggregation recomputes here; the raw
+    # BFS is integer-leveled (no float risk) and hits_frame has its own
+    # direct invariance test in test_centrality.py
     "graph_eccentricity",
+    "harmonic_closeness",
     "motif_find_cosupplied",
 ]
 
