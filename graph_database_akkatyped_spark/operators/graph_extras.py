@@ -30,6 +30,7 @@ from graph_database_akkatyped_spark.operators.algos import (
     _UNIT,
     _canonical_edges,
     _edge_common_counts,
+    bfs_frame,
 )
 from graph_database_akkatyped_spark.operators.graph_build import (
     NATION_EDGES_CTE,
@@ -853,6 +854,98 @@ FROM ecc
 """
 
 
+# ------------------------------------- bidirectional point-to-point path
+
+_BIDIR_HALF = 4  # per-side BFS radius -> exact for dist <= 8
+
+
+def path_shortest_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-to-point shortest distance min-user -> max-user by
+    BIDIRECTIONAL BFS: one ``_BIDIR_HALF``-level ball around each
+    endpoint, met in the middle — ``dist = min(d_fwd(v) + d_bwd(v))``
+    over the ball intersection, exact for any distance ≤ 2·HALF (a
+    shortest path of length d has a midpoint within ⌈d/2⌉ of both
+    ends; the triangle inequality bounds the other direction).
+
+    This is THE scale trick for point queries: two radius-r balls
+    explore ~2·b^r vertices vs b^(2r) for one radius-2r ball — at 100
+    TB the difference between a subsecond lookup and a full traversal.
+    Single row: (src_id, dst_id, dist, n_meet); dist = -1 means
+    "farther than 2·HALF or disconnected", n_meet = # distinct midpoint
+    vertices lying on a shortest path. No driver-side collect — seeds
+    are 1-row aggregate frames fed straight to the frontier BFS."""
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
+    events = load_table(spark, sf_dir, "events")
+    cnt = bidirectional_dist_frame(
+        edges,
+        events.agg(F.min("user_id").alias("id")),
+        events.agg(F.max("user_id").alias("id")),
+    )
+    ends = events.agg(
+        F.min("user_id").alias("src_id"), F.max("user_id").alias("dst_id")
+    )
+    return ends.crossJoin(F.broadcast(cnt)).select(
+        "src_id", "dst_id", "dist", "n_meet"
+    )
+
+
+def bidirectional_dist_frame(
+    edges_sym: DataFrame,
+    src_seed: DataFrame,
+    dst_seed: DataFrame,
+    half: int = _BIDIR_HALF,
+) -> DataFrame:
+    """1-row (dist, n_meet) via two half-radius BFS balls met in the
+    middle; dist = -1 when the balls never intersect (distance >
+    2·half or disconnected)."""
+    fwd = bfs_frame(edges_sym, src_seed, half)
+    bwd = bfs_frame(edges_sym, dst_seed, half)
+    meet = fwd.join(
+        bwd.withColumnRenamed("level", "blevel"), "id"
+    ).select((F.col("level") + F.col("blevel")).cast("long").alias("d"))
+    dmin = meet.agg(F.min("d").alias("dist")).alias("dm")
+    return (
+        dmin.join(
+            meet.alias("m"), F.col("dm.dist") == F.col("m.d"), "left"
+        )
+        .groupBy("dist")
+        .agg(F.count(F.col("m.d")).alias("n_meet"))
+        .select(
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
+            "n_meet",
+        )
+    )
+
+
+_BIDIR_SQL = f"""
+WITH RECURSIVE {USER_EDGES_CTE.strip().rstrip(",")},
+f(id, lvl) AS (
+  SELECT (SELECT min(user_id) FROM events), 0
+  UNION
+  SELECT e.b, f.lvl + 1 FROM f JOIN uedges e ON e.a = f.id
+  WHERE f.lvl < {_BIDIR_HALF}
+),
+b(id, lvl) AS (
+  SELECT (SELECT max(user_id) FROM events), 0
+  UNION
+  SELECT e.b, b.lvl + 1 FROM b JOIN uedges e ON e.a = b.id
+  WHERE b.lvl < {_BIDIR_HALF}
+),
+fl AS (SELECT id, min(lvl) AS lf FROM f GROUP BY id),
+bl AS (SELECT id, min(lvl) AS lb FROM b GROUP BY id),
+meet AS (SELECT fl.lf + bl.lb AS d FROM fl JOIN bl ON bl.id = fl.id),
+dmin AS (SELECT min(d) AS dist FROM meet)
+SELECT (SELECT min(user_id) FROM events) AS src_id,
+       (SELECT max(user_id) FROM events) AS dst_id,
+       CAST(COALESCE(dist, -1) AS BIGINT) AS dist,
+       CAST(COALESCE((SELECT count(*) FROM meet WHERE meet.d = dmin.dist), 0)
+            AS BIGINT) AS n_meet
+FROM dmin
+"""
+
+
 # ------------------------------------------------------ Katz centrality
 
 _KATZ_ITERS = 5
@@ -924,10 +1017,12 @@ QUERIES = {
     "scc_strongly_connected": scc_strongly_connected,
     "katz_centrality": katz_centrality,
     "graph_eccentricity": graph_eccentricity,
+    "path_shortest_bidirectional": path_shortest_bidirectional,
 }
 
 ORACLES = {
     "graph_eccentricity": _ECC_SQL,
+    "path_shortest_bidirectional": _BIDIR_SQL,
     "graph_random_walks": _walks_sql(),
     "scc_strongly_connected": _SCC_SQL,
     "katz_centrality": _katz_sql(),

@@ -61,7 +61,7 @@ _SWEEP_ORDER = (
     "motif_find_cosupplied", "motif_find_nonmutual",
     "graph_eccentricity", "hits_hubs_authorities", "harmonic_closeness",
     "merge_cdc_upsert", "simsearch_hard_negatives",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample", "path_shortest_bidirectional",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",

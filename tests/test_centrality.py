@@ -73,3 +73,25 @@ def test_hits_isolated_vertex_scores_zero(spark):
     rows = {r["id"]: r for r in hits_frame(verts, edges).collect()}
     assert rows[4]["hub"] == 0 and rows[4]["auth"] == 0
     assert len(rows) == 5
+
+
+def test_bidirectional_dist_exact_and_unreachable(spark):
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        bidirectional_dist_frame,
+    )
+
+    # path 0-1-2-3-4-5 (symmetric), plus isolated pair 10-11
+    chain = [(i, i + 1) for i in range(5)] + [(10, 11)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "a long, b long"
+    )
+    seed = lambda v: spark.createDataFrame([(v,)], "id long")  # noqa: E731
+    # dist(0,5) = 5 needs half>=3 on one side: half=3 finds it exactly
+    r = bidirectional_dist_frame(edges, seed(0), seed(5), half=3).collect()[0]
+    assert (r["dist"], r["n_meet"]) == (5, 2)  # midpoints 2 and 3
+    # beyond 2*half: reported unreachable (-1)
+    r = bidirectional_dist_frame(edges, seed(0), seed(5), half=2).collect()[0]
+    assert (r["dist"], r["n_meet"]) == (-1, 0)
+    # genuinely disconnected
+    r = bidirectional_dist_frame(edges, seed(0), seed(10), half=3).collect()[0]
+    assert (r["dist"], r["n_meet"]) == (-1, 0)
