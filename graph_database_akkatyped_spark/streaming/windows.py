@@ -27,7 +27,7 @@ from graph_database_akkatyped_spark.catalog import (
     load_table,
     normalize_events_ts,
 )
-from graph_database_akkatyped_spark.numerics import dec2double
+from graph_database_akkatyped_spark.numerics import dec2double, dsum, sql_dsum
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,7 +675,58 @@ WHERE rn <= 3
 """
 
 
+def cdc_snapshot_agg(df: DataFrame) -> DataFrame:
+    """Last-event-wins materialized view per user: latest event type
+    (tie-broken by event_id — unique, so deterministic), last ts, event
+    count, exact-decimal value total. All components are
+    ASSOCIATIVELY MERGEABLE partial aggregates (max-by over the
+    (ts, event_id) order, sum, count) — the property that lets a
+    streaming deployment fold each micro-batch into a stored snapshot
+    instead of reprocessing history (verified by the two-batch merge
+    test in tests/test_streaming.py)."""
+    return df.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias(
+            "last_event_type"
+        ),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 2).alias("total_value"),
+    )
+
+
+def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot maintenance: the event journal folded to a current
+    per-user state row — the streaming twin of the batch
+    ``merge_cdc_upsert`` (and the reference's event-sourced actor state
+    [R]: replay journal -> state, then apply each new event). Batch
+    twin registered; the foreachBatch deployment merges each
+    micro-batch's partial into the snapshot store, O(batch + touched
+    keys) per trigger at 100 TB, never O(history)."""
+    return cdc_snapshot_agg(_events(spark, sf_dir))
+
+
+_CDC_SNAPSHOT_SQL = f"""
+WITH last AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+agg AS (
+  SELECT user_id, CAST(max(ts) AS TIMESTAMP) AS last_ts,
+         count(*) AS n_events,
+         {sql_dsum('value', 2)} AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, l.event_type AS last_event_type, a.last_ts,
+       a.n_events, a.total_value
+FROM agg a JOIN last l USING (user_id)
+"""
+
+
 QUERIES = {
+    "stream_cdc_snapshot": stream_cdc_snapshot,
     "source_event_stream": source_event_stream,
     "stream_sampled_ingest": stream_sampled_ingest,
     "stream_topk_types": stream_topk_types,
@@ -693,6 +744,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_cdc_snapshot": _CDC_SNAPSHOT_SQL,
     "source_event_stream": _SOURCE_STREAM_SQL,
     "stream_sampled_ingest": _STREAM_SAMPLED_SQL,
     "stream_topk_types": _TOPK_TYPES_SQL,

@@ -287,3 +287,57 @@ def test_stream_topk_foreachbatch_matches_batch(spark):
             batch_pd.sort_values(key).reset_index(drop=True)
         )
     )
+
+
+def test_cdc_snapshot_two_batch_merge_equals_batch(spark):
+    """The CDC snapshot's partial aggregates must merge associatively:
+    folding two half-batches (split by event_id parity — an arbitrary,
+    order-hostile split) must equal the single-pass batch result. This
+    is the exact property the foreachBatch deployment relies on."""
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.streaming.windows import (
+        _events,
+        cdc_snapshot_agg,
+    )
+
+    ev = _events(spark, SF_SMOKE)
+    expected = cdc_snapshot_agg(ev)
+
+    def partial(df):
+        # partials keep the merge key for max_by: (ts, event_id)
+        return df.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("ts", "event_id", "event_type"),
+                F.struct("ts", "event_id"),
+            ).alias("last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).alias("total_dec"),
+        )
+
+    merged = (
+        partial(ev.where(F.col("event_id") % 2 == 0))
+        .unionByName(partial(ev.where(F.col("event_id") % 2 == 1)))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("last", F.struct("last.ts", "last.event_id")).alias(
+                "last"
+            ),
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_dec").alias("total_dec"),
+        )
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.ts").alias("last_ts"),
+            "n_events",
+            F.col("total_dec").cast("string").cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    from tests.oracle_utils import canonical_rows
+
+    assert canonical_rows(merged.toPandas()) == canonical_rows(
+        expected.toPandas()
+    )
