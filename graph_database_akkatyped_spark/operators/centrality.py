@@ -28,6 +28,7 @@ from graph_database_akkatyped_spark.operators.graph_extras import (
 )
 from graph_database_akkatyped_spark.operators.graph_build import (
     USER_EDGES_CTE,
+    user_edges_sym,
     user_vertices,
 )
 
@@ -226,12 +227,88 @@ FROM lv GROUP BY seed
 """
 
 
+# ------------------------------------------------ degree assortativity
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the symmetric user graph:
+    Pearson correlation of endpoint degrees over the directed edge
+    list. Social graphs are assortative (hubs befriend hubs), web/
+    dependency graphs disassortative — the one-number mixing summary a
+    graph DB reports next to the degree distribution.
+
+    Exact path: degrees from one groupBy, two equi-joins to annotate
+    each edge with (deg_a, deg_b), then INTEGER moment sums widened to
+    DECIMAL(38,0) — by symmetry Sx = Sy and Sxx = Syy, so
+    ``r = (M·Sxy − Sx²) / (M·Sxx − Sx²)`` with one double divide at the
+    end (both engines cast the same exact decimals). Linear, two
+    shuffles, no iteration — safe at any scale."""
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    annotated = (
+        edges.join(deg.select(F.col("a"), F.col("d").alias("da")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("d").alias("db")), "b"
+        )
+        .select(
+            F.col("da").cast("decimal(38,0)").alias("da"),
+            F.col("db").cast("decimal(38,0)").alias("db"),
+        )
+    )
+    sums = annotated.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("da").alias("sx"),
+        F.sum((F.col("da") * F.col("da")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("da") * F.col("db")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    den = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    return sums.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.col("sx").cast("long").alias("s_deg"),
+        F.col("sxx").cast("long").alias("s_deg_sq"),
+        F.col("sxy").cast("long").alias("s_deg_prod"),
+        (
+            num.cast("string").cast("double")
+            / den.cast("string").cast("double")
+        ).alias("assortativity"),
+    )
+
+
+_ASSORT_SQL = f"""
+WITH {USER_EDGES_CTE.strip().rstrip(",")},
+deg AS (SELECT a, CAST(count(*) AS HUGEINT) AS d FROM uedges GROUP BY a),
+ann AS (
+  SELECT da.d AS da, db.d AS db
+  FROM uedges e JOIN deg da ON da.a = e.a JOIN deg db ON db.a = e.b
+),
+sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m, SUM(da) AS sx,
+         SUM(da * da) AS sxx, SUM(da * db) AS sxy
+  FROM ann
+)
+SELECT CAST(m AS BIGINT) AS m_edges, CAST(sx AS BIGINT) AS s_deg,
+       CAST(sxx AS BIGINT) AS s_deg_sq, CAST(sxy AS BIGINT) AS s_deg_prod,
+       CAST(m * sxy - sx * sx AS DOUBLE)
+         / CAST(m * sxx - sx * sx AS DOUBLE) AS assortativity
+FROM sums
+"""
+
+
 QUERIES = {
     "hits_hubs_authorities": hits_hubs_authorities,
     "harmonic_closeness": harmonic_closeness,
+    "degree_assortativity": degree_assortativity,
 }
 
 ORACLES = {
     "hits_hubs_authorities": _hits_sql(),
     "harmonic_closeness": _HARMONIC_SQL,
+    "degree_assortativity": _ASSORT_SQL,
 }

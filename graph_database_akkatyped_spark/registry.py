@@ -62,7 +62,7 @@ _SWEEP_ORDER = (
     "graph_eccentricity", "hits_hubs_authorities", "harmonic_closeness",
     "merge_cdc_upsert", "simsearch_hard_negatives",
     "multimodal_frame_sample", "path_shortest_bidirectional",
-    "stream_cdc_snapshot",
+    "stream_cdc_snapshot", "degree_assortativity",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",
