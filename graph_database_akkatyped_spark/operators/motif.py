@@ -125,9 +125,15 @@ def motif_find_cosupplied(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per supplier (match cardinality is quadratic per
     supplier; the aggregate keeps the registered output bounded while
     still executing the raw match)."""
+    from graph_database_akkatyped_spark.caching import memoized_checkpoint
     from graph_database_akkatyped_spark.operators.graph_build import build_edges
 
-    edges = build_edges(spark, sf_dir)
+    # the motif self-joins this frame; memoized+materialized so both
+    # sides (and repeated invocations) read one cut instead of
+    # re-running the orders-lineitem derivation per side
+    edges = memoized_checkpoint(
+        spark, "bedges", sf_dir, lambda: build_edges(spark, sf_dir)
+    )
     matches = find(edges, "(a)-[:sourced]->(s); (b)-[:sourced]->(s)").where(
         F.col("a") < F.col("b")
     )
@@ -151,11 +157,16 @@ def motif_find_nonmutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a)->(b) with NO reciprocal (b)->(a) edge — "who follows whom
     without follow-back", per source vertex. The negated term compiles
     to an anti-join (never a filter over a cross product)."""
+    from graph_database_akkatyped_spark.caching import memoized_checkpoint
     from graph_database_akkatyped_spark.operators.graph_extras import (
         user_directed_edges,
     )
 
-    edges = user_directed_edges(spark, sf_dir)
+    # same "dedges" frame SCC/Katz/HITS share — the negation anti-join
+    # reads the cut instead of re-running the events self-join
+    edges = memoized_checkpoint(
+        spark, "dedges", sf_dir, lambda: user_directed_edges(spark, sf_dir)
+    )
     matches = find(edges, "(a)-[]->(b); !(b)-[]->(a)")
     return matches.groupBy("a").agg(
         F.count(F.lit(1)).alias("n_oneway")
