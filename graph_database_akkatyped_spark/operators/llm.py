@@ -2348,6 +2348,90 @@ FROM fan
 """
 
 
+# ------------------------------------------- substring-level duplication
+
+_SHINGLE_CHARS = 32
+_SHINGLE_STRIDE = 16
+
+
+def dedup_substring_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (the metric behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022: duplicated SPANS matter, not just duplicated documents):
+    per document, how many of its distinct char-``_SHINGLE_CHARS``-gram
+    shingles (stride ``_SHINGLE_STRIDE``) also occur in at least one
+    OTHER document, and the resulting cross-duplication ratio.
+
+    Shape: shingle fan-out with built-in ``sequence``/``transform``
+    (stays in codegen), distinct (doc, shingle) pairs, one groupBy on
+    the shingle to count carrier docs (map-side combine absorbs viral
+    shingles), join back, per-doc aggregate — linear in total text
+    size, ~n_chars/stride shingles per doc. The full suffix-array exact
+    dedup is a sort of the same fan-out; this bounded-shingle form is
+    the standard at-scale approximation."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the fan-out is one SQL expr: F.substring requires foldable
+    # positions, so the lambda-parameterized start only works via
+    # expr-level substring
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(1, CAST((n_chars + "
+                    f"{_SHINGLE_STRIDE} - 1) div {_SHINGLE_STRIDE} AS INT))"
+                    f" - 1), i -> substring(text, i * {_SHINGLE_STRIDE} + 1,"
+                    f" {_SHINGLE_CHARS}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    carriers = pairs.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        pairs.join(carriers, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias(
+                "n_dup_shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            (
+                F.col("n_dup_shingles").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+_SUBSTRING_SHINGLE_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         substring(text, i * {_SHINGLE_STRIDE} + 1, {_SHINGLE_CHARS}) AS sh
+  FROM documents,
+       unnest(range(greatest(1,
+         CAST((n_chars + {_SHINGLE_STRIDE} - 1) // {_SHINGLE_STRIDE}
+              AS INT)))) AS t(i)
+),
+carriers AS (SELECT sh, count(*) AS n_docs FROM pairs GROUP BY sh)
+SELECT p.doc_id,
+       count(*) AS n_shingles,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_shingles,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM pairs p JOIN carriers c USING (sh)
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -2385,6 +2469,7 @@ QUERIES = {
     "multimodal_decode_stub": multimodal_decode_stub,
     "multimodal_frame_sample": multimodal_frame_sample,
     "simsearch_hard_negatives": simsearch_hard_negatives,
+    "dedup_substring_shingle": dedup_substring_shingle,
 }
 
 ORACLES = {
@@ -2424,4 +2509,5 @@ ORACLES = {
     "multimodal_decode_stub": _MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "simsearch_hard_negatives": _HARD_NEG_SQL,
+    "dedup_substring_shingle": _SUBSTRING_SHINGLE_SQL,
 }
