@@ -214,3 +214,50 @@ def test_skew_profile_partial_agg(spark):
     assert uses(df, "partial_count") or uses(df, "partial_sum"), (
         "no map-side partial aggregation"
     )
+
+
+def test_hard_negatives_broadcasts_query_side(spark):
+    """The candidate scorer must broadcast the tiny query side — a
+    shuffled join here would re-partition the full corpus per query
+    batch."""
+    from graph_database_akkatyped_spark.operators import llm
+
+    df = llm.simsearch_hard_negatives(spark, SF_ORACLE)
+    assert uses(df, "BroadcastNestedLoopJoin") or uses(
+        df, "BroadcastHashJoin"
+    )
+
+
+def test_frame_sample_is_map_only(spark):
+    """Frame fan-out must stay shuffle-free (generate + project only)."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.multimodal_frame_sample(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_substring_shingle_no_cartesian(spark):
+    """Carrier counting must be the shingle equi-join, never pairwise."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.dedup_substring_shingle(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_merge_cdc_is_single_outer_join(spark):
+    """MERGE compiles to exactly one full-outer join on the key (plus
+    the window that builds the batch) — no extra pass over the base."""
+    from graph_database_akkatyped_spark.operators import relational_extras
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    df = relational_extras.merge_cdc_upsert(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    n_outer = sum(
+        1 for line in plan.splitlines() if "Join FullOuter" in line
+    )
+    assert n_outer == 1, plan
+    assert "CartesianProduct" not in plan, plan
