@@ -395,7 +395,107 @@ SELECT doc_id, reasons, reasons = '' AS keep FROM (
 """
 
 
+def tombstone_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: given a tombstoned user set
+    (deterministic: ``user_id % 97 = 0``), count the rows each table
+    would purge when the delete cascades along the FK chain
+    (user -> events; user-as-customer -> orders -> lineitem) — the
+    planning query run BEFORE executing a GDPR cascade, and the batch
+    analog of the GraphDB journal's tombstone compaction (api.py).
+
+    Shape: the victim set is broadcast (it is ~1% of users); every
+    cascade level is a broadcast semi-join + count, so the audit costs
+    one scan per table regardless of corpus size — no full-table
+    anti-join materialization, no shuffle on the fact tables."""
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    victims = (
+        events.select("user_id")
+        .where(F.col("user_id") % 97 == 0)
+        .distinct()
+    )
+
+    def audit(df: DataFrame, key: str, purge_keys: DataFrame, name: str):
+        hit = df.join(
+            F.broadcast(purge_keys.withColumnRenamed(purge_keys.columns[0], key)),
+            key,
+            "left_semi",
+        )
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_total"))
+            .crossJoin(
+                F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_purged")))
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_purged",
+                "n_total",
+                (
+                    F.col("n_purged").cast("double")
+                    / F.col("n_total").cast("double")
+                ).alias("purge_frac"),
+            )
+        )
+
+    purged_orders = orders.join(
+        F.broadcast(victims.withColumnRenamed("user_id", "o_custkey")),
+        "o_custkey",
+        "left_semi",
+    ).select("o_orderkey")
+    return (
+        audit(events, "user_id", victims, "events")
+        .unionByName(audit(cust, "c_custkey", victims, "customer"))
+        .unionByName(audit(orders, "o_custkey", victims, "orders"))
+        .unionByName(audit(li, "l_orderkey", purged_orders, "lineitem"))
+    )
+
+
+_TOMBSTONE_SQL = """
+WITH victims AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+),
+purged_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT user_id FROM victims)
+)
+SELECT 'events' AS table_name,
+       (SELECT count(*) FROM events
+        WHERE user_id IN (SELECT user_id FROM victims)) AS n_purged,
+       (SELECT count(*) FROM events) AS n_total,
+       CAST((SELECT count(*) FROM events
+             WHERE user_id IN (SELECT user_id FROM victims)) AS DOUBLE)
+         / CAST((SELECT count(*) FROM events) AS DOUBLE) AS purge_frac
+UNION ALL
+SELECT 'customer',
+       (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT user_id FROM victims)),
+       (SELECT count(*) FROM customer),
+       CAST((SELECT count(*) FROM customer
+             WHERE c_custkey IN (SELECT user_id FROM victims)) AS DOUBLE)
+         / CAST((SELECT count(*) FROM customer) AS DOUBLE)
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM purged_orders),
+       (SELECT count(*) FROM orders),
+       CAST((SELECT count(*) FROM purged_orders) AS DOUBLE)
+         / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM purged_orders)),
+       (SELECT count(*) FROM lineitem),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM purged_orders))
+            AS DOUBLE)
+         / CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+"""
+
+
 QUERIES = {
+    "tombstone_cascade": tombstone_cascade,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "curation_filter_report": curation_filter_report,
     "pii_redact": pii_redact,
@@ -406,6 +506,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tombstone_cascade": _TOMBSTONE_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "curation_filter_report": _FILTER_REPORT_SQL,
     "pii_redact": _PII_SQL,
