@@ -549,7 +549,89 @@ WHERE COALESCE(b.op, '') <> 'D'
 """
 
 
+_SNAP_A = "1997-01-01"
+_SNAP_B = "1999-01-01"
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel state diff: per-customer order state (count + exact
+    spend) AS OF two snapshot cutoffs, full-outer joined into
+    added / changed / unchanged rows — the audit query behind "what
+    changed between yesterday's and today's snapshot" (and the batch
+    analog of GraphDB's ``as_of_batch`` reads, api.py).
+
+    Shape: one scan feeds both snapshot aggregates (the B aggregate is
+    a superset filter, Catalyst prunes columns once), then a single
+    full-outer join on the customer key — linear, no history replay.
+    Spend compares in exact DECIMAL so 'changed' is never a float
+    artifact."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(cutoff: str):
+        return (
+            orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias(
+                    "spend"
+                ),
+            )
+        )
+    a = snap(_SNAP_A).alias("a")
+    b = snap(_SNAP_B).alias("b")
+    joined = b.join(a, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("b.o_custkey"), F.col("a.o_custkey")).alias(
+            "custkey"
+        ),
+        F.coalesce(F.col("a.n_orders"), F.lit(0)).alias("n_orders_a"),
+        F.coalesce(F.col("b.n_orders"), F.lit(0)).alias("n_orders_b"),
+        dec2double(F.coalesce(F.col("a.spend"), F.lit(0).cast("decimal(30,2)"))).alias(
+            "spend_a"
+        ),
+        dec2double(F.coalesce(F.col("b.spend"), F.lit(0).cast("decimal(30,2)"))).alias(
+            "spend_b"
+        ),
+        F.when(F.col("a.o_custkey").isNull(), F.lit("added"))
+        .when(
+            (F.col("a.n_orders") != F.col("b.n_orders"))
+            | (F.col("a.spend") != F.col("b.spend")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS spend
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_A}'
+  GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS spend
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_B}'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(b.o_custkey, a.o_custkey) AS custkey,
+       COALESCE(a.n_orders, 0) AS n_orders_a,
+       COALESCE(b.n_orders, 0) AS n_orders_b,
+       CAST(CAST(COALESCE(a.spend, 0) AS VARCHAR) AS DOUBLE) AS spend_a,
+       CAST(CAST(COALESCE(b.spend, 0) AS VARCHAR) AS DOUBLE) AS spend_b,
+       CASE WHEN a.o_custkey IS NULL THEN 'added'
+            WHEN a.n_orders <> b.n_orders OR a.spend <> b.spend
+              THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM b FULL OUTER JOIN a ON a.o_custkey = b.o_custkey
+"""
+
+
 QUERIES = {
+    "snapshot_diff": snapshot_diff,
     "merge_cdc_upsert": merge_cdc_upsert,
     "window_distribution": window_distribution,
     "join_interval_bucketed": join_interval_bucketed,
@@ -565,6 +647,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "merge_cdc_upsert": _MERGE_SQL,
     "window_distribution": _WINDOW_DIST_SQL,
     "join_interval_bucketed": _INTERVAL_SQL,

@@ -65,8 +65,15 @@ def replicate(spark, n: int) -> str:
         load_table(spark, SF_DIR, "orders").crossJoin(copies),
         ["o_orderkey", "o_custkey"],
     ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    # events must ALSO shift ts: the user graph equi-joins on the
+    # (event_type, hour) slot key, so identical timestamps across
+    # copies would connect the copies and grow edges N², not N — the
+    # first run of this tool OOM'd exactly that way. ~11 years per
+    # copy keeps the hour slots disjoint.
     shift(
-        load_table(spark, SF_DIR, "events").crossJoin(copies),
+        load_table(spark, SF_DIR, "events")
+        .crossJoin(copies)
+        .withColumn("ts", F.expr("timestampadd(HOUR, _copy * 100000, ts)")),
         ["event_id", "user_id"],
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
     shift(
