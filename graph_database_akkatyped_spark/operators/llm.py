@@ -2432,6 +2432,141 @@ GROUP BY p.doc_id
 """
 
 
+# ------------------------------------------- distributed power iteration
+
+_PCA_ITERS = 3
+_PCA_UNIT = 1_000_000
+_PCA_DIM = 64
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding set by ``_PCA_ITERS``
+    power iterations on the (uncentered) Gram matrix — distributed
+    linear algebra without collecting X: per iteration one scan
+    computes ``dot_i = x_i·v`` (fold over the zipped arrays, stays in
+    codegen), a 64-key aggregate reduces ``s = Σ x_i·dot_i``, and v is
+    re-broadcast as a 1-row array frame — the matvec never leaves the
+    cluster and v is the only "small" state, exactly the 100 TB shape.
+
+    Exact integer arithmetic start to finish: embeddings quantize to
+    µ-units (floor(x·1e6), the memory-proven bit-identical recipe),
+    per-term products widen to DECIMAL(38,0)/HUGEINT, and each iterate
+    max-normalizes with the integral divide (both engines truncate
+    toward zero — verified) — so even an iterative eigensolver is
+    value-hash-oracled. Sign/direction is pinned by the deterministic
+    all-ones start."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(_PCA_UNIT)))
+            .cast("long"),
+        ).alias("xq"),
+    )
+    return pca_power_frame(spark, xq, _PCA_DIM, _PCA_ITERS)
+
+
+def pca_power_frame(
+    spark: SparkSession, xq: DataFrame, dim: int, iters: int
+) -> DataFrame:
+    """Power iteration over a quantized-vector frame ``(vec_id, xq:
+    array<long>)``; see :func:`embedding_pca_power` for the arithmetic
+    contract."""
+    v = spark.range(1).select(
+        F.array(
+            *[F.lit(_PCA_UNIT).cast("long") for _ in range(dim)]
+        ).alias("v")
+    )
+    for _ in range(iters):
+        dots = xq.crossJoin(F.broadcast(v)).select(
+            "vec_id",
+            "xq",
+            F.aggregate(
+                F.zip_with(F.col("xq"), F.col("v"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("dot"),
+        )
+        s = (
+            dots.select(
+                F.posexplode("xq").alias("dim", "x"),
+                F.col("dot"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.col("x").cast("decimal(38,0)") * F.col("dot")
+                ).alias("s")
+            )
+        )
+        mx = s.agg(
+            F.greatest(F.max(F.abs(F.col("s"))), F.lit(1).cast("decimal(38,0)")).alias("mx")
+        )
+        vn = (
+            s.crossJoin(F.broadcast(mx))
+            .select(
+                "dim",
+                F.expr(f"CAST(s * {_PCA_UNIT} div mx AS BIGINT)").alias("vj"),
+            )
+        )
+        v = vn.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "vj"))
+                ),
+                lambda t: t["vj"],
+            ).alias("v")
+        )
+    return (
+        v.select(F.posexplode("v").alias("dim", "v_e6"))
+        .select(
+            "dim",
+            "v_e6",
+            (F.col("v_e6").cast("double") / F.lit(1e6)).alias("v"),
+        )
+    )
+
+
+def _pca_sql(iters: int = _PCA_ITERS) -> str:
+    u = _PCA_UNIT
+    ctes = [
+        (
+            "xq AS (SELECT vec_id, list_transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {u}.0) AS BIGINT)) AS xq "
+            "FROM embeddings)"
+        ),
+        (
+            f"v0 AS (SELECT i AS dim, CAST({u} AS HUGEINT) AS vj "
+            f"FROM range({_PCA_DIM}) t(i))"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"d{i} AS (SELECT x.vec_id, SUM(CAST(x.xq[t.i + 1] AS HUGEINT)"
+            f" * v.vj) AS dot "
+            f"FROM xq x, range({_PCA_DIM}) t(i) "
+            f"JOIN v{i - 1} v ON v.dim = t.i GROUP BY x.vec_id)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT t.i AS dim, "
+            f"SUM(CAST(x.xq[t.i + 1] AS HUGEINT) * d.dot) AS s "
+            f"FROM xq x JOIN d{i} d ON d.vec_id = x.vec_id, "
+            f"range({_PCA_DIM}) t(i) GROUP BY t.i)"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT dim, CAST(s * {u} // "
+            f"greatest((SELECT max(abs(s)) FROM s{i}), 1) AS HUGEINT) AS vj "
+            f"FROM s{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT dim, CAST(vj AS BIGINT) AS v_e6, "
+        f"CAST(vj AS DOUBLE) / 1e6 AS v FROM v{iters}"
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -2470,6 +2605,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "simsearch_hard_negatives": simsearch_hard_negatives,
     "dedup_substring_shingle": dedup_substring_shingle,
+    "embedding_pca_power": embedding_pca_power,
 }
 
 ORACLES = {
@@ -2510,4 +2646,5 @@ ORACLES = {
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "simsearch_hard_negatives": _HARD_NEG_SQL,
     "dedup_substring_shingle": _SUBSTRING_SHINGLE_SQL,
+    "embedding_pca_power": _pca_sql(),
 }

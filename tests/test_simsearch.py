@@ -73,3 +73,26 @@ def test_pq_codes_and_recall(spark):
     rec = simsearch_recall_pq(spark, SF_ORACLE).toPandas()
     assert len(rec) == 5
     assert ((rec["recall_at_10"] >= 0) & (rec["recall_at_10"] <= 1)).all()
+
+
+def test_pca_power_finds_planted_direction(spark):
+    """Vectors concentrated along axis 2 (plus small off-axis noise)
+    must yield a dominant |v| on dim 2 after the integer power
+    iteration, with the max-normalized scale pinned to 1e6."""
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.operators.llm import (
+        _PCA_UNIT,
+        pca_power_frame,
+    )
+
+    rows = []
+    for i in range(40):
+        vec = [0, 0, 0, 0]
+        vec[2] = _PCA_UNIT if i % 2 == 0 else -_PCA_UNIT  # planted axis
+        vec[i % 2] = _PCA_UNIT // 10  # small off-axis component
+        rows.append((i, vec))
+    xq = spark.createDataFrame(rows, "vec_id long, xq array<long>")
+    out = {r["dim"]: r["v_e6"] for r in pca_power_frame(spark, xq, 4, 3).collect()}
+    assert abs(out[2]) == _PCA_UNIT, out
+    assert all(abs(out[d]) < _PCA_UNIT // 2 for d in (0, 1, 3)), out
