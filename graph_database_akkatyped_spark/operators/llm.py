@@ -2528,6 +2528,148 @@ def pca_power_frame(
     )
 
 
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=``_KM_K``, ``_KM_ITERS``
+    iterations) on the quantized embeddings — the clustering primitive
+    behind corpus bucketing / semantic sharding, run as the real
+    algorithm (assignment + centroid UPDATE), not a fixed-codebook
+    quantizer like simsearch_ivf.
+
+    Per iteration: broadcast the k centroids, one codegen'd fold
+    computes each point's squared distance per centroid, ``min_by``
+    picks the argmin (ties to the lower cid — explicit, so the oracle
+    agrees), and a (k x dim)-key aggregate rebuilds centroids as
+    ``sum div count`` — truncated-INTEGER means, which both engines
+    compute identically, making a genuinely iterative ML kernel
+    value-hash-oracled. Cluster-tiny state (k·dim longs) is the only
+    thing broadcast; the data is scanned once per iteration — the
+    100 TB shape. Output: one row per (cid, dim) with the final
+    centroid coordinate, member count, and exact inertia."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(_PCA_UNIT)))
+            .cast("long"),
+        ).alias("xq"),
+    )
+    # deterministic init: the k smallest vec_ids
+    cents = (
+        xq.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .cast("int")
+            .alias("cid"),
+            F.col("xq").alias("c"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("xq"), F.col("c"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    assigned = None
+    for _ in range(_KM_ITERS):
+        scored = xq.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "xq", "cid", dist.alias("d2")
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.min_by(F.struct("cid", "xq", "d2"), F.struct("d2", "cid")).alias(
+                "m"
+            )
+        ).select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.xq").alias("xq"),
+            F.col("m.d2").alias("d2"),
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("xq").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cid", "dim", F.expr("s div n").alias("cj"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cj"))),
+                    lambda t: t["cj"],
+                ).alias("c")
+            )
+        )
+    stats = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia_pre"),
+    )
+    return (
+        cents.select("cid", F.posexplode("c").alias("dim", "c_e6"))
+        .join(stats, "cid")
+        .select("cid", "dim", "c_e6", "n_members", "inertia_pre")
+    )
+
+
+def _kmeans_sql(iters: int = _KM_ITERS) -> str:
+    u = _PCA_UNIT
+    ctes = [
+        (
+            "xq AS (SELECT vec_id, list_transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {u}.0) AS BIGINT)) AS xq "
+            "FROM embeddings)"
+        ),
+        (
+            f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)"
+            f" AS cid, xq AS c FROM (SELECT vec_id, xq FROM xq "
+            f"ORDER BY vec_id LIMIT {_KM_K}))"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"sc{i} AS (SELECT x.vec_id, x.xq, c.cid, "
+            f"(SELECT SUM((x.xq[t.i + 1] - c.c[t.i + 1]) * "
+            f"(x.xq[t.i + 1] - c.c[t.i + 1])) "
+            f"FROM range({_PCA_DIM}) t(i)) AS d2 "
+            f"FROM xq x CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, xq, cid, d2 FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cid) AS rn FROM sc{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cm{i} AS (SELECT cid, t.i AS dim, "
+            f"SUM(xq[t.i + 1]) // count(*) AS cj "
+            f"FROM a{i}, range({_PCA_DIM}) t(i) GROUP BY cid, t.i)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cid, list(cj ORDER BY dim) AS c "
+            f"FROM cm{i} GROUP BY cid)"
+        )
+    last = iters
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+, stats AS (
+  SELECT cid, count(*) AS n_members,
+         CAST(SUM(d2) AS BIGINT) AS inertia_pre
+  FROM a{last} GROUP BY cid
+)
+SELECT m.cid, CAST(m.dim AS INTEGER) AS dim, CAST(m.cj AS BIGINT) AS c_e6,
+       s.n_members, s.inertia_pre
+FROM cm{last} m JOIN stats s ON s.cid = m.cid
+"""
+    )
+
+
 def _pca_sql(iters: int = _PCA_ITERS) -> str:
     u = _PCA_UNIT
     ctes = [
@@ -2606,6 +2748,7 @@ QUERIES = {
     "simsearch_hard_negatives": simsearch_hard_negatives,
     "dedup_substring_shingle": dedup_substring_shingle,
     "embedding_pca_power": embedding_pca_power,
+    "embedding_kmeans_lloyd": embedding_kmeans_lloyd,
 }
 
 ORACLES = {
@@ -2647,4 +2790,5 @@ ORACLES = {
     "simsearch_hard_negatives": _HARD_NEG_SQL,
     "dedup_substring_shingle": _SUBSTRING_SHINGLE_SQL,
     "embedding_pca_power": _pca_sql(),
+    "embedding_kmeans_lloyd": _kmeans_sql(),
 }

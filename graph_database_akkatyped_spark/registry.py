@@ -64,7 +64,7 @@ _SWEEP_ORDER = (
     "multimodal_frame_sample", "path_shortest_bidirectional",
     "stream_cdc_snapshot", "degree_assortativity",
     "dedup_substring_shingle", "tombstone_cascade", "snapshot_diff",
-    "embedding_pca_power",
+    "embedding_pca_power", "embedding_kmeans_lloyd",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",
