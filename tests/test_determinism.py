@@ -46,6 +46,14 @@ _KEYS = [
     "graph_eccentricity",
     "harmonic_closeness",
     "motif_find_cosupplied",
+    # round-4b: iterative kernels and float-emitting aggregates
+    "embedding_pca_power",
+    "embedding_kmeans_lloyd",
+    "merge_cdc_upsert",
+    "snapshot_diff",
+    "degree_assortativity",
+    "stream_cdc_snapshot",
+    "dedup_substring_shingle",
 ]
 
 
