@@ -301,14 +301,138 @@ FROM sums
 """
 
 
+# ------------------------------------------------ community modularity
+
+
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities on the symmetric user
+    graph — the quality score a graph DB reports next to the community
+    assignment (Q = Σ_c [e_c/m − (D_c/m)²] over directed edge count
+    m): per community the intra-edge count, degree mass, member count,
+    and exact integer contribution ``e_c·m − D_c²``; the global Q is
+    one double divide of exact HUGEINT/DECIMAL sums, repeated per row
+    (same pattern as eccentricity's diameter_lb).
+
+    Shape: LPA labels (already linear Pregel-style rounds) + two
+    equi-joins to label both edge endpoints + two grouped aggregates —
+    linear, no new shuffle pattern; exact arithmetic keeps the
+    iterative pipeline value-hash-oracled end to end."""
+    from graph_database_akkatyped_spark.operators.algos import (
+        label_propagation,
+    )
+
+    labels = label_propagation(spark, sf_dir).select(
+        F.col("user_id").alias("v"), F.col("label").alias("l")
+    )
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
+    deg = edges.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e_in = (
+        edges.join(
+            labels.select(F.col("v").alias("a"), F.col("l").alias("la")), "a"
+        )
+        .join(
+            labels.select(F.col("v").alias("b"), F.col("l").alias("lb")), "b"
+        )
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    dsum = (
+        labels.join(deg, "v", "left")
+        .groupBy(F.col("l").alias("label"))
+        .agg(
+            F.coalesce(F.sum("d"), F.lit(0)).alias("d_sum"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    m2 = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    per_c = (
+        dsum.join(e_in, "label", "left")
+        .select(
+            "label",
+            "n_members",
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+            "d_sum",
+        )
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            "n_members",
+            "e_in",
+            "d_sum",
+            (
+                F.col("e_in").cast("decimal(38,0)") * F.col("m")
+                - F.col("d_sum").cast("decimal(38,0)")
+                * F.col("d_sum").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("contrib"),
+            F.col("m"),
+        )
+    )
+    tot = per_c.agg(
+        F.sum("contrib").cast("decimal(38,0)").alias("num"),
+        F.max("m").alias("m"),
+    ).select(
+        (
+            F.col("num").cast("string").cast("double")
+            / (F.col("m") * F.col("m")).cast("string").cast("double")
+        ).alias("modularity")
+    )
+    return per_c.select(
+        "label",
+        "n_members",
+        "e_in",
+        "d_sum",
+    ).crossJoin(F.broadcast(tot))
+
+
+def _modularity_sql() -> str:
+    from graph_database_akkatyped_spark.operators.algos import _lpa_sql
+
+    # reuse the LPA oracle's CTE chain verbatim; its final layer is l4
+    lpa_ctes = _lpa_sql(4).rsplit("\nSELECT", 1)[0]
+    return f"""{lpa_ctes},
+lab AS (SELECT v, l FROM l4),
+deg AS (SELECT a AS v, CAST(count(*) AS HUGEINT) AS d FROM uedges GROUP BY a),
+m2 AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM uedges),
+ein AS (
+  SELECT la.l AS label, CAST(count(*) AS HUGEINT) AS e_in
+  FROM uedges e JOIN lab la ON la.v = e.a JOIN lab lb ON lb.v = e.b
+  WHERE la.l = lb.l GROUP BY la.l
+),
+per_c AS (
+  SELECT la.l AS label, count(*) AS n_members,
+         COALESCE(SUM(d.d), 0) AS d_sum
+  FROM lab la LEFT JOIN deg d ON d.v = la.v GROUP BY la.l
+),
+rows_ AS (
+  SELECT p.label, p.n_members,
+         CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+         CAST(p.d_sum AS BIGINT) AS d_sum,
+         CAST(COALESCE(e.e_in, 0) AS HUGEINT) * (SELECT m FROM m2)
+           - p.d_sum * p.d_sum AS contrib
+  FROM per_c p LEFT JOIN ein e ON e.label = p.label
+)
+SELECT label, n_members, e_in, d_sum,
+       (SELECT CAST(SUM(contrib) AS DOUBLE) FROM rows_)
+         / CAST((SELECT m * m FROM m2) AS DOUBLE) AS modularity
+FROM rows_
+"""
+
+
 QUERIES = {
     "hits_hubs_authorities": hits_hubs_authorities,
     "harmonic_closeness": harmonic_closeness,
     "degree_assortativity": degree_assortativity,
+    "community_modularity": community_modularity,
 }
 
 ORACLES = {
     "hits_hubs_authorities": _hits_sql(),
     "harmonic_closeness": _HARMONIC_SQL,
     "degree_assortativity": _ASSORT_SQL,
+    "community_modularity": _modularity_sql(),
 }

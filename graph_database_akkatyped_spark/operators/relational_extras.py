@@ -630,7 +630,81 @@ FROM b FULL OUTER JOIN a ON a.o_custkey = b.o_custkey
 """
 
 
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event detection: each user's
+    event stream becomes an ordered initial-letter string (v=view,
+    c=click, p=purchase, s=signup, e=error; initials are distinct in
+    the fixture taxonomy) and funnel/retry patterns are counted with
+    regexes — ``vc*p`` (view, clicks, purchase — the strict funnel),
+    ``v[^p]*p`` (view eventually converted), ``e+`` (error bursts).
+    Both engines use leftmost non-overlapping regex semantics, so the
+    counts hash-match.
+
+    Shape: one groupBy(user) builds the sequence (sort inside the
+    aggregated struct array, no global sort), then map-only regex —
+    linear. At 100 TB, sessionize first (``sessionize_events``) so
+    per-key strings stay bounded, and the same pattern pass runs per
+    session."""
+    events = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.col("ini"))
+                )
+            ),
+            lambda t: t["ini"],
+        ),
+        "",
+    )
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ini"),
+        )
+        .groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("seq_len"),
+            F.expr("regexp_count(seq, 'vc*p')").cast("long").alias(
+                "n_strict_funnel"
+            ),
+            F.expr("regexp_count(seq, 'v[^p]*p')").cast("long").alias(
+                "n_converted"
+            ),
+            F.expr("regexp_count(seq, 'e+')").cast("long").alias(
+                "n_error_bursts"
+            ),
+            (F.expr("regexp_count(seq, 'v[^p]*p')") > 0).alias("converted"),
+        )
+    )
+
+
+_PATTERN_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INTEGER) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+         AS n_strict_funnel,
+       CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+         AS n_converted,
+       CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT)
+         AS n_error_bursts,
+       len(regexp_extract_all(seq, 'v[^p]*p')) > 0 AS converted
+FROM seqs
+"""
+
+
 QUERIES = {
+    "events_pattern_match": events_pattern_match,
     "snapshot_diff": snapshot_diff,
     "merge_cdc_upsert": merge_cdc_upsert,
     "window_distribution": window_distribution,
@@ -647,6 +721,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_pattern_match": _PATTERN_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "merge_cdc_upsert": _MERGE_SQL,
     "window_distribution": _WINDOW_DIST_SQL,

@@ -65,6 +65,7 @@ _SWEEP_ORDER = (
     "stream_cdc_snapshot", "degree_assortativity",
     "dedup_substring_shingle", "tombstone_cascade", "snapshot_diff",
     "embedding_pca_power", "embedding_kmeans_lloyd",
+    "events_pattern_match", "community_modularity",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",
