@@ -423,11 +423,57 @@ FROM rows_
 """
 
 
+# ---------------------------------------------------------- reciprocity
+
+
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed succession graph: the fraction of
+    edges (a→b) whose reverse (b→a) also exists — the one-number
+    "follow-back rate" a social graph DB reports, and the aggregate
+    twin of the per-vertex ``motif_find_nonmutual``. One self-semi-join
+    on the (reversed) edge key + two counts — linear, and the semi-join
+    shuffles once on the same key the edge frame already hashes by."""
+    edges = _memoized(
+        spark, "dedges", sf_dir, lambda: user_directed_edges(spark, sf_dir)
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    tot = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    rec = recip.agg(F.count(F.lit(1)).alias("m_reciprocal"))
+    return tot.crossJoin(F.broadcast(rec)).select(
+        "m_edges",
+        "m_reciprocal",
+        (
+            F.col("m_reciprocal").cast("double")
+            / F.col("m_edges").cast("double")
+        ).alias("reciprocity"),
+    )
+
+
+_RECIPROCITY_SQL = f"""
+WITH {DIRECTED_EDGES_CTE.strip().rstrip(",")},
+rec AS (
+  SELECT count(*) AS m_reciprocal
+  FROM dedges e
+  WHERE EXISTS (SELECT 1 FROM dedges r
+                WHERE r.src = e.dst AND r.dst = e.src)
+)
+SELECT (SELECT count(*) FROM dedges) AS m_edges,
+       m_reciprocal,
+       CAST(m_reciprocal AS DOUBLE)
+         / CAST((SELECT count(*) FROM dedges) AS DOUBLE) AS reciprocity
+FROM rec
+"""
+
+
 QUERIES = {
     "hits_hubs_authorities": hits_hubs_authorities,
     "harmonic_closeness": harmonic_closeness,
     "degree_assortativity": degree_assortativity,
     "community_modularity": community_modularity,
+    "graph_reciprocity": graph_reciprocity,
 }
 
 ORACLES = {
@@ -435,4 +481,5 @@ ORACLES = {
     "harmonic_closeness": _HARMONIC_SQL,
     "degree_assortativity": _ASSORT_SQL,
     "community_modularity": _modularity_sql(),
+    "graph_reciprocity": _RECIPROCITY_SQL,
 }

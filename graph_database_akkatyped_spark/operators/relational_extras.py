@@ -703,7 +703,80 @@ FROM seqs
 """
 
 
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) profile: customers ranked by
+    exact-decimal lifetime spend, cut into revenue deciles, each with
+    its exact share and cumulative share of total revenue — the
+    "do 20% of customers carry 80% of revenue" curve.
+
+    The global ntile runs over the CUSTOMER aggregate (already reduced
+    by the first groupBy), not the order fan — at 100 TB of orders the
+    windowed side is |customers|; if that itself is billions, swap the
+    ntile for approx-percentile range boundaries and keep the same
+    decile aggregate. Shares divide exact decimal sums, so the curve
+    is bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    deciles = (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("d_rev"),
+        )
+    )
+    tot = deciles.agg(F.sum("d_rev").alias("t_rev"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deciles.crossJoin(F.broadcast(tot))
+        .withColumn("c_rev", F.sum("d_rev").over(wc))
+        .select(
+            "decile",
+            "n_customers",
+            dec2double(F.col("d_rev")).alias("revenue"),
+            (
+                dec2double(F.col("d_rev")) / dec2double(F.col("t_rev"))
+            ).alias("share"),
+            (
+                dec2double(F.col("c_rev")) / dec2double(F.col("t_rev"))
+            ).alias("cum_share"),
+        )
+    )
+
+
+_PARETO_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+dec AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS INTEGER)
+           AS decile, rev
+  FROM rev
+),
+agg AS (
+  SELECT decile, count(*) AS n_customers, SUM(rev) AS d_rev
+  FROM dec GROUP BY decile
+)
+SELECT decile, n_customers,
+       CAST(CAST(d_rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(d_rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST((SELECT SUM(d_rev) FROM agg) AS VARCHAR) AS DOUBLE)
+         AS share,
+       CAST(CAST(SUM(d_rev) OVER (ORDER BY decile) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST((SELECT SUM(d_rev) FROM agg) AS VARCHAR) AS DOUBLE)
+         AS cum_share
+FROM agg
+"""
+
+
 QUERIES = {
+    "revenue_pareto": revenue_pareto,
     "events_pattern_match": events_pattern_match,
     "snapshot_diff": snapshot_diff,
     "merge_cdc_upsert": merge_cdc_upsert,
@@ -721,6 +794,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "revenue_pareto": _PARETO_SQL,
     "events_pattern_match": _PATTERN_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "merge_cdc_upsert": _MERGE_SQL,
