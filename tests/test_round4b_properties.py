@@ -1,0 +1,132 @@
+"""Semantic invariants of the round-4b operators — properties that
+must hold for ANY input, checked on the smoke fixture (the oracle
+hash-parity tests pin exact values; these pin the algebra)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from graph_database_akkatyped_spark.registry import collect
+from tests.conftest import SF_SMOKE
+
+QUERIES, _ = collect()
+
+
+@pytest.fixture(scope="module")
+def run():
+    import pandas as pd  # noqa: F401
+
+    cache: dict = {}
+
+    def _run(spark, key):
+        if key not in cache:
+            cache[key] = QUERIES[key](spark, SF_SMOKE).toPandas()
+        return cache[key]
+
+    return _run
+
+
+def test_merge_upsert_accounting(spark, run):
+    """|result| = |base| - deletes + inserts, and every change_type is
+    consistent with its provenance."""
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    out = run(spark, "merge_cdc_upsert")
+    n_base = load_table(spark, SF_SMOKE, "customer").count()
+    n_ins = int((out["change_type"] == "inserted").sum())
+    n_del = n_base - int((out["change_type"] != "inserted").sum())
+    assert len(out) == n_base - n_del + n_ins
+    assert n_del >= 0
+    # inserted keys live in the synthetic range, existing keys below it
+    ins_keys = out.loc[out["change_type"] == "inserted", "custkey"]
+    assert (ins_keys >= 1000000).all()  # custkey 0 maps to exactly 1e6
+
+
+def test_pareto_shares_sum_to_one(spark, run):
+    out = run(spark, "revenue_pareto")
+    assert math.isclose(out["share"].sum(), 1.0, rel_tol=1e-9)
+    cum = out.sort_values("decile")["cum_share"].tolist()
+    assert cum == sorted(cum) and math.isclose(cum[-1], 1.0, rel_tol=1e-9)
+    # revenue deciles are ordered: decile 1 carries the most
+    rev = out.sort_values("decile")["revenue"].tolist()
+    assert rev == sorted(rev, reverse=True)
+
+
+def test_reciprocity_bounded(spark, run):
+    out = run(spark, "graph_reciprocity")
+    r = out.iloc[0]
+    assert 0 <= r["reciprocity"] <= 1
+    assert r["m_reciprocal"] <= r["m_edges"]
+    assert r["m_reciprocal"] % 2 == 0  # reciprocal edges come in pairs
+
+
+def test_pattern_counts_bounded_by_sequence(spark, run):
+    out = run(spark, "events_pattern_match")
+    assert (out["n_strict_funnel"] <= out["n_converted"]).all()
+    # each non-overlapping match consumes >= 2 chars
+    assert (out["n_converted"] * 2 <= out["seq_len"]).all()
+    assert ((out["n_converted"] > 0) == out["converted"]).all()
+
+
+def test_assortativity_in_range(spark, run):
+    out = run(spark, "degree_assortativity")
+    assert -1.0 <= out.iloc[0]["assortativity"] <= 1.0
+
+
+def test_modularity_partition_sums(spark, run):
+    """Σ n_members = |V|; Σ e_in ≤ m; Q ≤ 1."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        user_edges_sym,
+        user_vertices,
+    )
+
+    out = run(spark, "community_modularity")
+    n_v = user_vertices(spark, SF_SMOKE).count()
+    m = user_edges_sym(spark, SF_SMOKE).count()
+    assert out["n_members"].sum() == n_v
+    assert out["e_in"].sum() <= m
+    assert out["d_sum"].sum() == m  # total degree mass = directed edges
+    assert (out["modularity"] <= 1.0).all()
+
+
+def test_shingle_dup_ratio_bounds(spark, run):
+    out = run(spark, "dedup_substring_shingle")
+    assert (out["n_dup_shingles"] <= out["n_shingles"]).all()
+    assert out["dup_ratio"].between(0.0, 1.0).all()
+
+
+def test_kmeans_partitions_all_vectors(spark, run):
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    out = run(spark, "embedding_kmeans_lloyd")
+    n_vec = load_table(spark, SF_SMOKE, "embeddings").count()
+    per_cid = out.drop_duplicates("cid")
+    assert per_cid["n_members"].sum() == n_vec
+    assert (per_cid["inertia_pre"] >= 0).all()
+    # every cluster emits exactly one coordinate row per dimension
+    assert (out.groupby("cid")["dim"].count() == 64).all()
+
+
+def test_pca_vector_max_normalized(spark, run):
+    out = run(spark, "embedding_pca_power")
+    assert len(out) == 64
+    assert out["v_e6"].abs().max() == 1_000_000
+
+
+def test_tombstone_cascade_consistency(spark, run):
+    out = run(spark, "tombstone_cascade").set_index("table_name")
+    assert (out["n_purged"] <= out["n_total"]).all()
+    # orders purge implies >= lineitem purge rows only via FK fan-out;
+    # customer purge count can't exceed the victim user count
+    assert out.loc["customer", "n_purged"] <= out.loc["events", "n_total"]
+
+
+def test_snapshot_diff_monotone(spark, run):
+    out = run(spark, "snapshot_diff")
+    assert (out["n_orders_b"] >= out["n_orders_a"]).all()  # B ⊇ A
+    added = out[out["change_type"] == "added"]
+    assert (added["n_orders_a"] == 0).all()
+    unchanged = out[out["change_type"] == "unchanged"]
+    assert (unchanged["spend_a"] == unchanged["spend_b"]).all()
