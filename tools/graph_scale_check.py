@@ -116,6 +116,28 @@ def main() -> None:
     n_final = state.count()
     print(f"walks(4 steps, {n_final} walks) in {time.perf_counter() - t0:.1f}s")
 
+    # round-4b additions -----------------------------------------------
+    from graph_database_akkatyped_spark.operators.centrality import hits_frame
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        bidirectional_dist_frame,
+    )
+
+    t0 = time.perf_counter()
+    hits = hits_frame(verts, directed)
+    hmax, amax = hits.agg(F.max("hub"), F.max("auth")).first()
+    print(
+        f"hits(3 iters): max_hub={hmax} max_auth={amax} "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+
+    t0 = time.perf_counter()
+    seed = lambda v: verts.where(F.col("id") == v).select("id")  # noqa: E731
+    r = bidirectional_dist_frame(sym, seed(0), seed(n_v - 1), half=4).first()
+    print(
+        f"bidirectional d(0,{n_v - 1}): dist={r['dist']} "
+        f"n_meet={r['n_meet']} in {time.perf_counter() - t0:.1f}s"
+    )
+
 
 if __name__ == "__main__":
     main()
