@@ -302,6 +302,106 @@ HAVING epoch_ms(max(ts)) + 600000 < epoch_ms(m) - 600000
 """
 
 
+def _update_topk(key, pdfs, state: GroupState):
+    """Bounded top-k state: the per-key state is exactly the current
+    top-3 ``(value, event_id)`` pairs plus the event counter — O(k)
+    bytes per key however many events stream through. Tie-break is
+    (value DESC, event_id ASC), a total order, so the fold is
+    batch-order-independent and the key carries a full SQL oracle."""
+    (user_id,) = key
+    if state.exists:
+        n, *flat = state.get
+        cand = [
+            (flat[2 * i], flat[2 * i + 1])
+            for i in range(3)
+            if flat[2 * i] is not None
+        ]
+    else:
+        n, cand = 0, []
+    for pdf in pdfs:
+        n += len(pdf)
+        top = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(3)
+        cand += list(
+            zip(top["value"].astype(float), top["event_id"].astype(int))
+        )
+    cand = sorted(cand, key=lambda t: (-t[0], t[1]))[:3]
+    while len(cand) < 3:
+        cand.append((None, None))
+    state.update(
+        (n, cand[0][0], cand[0][1], cand[1][0], cand[1][1], cand[2][0], cand[2][1])
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "v1": [cand[0][0]],
+            "e1": [cand[0][1]],
+            "v2": [cand[1][0]],
+            "e2": [cand[1][1]],
+            "v3": [cand[2][0]],
+            "e3": [cand[2][1]],
+        }
+    )
+
+
+_TOPK_OUT_SCHEMA = (
+    "user_id long, n_events long, v1 double, e1 long, "
+    "v2 double, e2 long, v3 double, e3 long"
+)
+
+
+def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 event values with arbitrary per-key state (real
+    micro-batch run, AvailableNow, memory sink) — the bounded-state
+    leaderboard: the state store holds k pairs per key, never the
+    event history, so state size tracks |active keys|·k at 100 TB.
+    Update-mode emissions collapse to the final row per user via the
+    monotone event counter (same max_by recipe as
+    stream_stateful_minmax)."""
+    from graph_database_akkatyped_spark.streaming.windows import stream_events
+
+    stream = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "value"
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update_topk,
+        outputStructType=_TOPK_OUT_SCHEMA,
+        stateStructType=(
+            "n long, v1 double, e1 long, v2 double, e2 long, "
+            "v3 double, e3 long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    t = _run_to_memory_sink(out, "stateful_topk")
+    agg = [F.max("n_events").alias("n_events")]
+    for c in ("v1", "e1", "v2", "e2", "v3", "e3"):
+        agg.append(F.expr(f"max_by({c}, n_events)").alias(c))
+    return spark.table(t).groupBy("user_id").agg(*agg)
+
+
+_STATEFUL_TOPK_SQL = """
+WITH ranked AS (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+),
+n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT n.user_id, n.n_events,
+       max(CASE WHEN rn = 1 THEN value END) AS v1,
+       CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS e1,
+       max(CASE WHEN rn = 2 THEN value END) AS v2,
+       CAST(max(CASE WHEN rn = 2 THEN event_id END) AS BIGINT) AS e2,
+       max(CASE WHEN rn = 3 THEN value END) AS v3,
+       CAST(max(CASE WHEN rn = 3 THEN event_id END) AS BIGINT) AS e3
+FROM n JOIN ranked r ON r.user_id = n.user_id AND r.rn <= 3
+GROUP BY n.user_id, n.n_events
+"""
+
+
 def _tws_available() -> bool:
     """transformWithStateInPandas talks to the JVM state server over a
     protobuf protocol; this container ships no ``protobuf`` package (and
@@ -328,8 +428,10 @@ QUERIES = {
     "stream_stateful_count": stream_stateful_count,
     "stream_stateful_minmax": stream_stateful_minmax,
     "stream_stateful_ttl": stream_stateful_ttl,
+    "stream_stateful_topk": stream_stateful_topk,
 }
 ORACLES: dict[str, str] = {
     "stream_stateful_minmax": _STATEFUL_MINMAX_SQL,
     "stream_stateful_ttl": _STATEFUL_TTL_SQL,
+    "stream_stateful_topk": _STATEFUL_TOPK_SQL,
 }

@@ -341,3 +341,47 @@ def test_cdc_snapshot_two_batch_merge_equals_batch(spark):
     assert canonical_rows(merged.toPandas()) == canonical_rows(
         expected.toPandas()
     )
+
+
+def test_stateful_topk_fold_is_split_invariant():
+    """_update_topk folded over two arbitrary batch splits must equal
+    the single-batch fold — the bounded-state guarantee (only the
+    current top-3 survives in state, yet no split can lose a true
+    top-3 element)."""
+    import pandas as pd
+
+    from graph_database_akkatyped_spark.streaming.stateful import _update_topk
+
+    class StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rows = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "value": [5.0, 9.0, 9.0, 1.0, 7.0, 9.0, 3.0, 8.0, 2.0, 9.0],
+        }
+    )
+
+    def fold(batches):
+        st = StubState()
+        out = None
+        for b in batches:
+            out = list(_update_topk((7,), [b], st))[-1]
+        return out.iloc[0].tolist()
+
+    whole = fold([rows])
+    halves = fold([rows.iloc[:5], rows.iloc[5:]])
+    interleaved = fold([rows.iloc[::2], rows.iloc[1::2]])
+    assert whole == halves == interleaved
+    # ties on 9.0 break to the smallest event_id: 1, 2, 5
+    assert whole[2:] == [9.0, 1, 9.0, 2, 9.0, 5]
