@@ -1729,6 +1729,57 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy of the n-gram language classifier
+    against the corpus's gold ``lang`` labels — the measure-your-
+    classifier companion to ``text_langid_ngram``, exactly like
+    ``simsearch_recall`` measures the ANN paths: a curation pipeline
+    ships the METRIC next to the heuristic. One extra aggregate over
+    the classifier output (|langs|² cells); recall_share divides exact
+    counts, so the matrix is hash-stable."""
+    pred = text_langid_ngram(spark, sf_dir)
+    conf = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_lang = Window.partitionBy("lang")
+    acc = pred.agg(
+        (
+            F.sum((F.col("lang") == F.col("pred_lang")).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy")
+    )
+    return (
+        conf.withColumn("n_lang", F.sum("n").over(w_lang))
+        .crossJoin(F.broadcast(acc))
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("n_lang").cast("double")).alias(
+                "recall_share"
+            ),
+            "accuracy",
+        )
+    )
+
+
+_LANGID_CONFUSION_SQL = f"""
+WITH pred AS (SELECT * FROM ({_TEXT_LANGID_SQL}) t),
+conf AS (
+  SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS recall_share,
+       (SELECT CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        FROM pred) AS accuracy
+FROM conf
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace split + a BPE-ish regex tokenizer."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2749,6 +2800,7 @@ QUERIES = {
     "dedup_substring_shingle": dedup_substring_shingle,
     "embedding_pca_power": embedding_pca_power,
     "embedding_kmeans_lloyd": embedding_kmeans_lloyd,
+    "langid_confusion": langid_confusion,
 }
 
 ORACLES = {
@@ -2791,4 +2843,5 @@ ORACLES = {
     "dedup_substring_shingle": _SUBSTRING_SHINGLE_SQL,
     "embedding_pca_power": _pca_sql(),
     "embedding_kmeans_lloyd": _kmeans_sql(),
+    "langid_confusion": _LANGID_CONFUSION_SQL,
 }
