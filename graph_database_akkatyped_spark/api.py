@@ -354,3 +354,56 @@ class GraphDB:
         from graph_database_akkatyped_spark.operators.motif import find
 
         return find(self.edges(), pattern)
+
+    def hits(self, iters: int = 3) -> DataFrame:
+        """HITS hubs/authorities over the live directed edge state."""
+        from graph_database_akkatyped_spark.operators.centrality import (
+            hits_frame,
+        )
+
+        return hits_frame(
+            self.vertices().select("id"),
+            self.edges().select("src", "dst"),
+            iters,
+        )
+
+    def scc(self) -> DataFrame:
+        """Strongly connected components of the live directed graph."""
+        from graph_database_akkatyped_spark.operators.graph_extras import (
+            scc_frame,
+        )
+
+        return scc_frame(
+            self.vertices().select("id"), self.edges().select("src", "dst")
+        )
+
+    def shortest_path_len(self, src: str, dst: str, half: int = 4) -> DataFrame:
+        """Point-to-point distance by bidirectional BFS (1-row frame
+        with dist = -1 beyond 2·half or disconnected)."""
+        from graph_database_akkatyped_spark.operators.graph_extras import (
+            bidirectional_dist_frame,
+        )
+
+        seed = lambda v: self.spark.createDataFrame(  # noqa: E731
+            [(v,)], "id string"
+        )
+        return bidirectional_dist_frame(
+            self._sym_edges(), seed(src), seed(dst), half
+        )
+
+    def reciprocity(self) -> DataFrame:
+        """Follow-back rate of the live directed edge state (1 row)."""
+        e = self.edges().select("src", "dst")
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        tot = e.agg(F.count(F.lit(1)).alias("m_edges"))
+        rec = e.join(rev, ["src", "dst"], "left_semi").agg(
+            F.count(F.lit(1)).alias("m_reciprocal")
+        )
+        return tot.crossJoin(F.broadcast(rec)).select(
+            "m_edges",
+            "m_reciprocal",
+            (
+                F.col("m_reciprocal").cast("double")
+                / F.col("m_edges").cast("double")
+            ).alias("reciprocity"),
+        )

@@ -156,3 +156,35 @@ def test_find_motif_on_live_state(db):
     # tombstoning the shared part removes the motif match
     db.remove_vertex("p:1")
     assert db.find("(a)-[:bought]->(p); (b)-[:bought]->(p)").count() == 0
+
+
+def test_round4b_analytics_facade(db):
+    """hits/scc/shortest_path_len/reciprocity over live mutated state."""
+    db.add_vertices([(v, "k", v) for v in ("a", "b", "c", "d", "e")])
+    db.add_edges(
+        [
+            ("a", "b", "r", 1.0),
+            ("b", "a", "r", 1.0),  # reciprocal pair
+            ("b", "c", "r", 1.0),
+            ("c", "d", "r", 1.0),
+        ]
+    )
+    rec = db.reciprocity().collect()[0]
+    assert rec["m_edges"] == 4 and rec["m_reciprocal"] == 2
+    assert abs(rec["reciprocity"] - 0.5) < 1e-12
+
+    hits = {r["id"]: r for r in db.hits().collect()}
+    assert len(hits) == 5 and hits["e"]["hub"] == 0  # isolated vertex
+
+    scc = {r["id"]: r["scc_id"] for r in db.scc().collect()}
+    assert scc["a"] == scc["b"] != scc["c"]  # {a,b} cycle; c,d singletons
+
+    d_ab = db.shortest_path_len("a", "d").collect()[0]
+    assert d_ab["dist"] == 3
+    d_ae = db.shortest_path_len("a", "e").collect()[0]
+    assert d_ae["dist"] == -1  # disconnected
+
+    # tombstone invalidates the reciprocal pair; analytics track state
+    db.remove_edge("b", "a", "r")
+    rec2 = db.reciprocity().collect()[0]
+    assert rec2["m_edges"] == 3 and rec2["m_reciprocal"] == 0
