@@ -46,6 +46,8 @@ QUERIES = {
     "path_shortest_bidirectional": graph_extras.QUERIES[
         "path_shortest_bidirectional"
     ],
+    "embedding_pca_power": llm.QUERIES["embedding_pca_power"],
+    "embedding_kmeans_lloyd": llm.QUERIES["embedding_kmeans_lloyd"],
 }
 
 
