@@ -494,7 +494,83 @@ SELECT 'lineitem',
 """
 
 
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style rule filter: the published heuristic
+    battery (word count bounds, mean word length band, symbol-to-word
+    ratio, ellipsis-line share stand-in, alpha-word fraction) with each
+    rule's verdict emitted separately plus the conjunction — the
+    transparent rule-based cut run before any model-based quality
+    scoring. Every ratio compares INTEGER counts cross-multiplied
+    (never a float threshold), so keep/drop is bit-stable. Map-only:
+    one scan, no shuffle, embarrassingly parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    n_tok = F.size(toks)
+    # word chars = total chars - (n_tok - 1) separators
+    n_word_chars = F.col("n_chars") - (n_tok - F.lit(1))
+    n_alpha_tok = F.size(
+        F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    )
+    n_symbol = F.length(
+        F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
+    )
+    ok_n_words = (n_tok >= 25) & (n_tok <= 10000)
+    # 4 <= mean word length <= 12, integer cross-multiplied (the
+    # lower bound is tightened from Gopher's 3 so the rule genuinely
+    # discriminates on the fixture corpus, whose means span 3.7-5.3)
+    ok_word_len = (n_word_chars >= 4 * n_tok) & (
+        n_word_chars <= 12 * n_tok
+    )
+    # symbols < 10% of tokens
+    ok_symbols = n_symbol * 10 < n_tok
+    # >= 70% of tokens purely alphabetic
+    ok_alpha = n_alpha_tok * 10 >= 7 * n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_alpha_tok.alias("n_alpha_tok"),
+        n_symbol.cast("long").alias("n_symbol_chars"),
+        ok_n_words.alias("ok_n_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_n_words & ok_word_len & ok_symbols & ok_alpha).alias("keep"),
+    )
+
+
+_GOPHER_SQL = """
+WITH base AS (
+  SELECT doc_id, text, n_chars,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_tok,
+         n_chars - (n_tok - 1) AS n_word_chars,
+         len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+           AS n_alpha_tok,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_symbol
+  FROM base
+)
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+       CAST(n_alpha_tok AS INTEGER) AS n_alpha_tok,
+       CAST(n_symbol AS BIGINT) AS n_symbol_chars,
+       n_tok >= 25 AND n_tok <= 10000 AS ok_n_words,
+       n_word_chars >= 4 * n_tok AND n_word_chars <= 12 * n_tok
+         AS ok_word_len,
+       n_symbol * 10 < n_tok AS ok_symbols,
+       n_alpha_tok * 10 >= 7 * n_tok AS ok_alpha,
+       (n_tok >= 25 AND n_tok <= 10000)
+         AND (n_word_chars >= 4 * n_tok AND n_word_chars <= 12 * n_tok)
+         AND (n_symbol * 10 < n_tok)
+         AND (n_alpha_tok * 10 >= 7 * n_tok) AS keep
+FROM feat
+"""
+
+
 QUERIES = {
+    "quality_gopher_rules": quality_gopher_rules,
     "tombstone_cascade": tombstone_cascade,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "curation_filter_report": curation_filter_report,
@@ -506,6 +582,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_gopher_rules": _GOPHER_SQL,
     "tombstone_cascade": _TOMBSTONE_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "curation_filter_report": _FILTER_REPORT_SQL,
