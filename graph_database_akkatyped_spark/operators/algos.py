@@ -587,6 +587,101 @@ FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
 )
 
 
+_TRUSS_K = 4  # every surviving edge sits in >= k-2 = 2 triangles
+_TRUSS_ROUNDS = 14  # fixpoint margin: sf0.01 needs 11, sf0.1 needs 1
+
+
+def _truss_peel(e: DataFrame) -> DataFrame:
+    """One truss-peel round: per-edge triangle support within the
+    CURRENT edge set, then drop edges with support < k-2. Canonical
+    a<b ordering means each triangle contributes exactly one support
+    unit to each of its three (already-canonical) edges."""
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    pairs = (
+        tri.select(F.col("x").alias("p"), F.col("y").alias("q"))
+        .unionAll(tri.select(F.col("x").alias("p"), F.col("z").alias("q")))
+        .unionAll(tri.select(F.col("y").alias("p"), F.col("z").alias("q")))
+    )
+    ok = (
+        pairs.groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= _TRUSS_K - 2)
+        .select(F.col("p").alias("a"), F.col("q").alias("b"))
+    )
+    return e.join(ok, ["a", "b"], "left_semi")
+
+
+def truss_frame(edges: DataFrame, max_rounds: int = _TRUSS_ROUNDS) -> DataFrame:
+    """Truss peeling to FIXPOINT (early exit when a round removes no
+    edge), loudly bounded at ``max_rounds`` — silent truncation would
+    return a superset of the true truss and break oracle parity. Each
+    round is one bounded triangle enumeration + a grouped support
+    count + a semi-join — O(triangles) per round, the same scale
+    family as triangle_count, over a monotonically SHRINKING edge set.
+    The SQL oracle unrolls ``max_rounds`` rounds; its post-fixpoint
+    rounds are no-ops, so both engines land on the exact k-truss."""
+    e = edges.localCheckpoint(eager=True)
+    prev = e.count()
+    for _ in range(max_rounds):
+        e = _truss_peel(e).localCheckpoint(eager=True)
+        n = e.count()
+        if n == prev:
+            return e
+        prev = n
+    raise RuntimeError(
+        f"truss_frame: no fixpoint within {max_rounds} peel rounds — "
+        "raise _TRUSS_ROUNDS (deep support-chain topology)"
+    )
+
+
+def k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the strong user graph: the maximal subgraph whose
+    every edge closes ≥ 2 triangles — the cohesion mining query a
+    graph DB serves next to k-core (truss bounds are tighter: every
+    4-truss edge is in the 3-core, not vice versa). Peeling runs to
+    fixpoint (loudly bounded); the DuckDB twin unrolls the bound's
+    worth of rounds, whose post-fixpoint tail is a no-op — so even
+    this iterative subgraph query is value-hash-oracled. Memoized like
+    SCC — repeated invocations reuse one checkpointed result."""
+    edges = _canonical_edges(spark, sf_dir)
+    return _memoized(
+        spark, "ktruss", sf_dir, lambda: truss_frame(edges)
+    )
+
+
+def _truss_sql(rounds: int = _TRUSS_ROUNDS) -> str:
+    # every e{r} is referenced 4x by the next round (3 triangle roles +
+    # the semi-join); MATERIALIZED stops DuckDB from inlining the whole
+    # chain exponentially (un-materialized, the 4-round tree re-opened
+    # events.parquet 3^4-ish times and hit the fd limit)
+    ctes = [
+        _TRI_BASE.strip().removeprefix("WITH ").rstrip(),
+        "e0 AS MATERIALIZED (SELECT a, b FROM ce)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        ctes.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM {p} e1 JOIN {p} e2 ON e2.a = e1.b "
+            f"JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        ctes.append(
+            f"sup{r} AS (SELECT p, q, count(*) AS c FROM ("
+            f"SELECT x AS p, y AS q FROM tri{r} "
+            f"UNION ALL SELECT x, z FROM tri{r} "
+            f"UNION ALL SELECT y, z FROM tri{r}) GROUP BY p, q)"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM {p} e "
+            f"JOIN sup{r} s ON s.p = e.a AND s.q = e.b "
+            f"WHERE s.c >= {_TRUSS_K - 2})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT a, b FROM e{rounds}"
+
+
 def motif_triangle_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-cycle motif listing via the SQL entry point (a<b<c)."""
     _canonical_edges(spark, sf_dir).createOrReplaceTempView("ce_motif")
@@ -801,6 +896,7 @@ QUERIES = {
     "label_propagation": label_propagation,
     "kcore_decompose": kcore_decompose,
     "triangle_count": triangle_count,
+    "k_truss_edges": k_truss_edges,
     "motif_triangle_sql": motif_triangle_sql,
     "mutual_neighbors": mutual_neighbors,
     "clustering_coefficient": clustering_coefficient,
@@ -818,6 +914,7 @@ ORACLES = {
     "pagerank_fixed": _pagerank_sql(10),
     "label_propagation": _lpa_sql(4),
     "kcore_decompose": _kcore_sql(),
+    "k_truss_edges": _truss_sql(),
     "triangle_count": _TRIANGLE_COUNT_SQL,
     "motif_triangle_sql": _MOTIF_SQL,
     "mutual_neighbors": _MUTUAL_SQL,

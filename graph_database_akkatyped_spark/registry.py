@@ -67,7 +67,7 @@ _SWEEP_ORDER = (
     "embedding_pca_power", "embedding_kmeans_lloyd",
     "events_pattern_match", "community_modularity",
     "graph_reciprocity", "revenue_pareto", "stream_stateful_topk",
-    "langid_confusion", "quality_gopher_rules",
+    "langid_confusion", "quality_gopher_rules", "k_truss_edges",
     # -- block 2: driver-green in r01-r03, cheapest first
     "dedup_clusters", "kcore_decompose", "pagerank_personalized",
     "pagerank_fixed", "label_propagation", "khop_neighbors",

@@ -87,3 +87,25 @@ def test_pregel_bfs_diamond(spark):
     )
     lvl = {r["id"]: r["state"] for r in res.vertices.collect()}
     assert lvl == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_truss_keeps_clique_and_peels_cascade(spark):
+    """4-truss ground truths: a 4-clique survives whole (every edge in
+    2 triangles); two triangles sharing one edge cascade to empty —
+    the shared edge has support 2 only until its neighbors peel."""
+    from graph_database_akkatyped_spark.operators.algos import truss_frame
+
+    def edges(pairs):
+        return spark.createDataFrame(sorted(pairs), "a long, b long")
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    kept = truss_frame(edges(clique)).collect()
+    assert sorted((r["a"], r["b"]) for r in kept) == sorted(clique)
+
+    bowtie = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]  # T(0,1,2)+T(1,2,3)
+    assert truss_frame(edges(bowtie)).count() == 0
+
+    # clique + pendant cascade together: clique stays, cascade dies
+    both = clique + [(10, 11), (10, 12), (11, 12), (11, 13), (12, 13)]
+    kept = truss_frame(edges(both)).collect()
+    assert sorted((r["a"], r["b"]) for r in kept) == sorted(clique)
