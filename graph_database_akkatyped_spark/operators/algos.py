@@ -622,10 +622,19 @@ def truss_frame(edges: DataFrame, max_rounds: int = _TRUSS_ROUNDS) -> DataFrame:
     count + a semi-join — O(triangles) per round, the same scale
     family as triangle_count, over a monotonically SHRINKING edge set.
     The SQL oracle unrolls ``max_rounds`` rounds; its post-fixpoint
-    rounds are no-ops, so both engines land on the exact k-truss."""
+    rounds are no-ops, so both engines land on the exact k-truss.
+
+    The loop runs ``max_rounds + 1`` iterations: detecting the
+    fixpoint costs one no-change round, so a topology that shrinks for
+    exactly ``max_rounds`` rounds (which the unrolled oracle handles —
+    its e{max_rounds} IS the fixpoint) must get one extra confirm
+    round rather than erroring. The error fires only when round
+    ``max_rounds + 1`` still removes edges — the case where the
+    unrolled oracle would itself be a superset, so parity is
+    genuinely broken."""
     e = edges.localCheckpoint(eager=True)
     prev = e.count()
-    for _ in range(max_rounds):
+    for _ in range(max_rounds + 1):
         e = _truss_peel(e).localCheckpoint(eager=True)
         n = e.count()
         if n == prev:

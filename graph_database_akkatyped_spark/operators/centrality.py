@@ -242,7 +242,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) — by symmetry Sx = Sy and Sxx = Syy, so
     ``r = (M·Sxy − Sx²) / (M·Sxx − Sx²)`` with one double divide at the
     end (both engines cast the same exact decimals). Linear, two
-    shuffles, no iteration — safe at any scale."""
+    shuffles, no iteration — safe at any scale. The divide is guarded
+    (den = 0 on regular/empty graphs -> 0.0 on both engines; Spark
+    would otherwise yield NaN while DuckDB yields NULL, breaking hash
+    parity on degenerate inputs — same guard as harmonic_closeness)."""
     edges = _memoized(
         spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
     )
@@ -274,10 +277,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").cast("long").alias("s_deg"),
         F.col("sxx").cast("long").alias("s_deg_sq"),
         F.col("sxy").cast("long").alias("s_deg_prod"),
-        (
+        F.when(
+            den != F.lit(0),
             num.cast("string").cast("double")
-            / den.cast("string").cast("double")
-        ).alias("assortativity"),
+            / den.cast("string").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
     )
 
 
@@ -295,8 +301,10 @@ sums AS (
 )
 SELECT CAST(m AS BIGINT) AS m_edges, CAST(sx AS BIGINT) AS s_deg,
        CAST(sxx AS BIGINT) AS s_deg_sq, CAST(sxy AS BIGINT) AS s_deg_prod,
-       CAST(m * sxy - sx * sx AS DOUBLE)
-         / CAST(m * sxx - sx * sx AS DOUBLE) AS assortativity
+       CASE WHEN m * sxx - sx * sx <> 0
+            THEN CAST(m * sxy - sx * sx AS DOUBLE)
+                   / CAST(m * sxx - sx * sx AS DOUBLE)
+            ELSE 0.0 END AS assortativity
 FROM sums
 """
 
@@ -445,10 +453,13 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(F.broadcast(rec)).select(
         "m_edges",
         "m_reciprocal",
-        (
+        F.when(
+            F.col("m_edges") != F.lit(0),
             F.col("m_reciprocal").cast("double")
-            / F.col("m_edges").cast("double")
-        ).alias("reciprocity"),
+            / F.col("m_edges").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reciprocity"),
     )
 
 
@@ -462,8 +473,10 @@ rec AS (
 )
 SELECT (SELECT count(*) FROM dedges) AS m_edges,
        m_reciprocal,
-       CAST(m_reciprocal AS DOUBLE)
-         / CAST((SELECT count(*) FROM dedges) AS DOUBLE) AS reciprocity
+       CASE WHEN (SELECT count(*) FROM dedges) <> 0
+            THEN CAST(m_reciprocal AS DOUBLE)
+                   / CAST((SELECT count(*) FROM dedges) AS DOUBLE)
+            ELSE 0.0 END AS reciprocity
 FROM rec
 """
 

@@ -433,10 +433,16 @@ def tombstone_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("table_name"),
                 "n_purged",
                 "n_total",
-                (
+                # Guarded divide: an empty table yields 0.0 on both
+                # engines (Spark NaN vs DuckDB NULL would split the
+                # hash on degenerate inputs).
+                F.when(
+                    F.col("n_total") != F.lit(0),
                     F.col("n_purged").cast("double")
-                    / F.col("n_total").cast("double")
-                ).alias("purge_frac"),
+                    / F.col("n_total").cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("purge_frac"),
             )
         )
 
@@ -465,32 +471,43 @@ SELECT 'events' AS table_name,
        (SELECT count(*) FROM events
         WHERE user_id IN (SELECT user_id FROM victims)) AS n_purged,
        (SELECT count(*) FROM events) AS n_total,
-       CAST((SELECT count(*) FROM events
-             WHERE user_id IN (SELECT user_id FROM victims)) AS DOUBLE)
-         / CAST((SELECT count(*) FROM events) AS DOUBLE) AS purge_frac
+       CASE WHEN (SELECT count(*) FROM events) <> 0
+            THEN CAST((SELECT count(*) FROM events
+                       WHERE user_id IN (SELECT user_id FROM victims))
+                      AS DOUBLE)
+                   / CAST((SELECT count(*) FROM events) AS DOUBLE)
+            ELSE 0.0 END AS purge_frac
 UNION ALL
 SELECT 'customer',
        (SELECT count(*) FROM customer
         WHERE c_custkey IN (SELECT user_id FROM victims)),
        (SELECT count(*) FROM customer),
-       CAST((SELECT count(*) FROM customer
-             WHERE c_custkey IN (SELECT user_id FROM victims)) AS DOUBLE)
-         / CAST((SELECT count(*) FROM customer) AS DOUBLE)
+       CASE WHEN (SELECT count(*) FROM customer) <> 0
+            THEN CAST((SELECT count(*) FROM customer
+                       WHERE c_custkey IN (SELECT user_id FROM victims))
+                      AS DOUBLE)
+                   / CAST((SELECT count(*) FROM customer) AS DOUBLE)
+            ELSE 0.0 END
 UNION ALL
 SELECT 'orders',
        (SELECT count(*) FROM purged_orders),
        (SELECT count(*) FROM orders),
-       CAST((SELECT count(*) FROM purged_orders) AS DOUBLE)
-         / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+       CASE WHEN (SELECT count(*) FROM orders) <> 0
+            THEN CAST((SELECT count(*) FROM purged_orders) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+            ELSE 0.0 END
 UNION ALL
 SELECT 'lineitem',
        (SELECT count(*) FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM purged_orders)),
        (SELECT count(*) FROM lineitem),
-       CAST((SELECT count(*) FROM lineitem
-             WHERE l_orderkey IN (SELECT o_orderkey FROM purged_orders))
-            AS DOUBLE)
-         / CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+       CASE WHEN (SELECT count(*) FROM lineitem) <> 0
+            THEN CAST((SELECT count(*) FROM lineitem
+                       WHERE l_orderkey IN
+                             (SELECT o_orderkey FROM purged_orders))
+                      AS DOUBLE)
+                   / CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+            ELSE 0.0 END
 """
 
 

@@ -2333,14 +2333,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame content — so the fan-out stays inside whole-stage codegen:
     map-only, no shuffle, linear in Σ frames however large the corpus.
     Frames are char-aligned so the fingerprint is engine-neutral
-    (UTF-8 md5 on both sides)."""
+    (UTF-8 md5 on both sides).
+
+    Sampling formula: ``frame_idx = (i * total_frames) div n_samp`` —
+    the standard even-spread selection. A floor-divided stride
+    (``total div 8``) clusters all 8 samples at the start for 9–15
+    frame docs, and a ceil-divided stride overruns the last frame for
+    e.g. 12-frame docs; the div-based index is always in
+    ``[0, total)`` and evenly spaced."""
     docs = load_table(spark, sf_dir, "documents")
     total = F.greatest(
         F.lit(1), F.expr(f"CAST(n_chars div {_FRAME_CHARS} AS INT)")
     )
-    stride = F.greatest(F.lit(1), F.expr(
-        f"CAST((n_chars div {_FRAME_CHARS}) div {_FRAME_SAMPLES} AS INT)"
-    ))
     n_samp = F.least(F.lit(_FRAME_SAMPLES), total)
     frame_txt = F.expr(
         f"substring(text, frame_idx * {_FRAME_CHARS} + 1, {_FRAME_CHARS})"
@@ -2350,7 +2354,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "text",
             total.alias("total_frames"),
-            stride.alias("stride"),
+            n_samp.alias("n_samp"),
             F.posexplode(F.sequence(F.lit(0), n_samp - 1)).alias(
                 "sample_no", "i"
             ),
@@ -2359,7 +2363,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "total_frames",
             F.col("sample_no").cast("int").alias("sample_no"),
-            (F.col("i") * F.col("stride")).cast("long").alias("frame_idx"),
+            F.expr("(i * total_frames) div n_samp")
+            .cast("long")
+            .alias("frame_idx"),
             "text",
         )
         .select(
@@ -2378,24 +2384,28 @@ _FRAME_SAMPLE_SQL = f"""
 WITH base AS (
   SELECT doc_id, text,
          greatest(1, CAST(n_chars // {_FRAME_CHARS} AS INT)) AS total_frames,
-         greatest(1, CAST((n_chars // {_FRAME_CHARS}) // {_FRAME_SAMPLES} AS INT))
-           AS stride
+         least({_FRAME_SAMPLES},
+               greatest(1, CAST(n_chars // {_FRAME_CHARS} AS INT))) AS n_samp
   FROM documents
 ),
 fan AS (
-  SELECT doc_id, text, total_frames,
-         unnest(range(least({_FRAME_SAMPLES}, total_frames))) AS sample_no,
-         stride
+  SELECT doc_id, text, total_frames, n_samp,
+         unnest(range(n_samp)) AS sample_no
   FROM base
+),
+idx AS (
+  SELECT doc_id, text, total_frames, sample_no,
+         (sample_no * total_frames) // n_samp AS frame_idx
+  FROM fan
 )
 SELECT doc_id, total_frames, CAST(sample_no AS INTEGER) AS sample_no,
-       CAST(sample_no * stride AS BIGINT) AS frame_idx,
-       CAST(sample_no * stride * {_FRAME_CHARS} AS BIGINT) AS offset,
-       CAST(strlen(substring(text, sample_no * stride * {_FRAME_CHARS} + 1,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {_FRAME_CHARS} AS BIGINT) AS offset,
+       CAST(strlen(substring(text, frame_idx * {_FRAME_CHARS} + 1,
                              {_FRAME_CHARS})) AS BIGINT) AS frame_bytes,
-       md5(substring(text, sample_no * stride * {_FRAME_CHARS} + 1,
+       md5(substring(text, frame_idx * {_FRAME_CHARS} + 1,
                      {_FRAME_CHARS})) AS frame_md5
-FROM fan
+FROM idx
 """
 
 
@@ -2505,7 +2515,15 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-normalizes with the integral divide (both engines truncate
     toward zero — verified) — so even an iterative eigensolver is
     value-hash-oracled. Sign/direction is pinned by the deterministic
-    all-ones start."""
+    all-ones start.
+
+    Precision bound (DECIMAL(38,0) cap): after the first normalize
+    |v_j| <= UNIT, so |s_j| <= N·dim·UNIT³ = N·6.4e19 and the
+    ``s·1e6`` rescale peaks at N·6.4e25 — within the 1e38 cap up to
+    N ≈ 1.5e12 rows, i.e. ~384 TB of 64-dim float32 embeddings,
+    beyond the 100 TB design target. Past that, shard the corpus and
+    merge per-shard Gram matvecs (s is additive across shards) before
+    the rescale; non-ANSI Spark would otherwise silently NULL."""
     emb = load_table(spark, sf_dir, "embeddings")
     xq = emb.select(
         "vec_id",

@@ -464,7 +464,10 @@ def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The CDC batch is derived deterministically from orders: each
     customer's latest in-flight order (window latest, one row per key)
     carries an op — D = delete, U = update balance, I = insert under a
-    fresh key — so all three MERGE branches execute. The merge itself
+    fresh key (offset past ``max(c_custkey)`` so synthetic inserts can
+    never collide with real customers at any scale factor; a fixed
+    +1e6 offset would silently alias real keys at sf >= ~7) — so all
+    three MERGE branches execute. The merge itself
     is ``base FULL OUTER JOIN batch ON key`` + branch logic, excluding
     matched deletes: one shuffle on the merge key, linear in
     |base| + |batch|.
@@ -491,9 +494,12 @@ def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("U"))
             .alias("op"),
         )
+        .crossJoin(
+            F.broadcast(cust.agg(F.max("c_custkey").alias("max_ck")))
+        )
         .select(
             F.when(
-                F.col("op") == "I", F.col("o_custkey") + 1000000
+                F.col("op") == "I", F.col("max_ck") + F.col("o_custkey")
             )
             .otherwise(F.col("o_custkey"))
             .alias("key"),
@@ -532,7 +538,9 @@ WITH cdc AS (
   ) WHERE rn = 1
 ),
 batch AS (
-  SELECT CASE WHEN op = 'I' THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+  SELECT CASE WHEN op = 'I'
+              THEN (SELECT max(c_custkey) FROM customer) + o_custkey
+              ELSE o_custkey END AS key,
          op, o_totalprice AS new_bal
   FROM cdc
 )
