@@ -176,14 +176,26 @@ def user_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(F.col("user_id").alias("id")).distinct()
 
 
-def user_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_edges_sym(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """Symmetric distinct (a, b) pairs: users sharing an (event_type,
-    hour) slot. Equi-join on the slot key — never an O(n²) theta join."""
+    hour) slot. Equi-join on the slot key — never an O(n²) theta join.
+
+    ``cap`` applies :func:`slot_capped_users` before the pair join —
+    the hot-slot guard a production cluster run sets (a slot with k
+    users emits k² pairs; see slot_capped_users for the 100 TB
+    failure mode). Default None keeps the exact uncapped semantics the
+    registered §2-C oracles pin; tests/test_graph_algos.py's hot-slot
+    synthetic shows the capped path completing where the uncapped
+    shape blows up."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
         F.date_trunc("hour", "ts").alias("hour"),
     )
+    if cap is not None:
+        e = slot_capped_users(e, cap)
     a = e.select(F.col("user_id").alias("a"), "event_type", "hour")
     b = e.select(F.col("user_id").alias("b"), "event_type", "hour")
     return (
@@ -223,6 +235,84 @@ FROM (
    AND e1.user_id < e2.user_id
 )
 GROUP BY a, b
+"""
+
+
+_SLOT_CAP = 32  # max users kept per (event_type, hour) slot
+
+
+def slot_capped_users(e: DataFrame, cap: int = _SLOT_CAP) -> DataFrame:
+    """Deterministic per-slot membership cap: keep each (event_type,
+    hour) slot's top-``cap`` users by in-slot event count (ties ->
+    smaller user_id). Input needs columns (user_id, event_type, hour);
+    output is one row per surviving (event_type, hour, user_id).
+
+    This is THE guard that makes the slot-co-occurrence joins safe at
+    scale: the uncapped self-join emits k² pairs for a slot with k
+    users — a launch-spike hour with 10⁶ users is 10¹² intermediate
+    rows on ONE join key, and AQE skew-split cannot help because the
+    quadratic is in the join *output*, not the shuffle (the repo's own
+    scale tool OOM'd on exactly this shape — BASELINE.md "Round-4b
+    additions"). Capping bounds every slot at cap·(cap−1)/2 pairs while
+    keeping the heaviest co-occurrers (the edges every downstream
+    algorithm actually uses); the rank is one window over the
+    slot-user aggregate — same recipe as bipartite_copurchase's
+    top-3-per-part."""
+    from pyspark.sql import Window
+
+    su = e.groupBy("event_type", "hour", "user_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy(
+        F.desc("n_ev"), F.asc("user_id")
+    )
+    return (
+        su.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .select("event_type", "hour", "user_id")
+    )
+
+
+def build_user_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-slot-guarded twin of :func:`build_user_graph`: per-slot
+    membership capped at ``_SLOT_CAP`` users (see
+    :func:`slot_capped_users`), then the same canonical a<b pair join;
+    weight = # shared capped slots. At sf0.1 most slots are under the
+    cap so the graphs nearly coincide; at 100 TB this is the variant a
+    production pipeline registers, because its worst-case output per
+    slot is a constant."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    top = slot_capped_users(e)
+    a = top.select(F.col("user_id").alias("a"), "event_type", "hour")
+    b = top.select(F.col("user_id").alias("b"), "event_type", "hour")
+    return (
+        a.join(b, ["event_type", "hour"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+_BUILD_USER_GRAPH_CAPPED_SQL = f"""
+WITH su AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
+         count(*) AS n_ev
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts), user_id
+),
+top AS (
+  SELECT event_type, hr, user_id FROM su
+  QUALIFY row_number() OVER (
+    PARTITION BY event_type, hr
+    ORDER BY n_ev DESC, user_id ASC) <= {_SLOT_CAP}
+)
+SELECT t1.user_id AS a, t2.user_id AS b, count(*) AS weight
+FROM top t1 JOIN top t2
+  ON t1.event_type = t2.event_type AND t1.hr = t2.hr
+ AND t1.user_id < t2.user_id
+GROUP BY t1.user_id, t2.user_id
 """
 
 
@@ -268,6 +358,7 @@ QUERIES = {
     "degree_in": degree_in,
     "degree_distribution": degree_distribution,
     "build_user_graph": build_user_graph,
+    "build_user_graph_capped": build_user_graph_capped,
 }
 
 ORACLES = {
@@ -289,4 +380,5 @@ ORACLES = {
         ") GROUP BY out_degree"
     ),
     "build_user_graph": _BUILD_USER_GRAPH_SQL,
+    "build_user_graph_capped": _BUILD_USER_GRAPH_CAPPED_SQL,
 }

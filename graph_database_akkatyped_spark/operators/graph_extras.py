@@ -553,17 +553,30 @@ verts AS (SELECT DISTINCT user_id AS v FROM events)
 """
 
 
-def user_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_directed_edges(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """Directed succession graph: ``src -> dst`` when dst repeats src's
     event type in the NEXT hour, thinned to a deterministic
     {_SCC_GATE_PCT}% by an md5 gate on the (src, dst) pair — temporal
     direction gives real asymmetry (cycles exist but edges don't pair
     up), and the hash gate keeps the graph sparse enough that its SCC
     structure is non-trivial. Equi-join on the (event_type, hour) slot
-    key, never a theta join."""
+    key, never a theta join.
+
+    ``cap`` applies the per-slot membership guard
+    (graph_build.slot_capped_users) before the succession join — the
+    hot-slot k² protection for cluster runs; default None preserves
+    the exact semantics the registered SCC/HITS/walk oracles pin."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        slot_capped_users,
+    )
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
     )
+    if cap is not None:
+        e = slot_capped_users(e, cap)
     a = e.select(F.col("user_id").alias("src"), "event_type", "hour")
     b = e.select(
         F.col("user_id").alias("dst"),

@@ -119,18 +119,19 @@ def find(edges: DataFrame, pattern: str) -> DataFrame:
 # ------------------------------------------------- registered motif keys
 
 
-def motif_find_cosupplied(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier co-usage via the motif API: customers a < b that both
-    source from supplier s — compiled from the pattern string, then
-    aggregated per supplier (match cardinality is quadratic per
-    supplier; the aggregate keeps the registered output bounded while
-    still executing the raw match)."""
+def motif_cosupplied_enumerated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair-ENUMERATING plan for supplier co-usage — the raw motif
+    match (customers a < b both sourcing from s) aggregated per
+    supplier. Quadratic per supplier by construction: kept ONLY as the
+    compiler exercise / equality witness for the registered
+    combinatorial plan (tests/test_motif.py pins plan equality on the
+    small fixture); never register this shape — a hot supplier with
+    10⁵ customers is 5·10⁹ intermediate rows."""
     from graph_database_akkatyped_spark.caching import memoized_checkpoint
     from graph_database_akkatyped_spark.operators.graph_build import build_edges
 
-    # the motif self-joins this frame; memoized+materialized so both
-    # sides (and repeated invocations) read one cut instead of
-    # re-running the orders-lineitem derivation per side
     edges = memoized_checkpoint(
         spark, "bedges", sf_dir, lambda: build_edges(spark, sf_dir)
     )
@@ -138,6 +139,35 @@ def motif_find_cosupplied(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a") < F.col("b")
     )
     return matches.groupBy("s").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def motif_find_cosupplied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-usage: # customer pairs a < b both sourcing from
+    supplier s. The a<b pair count per supplier depends ONLY on the
+    per-supplier customer degree — C(n_s, 2) = n_s·(n_s−1)/2 — so the
+    registered plan is one hash aggregate over the sourced edge list,
+    never materializing a single pair: O(edges) at any scale where the
+    enumerated motif join is quadratic per supplier. The oracle is
+    unchanged from the enumerating version (the answer is identical);
+    :func:`motif_cosupplied_enumerated` keeps the raw motif-compiler
+    path exercised, with plan equality pinned in tests/test_motif.py."""
+    from graph_database_akkatyped_spark.caching import memoized_checkpoint
+    from graph_database_akkatyped_spark.operators.graph_build import build_edges
+
+    edges = memoized_checkpoint(
+        spark, "bedges", sf_dir, lambda: build_edges(spark, sf_dir)
+    )
+    deg = (
+        edges.where(F.col("rel") == "sourced")
+        .groupBy(F.col("dst").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return deg.where(F.col("n_cust") >= 2).select(
+        "s",
+        (F.col("n_cust") * (F.col("n_cust") - 1) / 2)
+        .cast("long")
+        .alias("n_pairs"),
+    )
 
 
 _MOTIF_COSUPPLIED_SQL = """

@@ -109,3 +109,79 @@ def test_truss_keeps_clique_and_peels_cascade(spark):
     both = clique + [(10, 11), (10, 12), (11, 12), (11, 13), (12, 13)]
     kept = truss_frame(edges(both)).collect()
     assert sorted((r["a"], r["b"]) for r in kept) == sorted(clique)
+
+
+def test_truss_fixpoint_at_exactly_max_rounds(spark):
+    """A cascade that shrinks for exactly max_rounds rounds must still
+    converge: detecting the fixpoint costs one extra no-change round,
+    which may not be charged against the shrink budget (the unrolled
+    SQL oracle's e{max_rounds} IS the correct fixpoint here)."""
+    from graph_database_akkatyped_spark.operators.algos import truss_frame
+
+    # bowtie peels in exactly 2 shrinking rounds (support-1 edges die
+    # in round 1, the stranded shared edge in round 2)
+    bowtie = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    assert truss_frame(bowtie, max_rounds=2).count() == 0
+
+
+def test_hot_slot_cap_bounds_pair_blowup(spark):
+    """One (event_type, hour) slot with 10^4 users: the uncapped pair
+    join would emit k(k-1)/2 ~ 5*10^7 rows from this single slot (the
+    100 TB launch-spike failure mode); the capped path completes
+    instantly with a constant-bounded output and picks exactly the
+    highest-activity users (ties -> smaller id)."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        _SLOT_CAP,
+        slot_capped_users,
+    )
+
+    n = 10_000
+    base = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("hour"),
+    )
+    # users 0..31 get a second event -> they must win the cap rank
+    e = base.unionAll(base.where(F.col("user_id") < _SLOT_CAP))
+
+    top = slot_capped_users(e)
+    assert sorted(r["user_id"] for r in top.collect()) == list(
+        range(_SLOT_CAP)
+    )
+
+    uncapped_pairs = n * (n - 1) // 2  # what the unguarded join emits
+    a = top.select(F.col("user_id").alias("a"), "event_type", "hour")
+    b = top.select(F.col("user_id").alias("b"), "event_type", "hour")
+    got = (
+        a.join(b, ["event_type", "hour"]).where(F.col("a") < F.col("b")).count()
+    )
+    assert got == _SLOT_CAP * (_SLOT_CAP - 1) // 2
+    assert got < uncapped_pairs // 100_000
+
+
+def test_capped_user_graph_is_subgraph(spark):
+    """On real fixtures the capped graph is a subgraph of the uncapped
+    one with pointwise-bounded weights (capped shared-slot counts can
+    only drop) — the invariant that makes the capped variant a safe
+    production substitute."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph,
+        build_user_graph_capped,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = build_user_graph(spark, sf)
+    capped = build_user_graph_capped(spark, sf)
+    joined = capped.alias("c").join(
+        full.alias("f"), ["a", "b"], "left"
+    )
+    n_capped = capped.count()
+    assert n_capped > 0
+    # every capped edge exists uncapped, with weight <= uncapped weight
+    ok = joined.where(
+        F.col("f.weight").isNotNull()
+        & (F.col("c.weight") <= F.col("f.weight"))
+    ).count()
+    assert ok == n_capped

@@ -69,3 +69,18 @@ def test_parse_errors(spark):
         find(e, "!(a)-[]->(b)")  # negation with unbound vertices
     with pytest.raises(ValueError):
         find(e, "(a)-[e:rel]->(b)") if "rel" not in e.columns else None
+
+
+def test_cosupplied_combinatorial_equals_enumerated(spark):
+    """The registered C(n,2) aggregate must equal the raw motif-join
+    enumeration — the identity that lets the registered plan skip pair
+    materialization entirely."""
+    from graph_database_akkatyped_spark.operators.motif import (
+        motif_cosupplied_enumerated,
+        motif_find_cosupplied,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast = {r["s"]: r["n_pairs"] for r in motif_find_cosupplied(spark, sf).collect()}
+    slow = {r["s"]: r["n_pairs"] for r in motif_cosupplied_enumerated(spark, sf).collect()}
+    assert fast == slow and len(fast) > 0
