@@ -1,30 +1,108 @@
-"""Per-session memoization of materialized (localCheckpoint) frames.
+"""Materialization (lineage-cut) policy + per-session frame memoization.
 
 Several registered keys start from the same expensive intermediate (the
 strong-edge graph, the triangle enumeration, a dedup feature frame).
-Each of those frames is cut with ``localCheckpoint(eager=True)`` because
-its consumers self-join it — but a checkpoint block is never freed until
-the session ends, so re-invoking such a key in a long-lived session
-(bench loops, the parity sweep) used to stack a NEW block per call.
-Memoizing per (kind, sf_dir, session) bounds that accumulation at one
-block per distinct input, turning the leak a round-3 audit flagged into
-a deliberate, bounded cache.
+Each of those frames is cut eagerly because its consumers self-join it —
+but a cut block is never freed until the session ends, so re-invoking
+such a key in a long-lived session (bench loops, the parity sweep) used
+to stack a NEW block per call. Memoizing per (kind, sf_dir, session)
+bounds that accumulation at one block per distinct input, and
+:func:`clear_frame_cache` now actually unpersists the blocks (not just
+the dict entries), so a long-lived service session can evict between
+workloads.
 
-Cluster-scale note: ``localCheckpoint`` stores blocks on executors and
-is NOT recoverable on executor loss. On a real cluster prefer
-``persist(StorageLevel.MEMORY_AND_DISK_2)`` (replicated) or a reliable
-``checkpoint()`` to a cluster filesystem for frames whose recomputation
-is expensive; the memoization contract here is storage-level-agnostic —
-swap the cut inside ``build`` without touching callers.
+Cut policy — ``cut(df)`` is THE lineage-cut point for the iterative
+kernels (Pregel supersteps, memoized frames):
+
+- default (``reliable=False``): ``localCheckpoint(eager=True)`` —
+  blocks live on executors, fast, NOT recoverable on executor loss.
+  Right for local/bench runs; on a preemptible-node cluster a lost
+  executor kills the whole multi-hour iterative job.
+- ``reliable=True`` (or the session-wide
+  :func:`set_reliable_checkpointing`): ``checkpoint(eager=True)``
+  backed by ``sc.setCheckpointDir`` — every cut is written to the
+  checkpoint filesystem (point it at HDFS/S3 on a cluster) and
+  SURVIVES executor loss; a lost executor re-reads the checkpoint
+  files instead of failing the job. Slower per cut (one write + read
+  through the cluster FS) — the classic durability/latency trade; at
+  100 TB on spot instances, reliable is the only sane setting for
+  multi-hour Pregel/dedup pipelines.
+
+Results are bit-identical either way (pinned by
+tests/test_graph_algos.py::test_reliable_checkpoint_same_result) —
+the cut changes WHERE blocks live, never their content.
 """
 
 from __future__ import annotations
 
+import tempfile
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame, set[int]]] = {}
+
+_RELIABLE = False  # session-wide default for cut(reliable=None)
+
+
+def set_reliable_checkpointing(
+    flag: bool, spark: SparkSession | None = None, checkpoint_dir: str | None = None
+) -> None:
+    """Flip the session-wide cut policy. With ``flag=True`` every
+    subsequent :func:`cut` (Pregel supersteps, memoized frames) writes
+    a reliable checkpoint; pass ``checkpoint_dir`` (cluster FS path)
+    or it defaults to a local temp dir (fine for tests, pointless on a
+    real cluster — executors must all reach the directory)."""
+    global _RELIABLE
+    _RELIABLE = flag
+    if flag and spark is not None:
+        ensure_checkpoint_dir(spark, checkpoint_dir)
+
+
+def ensure_checkpoint_dir(
+    spark: SparkSession, path: str | None = None
+) -> str:
+    """Make sure ``sc.checkpointDir`` is set (required by
+    ``DataFrame.checkpoint``); returns the directory in use. An
+    explicit ``path`` always wins; otherwise an already-configured dir
+    is kept, else a local temp dir is created."""
+    sc = spark.sparkContext
+    if path is None:
+        cur = sc._jsc.sc().getCheckpointDir()
+        if cur.isDefined():
+            return cur.get()
+        path = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    sc.setCheckpointDir(path)
+    return path
+
+
+def cut(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Eagerly materialize ``df`` and truncate its lineage — the one
+    cut-point every iterative kernel goes through. ``reliable=None``
+    follows the session-wide policy (see module docstring for the
+    executor-loss semantics of each mode)."""
+    if reliable is None:
+        reliable = _RELIABLE
+    if reliable:
+        ensure_checkpoint_dir(df.sparkSession)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently persisted RDDs (localCheckpoint blocks included)
+    — the observable the eviction test pins."""
+    return {
+        int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def _unpersist_ids(spark: SparkSession, ids: set[int]) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
 
 
 def memoized_checkpoint(
@@ -32,18 +110,35 @@ def memoized_checkpoint(
     kind: str,
     sf_dir: str,
     build: Callable[[], DataFrame],
+    reliable: bool | None = None,
 ) -> DataFrame:
-    """Return the memoized eager localCheckpoint of ``build()`` for this
-    (kind, sf_dir), rebuilding when the session changed (a checkpointed
-    frame dies with its session)."""
+    """Return the memoized eager cut of ``build()`` for this
+    (kind, sf_dir), rebuilding when the session changed (a cut frame
+    dies with its session). A superseded generation's blocks are
+    unpersisted on rebuild, so the cache never holds more than one
+    generation per key. ``reliable`` selects the cut mode (see
+    :func:`cut`)."""
     hit = _CACHE.get((kind, sf_dir))
     if hit is not None and hit[0] is spark:
         return hit[1]
-    df = build().localCheckpoint(eager=True)
-    _CACHE[(kind, sf_dir)] = (spark, df)
+    if hit is not None:
+        _CACHE.pop((kind, sf_dir), None)
+    before = persistent_rdd_ids(spark)
+    df = cut(build(), reliable)
+    block_ids = persistent_rdd_ids(spark) - before
+    _CACHE[(kind, sf_dir)] = (spark, df, block_ids)
     return df
 
 
-def clear_frame_cache() -> None:
-    """Drop all memoized frames (tests, or to release executor storage)."""
-    _CACHE.clear()
+def clear_frame_cache(sf_dir: str | None = None) -> None:
+    """Evict memoized frames AND unpersist their blocks — ``sf_dir``
+    restricts eviction to one input (a long-lived service session
+    evicts a finished workload's frames without touching others).
+    After eviction the frames are gone for good (lineage was cut), so
+    callers re-derive via ``memoized_checkpoint`` on next use."""
+    for key in [k for k in _CACHE if sf_dir is None or k[1] == sf_dir]:
+        spark, _df, block_ids = _CACHE.pop(key)
+        try:
+            _unpersist_ids(spark, block_ids)
+        except Exception:  # session already stopped — blocks are gone
+            pass

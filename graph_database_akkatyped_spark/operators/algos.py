@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graph_database_akkatyped_spark.caching import memoized_checkpoint as _memoized
+from graph_database_akkatyped_spark.caching import cut, memoized_checkpoint as _memoized
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.operators.graph_build import (
     NATION_EDGES_CTE,
@@ -41,7 +41,7 @@ def bfs_frame(edges_sym: DataFrame, seed: DataFrame, max_level: int) -> DataFram
     level is localCheckpoint-ed so lineage stays flat — the pattern that
     survives deep graphs at scale.
     """
-    visited = seed.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    visited = seed.withColumn("level", F.lit(0)).transform(cut)
     frontier = visited.select("id")
     for lvl in range(1, max_level + 1):
         nxt = (
@@ -50,11 +50,11 @@ def bfs_frame(edges_sym: DataFrame, seed: DataFrame, max_level: int) -> DataFram
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("level", F.lit(lvl))
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(cut)
         frontier = nxt.select("id")
     return visited
 
@@ -356,7 +356,7 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(pick, "id", "left")
             .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
     return labels.select(F.col("id").alias("user_id"), F.col("lbl").alias("label"))
 
@@ -405,7 +405,7 @@ def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame
     alive = (
         edges_sym.select(F.col("a").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     n_alive = alive.count()
     for _ in range(max_rounds):
@@ -415,7 +415,7 @@ def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame
         deg = live_edges.groupBy(F.col("a").alias("id")).agg(
             F.count(F.lit(1)).alias("degree")
         )
-        keep = deg.where(F.col("degree") >= k).localCheckpoint(eager=True)
+        keep = deg.where(F.col("degree") >= k).transform(cut)
         # ONE driver action per peel round: the survivor count doubles as
         # the convergence check against the previous round's count (the
         # count itself is near-free — keep is already materialized)
@@ -632,10 +632,10 @@ def truss_frame(edges: DataFrame, max_rounds: int = _TRUSS_ROUNDS) -> DataFrame:
     ``max_rounds + 1`` still removes edges — the case where the
     unrolled oracle would itself be a superset, so parity is
     genuinely broken."""
-    e = edges.localCheckpoint(eager=True)
+    e = edges.transform(cut)
     prev = e.count()
     for _ in range(max_rounds + 1):
-        e = _truss_peel(e).localCheckpoint(eager=True)
+        e = _truss_peel(e).transform(cut)
         n = e.count()
         if n == prev:
             return e

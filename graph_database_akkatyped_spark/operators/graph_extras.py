@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from graph_database_akkatyped_spark.caching import memoized_checkpoint as _memoized
+from graph_database_akkatyped_spark.caching import cut, memoized_checkpoint as _memoized
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.operators.algos import (
     _BASE,
@@ -156,7 +156,7 @@ def topo_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "id",
                 F.greatest("depth", F.coalesce("m", F.lit(0))).alias("depth"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
     return d.select(F.col("id").alias("user_id"), "depth")
 
@@ -488,7 +488,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "walk_no",
                 F.coalesce(pick, F.col("cur")).alias("cur"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
         steps.append(
             state.select(
@@ -622,8 +622,8 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
     # cut the edge build ONCE: pregel re-evaluates its edge input every
     # superstep, and an un-materialized events self-join would re-run
     # per superstep (measured 3.6 s/superstep -> 0.1 s after the cut)
-    remaining_v = verts.select("id").localCheckpoint(eager=True)
-    remaining_e = edges.select("src", "dst").localCheckpoint(eager=True)
+    remaining_v = verts.select("id").transform(cut)
+    remaining_e = edges.select("src", "dst").transform(cut)
     assigned = None  # (id, root)
 
     def _absorb(members: DataFrame):
@@ -633,12 +633,12 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
         )
         remaining_v = remaining_v.join(
             members.select("id"), "id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(cut)
         rm = members.select(F.col("id").alias("gone"))
         remaining_e = (
             remaining_e.join(rm, remaining_e["src"] == rm["gone"], "left_anti")
             .join(rm, remaining_e["dst"] == rm["gone"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
 
     for _ in range(_SCC_ROUNDS):
@@ -652,13 +652,13 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
         for _ in range(30):
             has_out = remaining_e.select(F.col("src").alias("id")).distinct()
             has_in = remaining_e.select(F.col("dst").alias("id")).distinct()
-            core = has_out.join(has_in, "id").localCheckpoint(eager=True)
+            core = has_out.join(has_in, "id").transform(cut)
             singles = remaining_v.join(core, "id", "left_anti")
             if singles.limit(1).count() == 0:
                 break
             _absorb(
                 singles.select("id", F.col("id").alias("root"))
-                .localCheckpoint(eager=True)
+                .transform(cut)
             )
         if remaining_v.limit(1).count() == 0:
             break
@@ -692,7 +692,7 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
         )
         rev = ce.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
-        ).localCheckpoint(eager=True)
+        ).transform(cut)
         marks = pregel(
             colors.select(
                 "id",
@@ -709,7 +709,7 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
             marks.where(F.col("state") == 1)
             .join(colors, "id")
             .select("id", F.col("color").alias("root"))
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
         _absorb(members)
     if remaining_v.limit(1).count() != 0:
@@ -804,7 +804,7 @@ def msbfs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = (
             seed_df.select("seed", F.col("seed").alias("id"))
             .withColumn("level", F.lit(0))
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
         frontier = visited.select("seed", "id")
         for lvl in range(1, _ECC_MAX_LEVEL + 1):
@@ -814,11 +814,11 @@ def msbfs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .join(visited, ["seed", "id"], "left_anti")
                 .withColumn("level", F.lit(lvl))
-                .localCheckpoint(eager=True)
+                .transform(cut)
             )
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            visited = visited.unionByName(nxt).transform(cut)
             frontier = nxt.select("seed", "id")
         return visited
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from graph_database_akkatyped_spark.caching import memoized_checkpoint
+from graph_database_akkatyped_spark.caching import cut, memoized_checkpoint
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.numerics import davg, sql_davg
 
@@ -1879,7 +1879,7 @@ def pack_sequences(
         .withColumn("pid", F.spark_partition_id())
         # freeze the shard assignment so pass 1 and pass 2 see the
         # exact same partitioning (range boundaries are sampled)
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     subtot = {
         r["pid"]: r["tot"]

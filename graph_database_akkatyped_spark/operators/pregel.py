@@ -8,9 +8,17 @@ with vertices (vertex program). Cf. Pregelix (PAPERS.md): Pregel on a
 dataflow engine = join + groupBy per superstep.
 
 Scale notes (the part naive Spark iteration gets wrong):
-- ``localCheckpoint(eager=True)`` each superstep truncates lineage;
+- each superstep is cut (``caching.cut``) to truncate lineage;
   otherwise the logical plan doubles per iteration and analysis time
-  explodes long before data size matters.
+  explodes long before data size matters. ``reliable=True`` routes the
+  cut through a filesystem ``checkpoint()`` (``sc.setCheckpointDir``)
+  so a lost executor re-reads checkpoint files instead of killing the
+  multi-hour job — the mandatory setting for preemptible-node
+  clusters; the default ``localCheckpoint`` is faster but dies with
+  any executor. Results are bit-identical either way.
+- the PREVIOUS superstep's blocks are unpersisted once the new cut is
+  materialized, so storage stays O(1) generations instead of
+  O(iterations) over a long convergence run.
 - The convergence check aggregates a pre-computed ``changed`` flag on
   the just-checkpointed result, so it reuses materialized blocks instead
   of recomputing the superstep.
@@ -24,6 +32,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from graph_database_akkatyped_spark.caching import (
+    cut,
+    persistent_rdd_ids,
+    _unpersist_ids,
+)
 
 
 @dataclass
@@ -44,6 +58,7 @@ def pregel(
     check_convergence: bool = True,
     checkpoint_every: int = 1,
     frontier_only: bool = False,
+    reliable: bool | None = None,
 ) -> PregelResult:
     """Run synchronous Pregel supersteps until convergence or max_iter.
 
@@ -64,11 +79,18 @@ def pregel(
       100 TB is the difference between converging and not. NOT valid
       for PageRank-style recomputation, where every vertex contributes
       every round.
+    - ``reliable``: None follows the session-wide cut policy
+      (``caching.set_reliable_checkpointing``); True forces
+      filesystem checkpoints that survive executor loss; False forces
+      executor-local blocks (fast, non-recoverable). Identical
+      results either way — only failure semantics differ.
     """
+    spark = vertices.sparkSession
     v = vertices.select("id", "state")
     active = v
     iterations = 0
     converged = False
+    prev_block_ids: set[int] = set()
     for i in range(max_iter):
         iterations = i + 1
         senders = active if frontier_only else v
@@ -96,7 +118,14 @@ def pregel(
             )
         )
         if (i + 1) % checkpoint_every == 0 or check_convergence or frontier_only:
-            stepped = stepped.localCheckpoint(eager=True)
+            before = persistent_rdd_ids(spark)
+            stepped = cut(stepped, reliable)
+            new_ids = persistent_rdd_ids(spark) - before
+            # the new generation is fully materialized; the previous
+            # superstep's blocks are dead weight — free them so storage
+            # stays O(1) generations over a long run
+            _unpersist_ids(spark, prev_block_ids)
+            prev_block_ids = new_ids
         if check_convergence:
             n_changed = stepped.agg(F.sum("changed")).first()[0] or 0
             if n_changed == 0:

@@ -1,0 +1,203 @@
+"""Exactly-once streaming sink: idempotent ``foreachBatch`` MERGE.
+
+The one production streaming surface every deployment writes first:
+Structured Streaming gives at-least-once batch delivery to
+``foreachBatch`` (after a failure the SAME batch id is re-run), so an
+exactly-once sink = an idempotent MERGE — commit each micro-batch's
+partial aggregate into the snapshot store together with its batch id,
+and skip batches whose id is already in the ledger. Delta/Iceberg users
+get this from ``txnAppId``/``txnVersion`` MERGE metadata; this module
+implements the same contract against an in-memory store so the whole
+loop (stream -> partials -> ledger-gated MERGE -> replay-is-a-no-op) is
+testable and oracle-checkable without a table format dependency.
+
+Key design points for 100 TB:
+- each micro-batch is reduced to a PARTIAL AGGREGATE before the merge
+  (O(touched keys) state update per trigger, never O(history));
+- all mergeable components are associative and exact: max_by over
+  (ts, event_id) for last-event, integer counts, DECIMAL(30,2) value
+  sums (doubles would drift with merge order — the final
+  decimal->double conversion happens once, at read time);
+- the REPLAY of the final batch happens inside the registered query
+  itself, so the driver's value-hash oracle IS the idempotence check:
+  a broken ledger double-counts and the hash mismatches.
+
+The batch twin (same fold over the static table) is the registered
+oracle; tests/test_streaming.py replays batches explicitly and pins
+ledger behavior.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_database_akkatyped_spark.caching import cut
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.numerics import dec2double, sql_dsum
+
+_N_SPLITS = 4  # micro-batches the fixture is replayed as
+
+
+def partial_snapshot(df: DataFrame) -> DataFrame:
+    """Per-user mergeable partial of one micro-batch: last event
+    (max_by over (ts, event_id) — event_id kept for the merge
+    tie-break), count, exact-decimal value sum."""
+    return df.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias(
+            "last_event_type"
+        ),
+        F.max_by("event_id", F.struct("ts", "event_id")).alias(
+            "last_event_id"
+        ),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,2)"))
+        .cast("decimal(30,2)")
+        .alias("total_value_dec"),
+    )
+
+
+def merge_partials(cur: DataFrame | None, partial: DataFrame) -> DataFrame:
+    """Associative MERGE of a batch partial into the stored state —
+    union + re-aggregate with the merge form of each component. Exact
+    arithmetic end to end, so any batch order (and any replay-free
+    subset grouping) folds to the identical state."""
+    if cur is None:
+        return partial
+    both = cur.unionByName(partial)
+    return both.groupBy("user_id").agg(
+        F.max_by(
+            "last_event_type", F.struct("last_ts", "last_event_id")
+        ).alias("last_event_type"),
+        F.max_by(
+            "last_event_id", F.struct("last_ts", "last_event_id")
+        ).alias("last_event_id"),
+        F.max("last_ts").alias("last_ts"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value_dec").cast("decimal(30,2)").alias(
+            "total_value_dec"
+        ),
+    )
+
+
+class IdempotentSnapshotStore:
+    """In-memory stand-in for a transactional MERGE target. ``applied``
+    is the batch-id ledger; a real deployment commits the MERGE and the
+    ledger row in ONE transaction (Delta txnAppId/txnVersion, or an
+    Iceberg snapshot property) — here both mutations happen in the same
+    driver-side critical section, which models the same atomicity."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.applied: set[int] = set()
+        self.state: DataFrame | None = None
+        self.last: tuple[DataFrame, int] | None = None
+        self.n_skipped_replays = 0
+
+    def upsert(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch entry point. The partial is cut eagerly while
+        the micro-batch frame is still valid; the merge itself goes
+        through the ledger-gated :meth:`apply`."""
+        partial = cut(partial_snapshot(batch_df))
+        self.last = (partial, batch_id)
+        self.apply(partial, batch_id)
+
+    def apply(self, partial: DataFrame, batch_id: int) -> None:
+        if batch_id in self.applied:  # replayed batch: already committed
+            self.n_skipped_replays += 1
+            return
+        self.state = cut(merge_partials(self.state, partial))
+        self.applied.add(batch_id)
+
+    def snapshot(self) -> DataFrame:
+        """Read view of the store: drop the merge-internal tie-break
+        column, convert the exact decimal once."""
+        assert self.state is not None, "no batch was ever applied"
+        return self.state.select(
+            "user_id",
+            "last_event_type",
+            "last_ts",
+            "n_events",
+            dec2double(F.col("total_value_dec")).alias("total_value"),
+        )
+
+
+_SPLIT_DIRS: dict[str, str] = {}
+
+
+def _split_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events rewritten as ``_N_SPLITS`` parquet files (hash-split on
+    user_id) so the file stream source with maxFilesPerTrigger=1 yields
+    a genuine multi-micro-batch run; ts is normalized at write time so
+    the stream read needs no nanos handling. Cached per sf_dir."""
+    if sf_dir not in _SPLIT_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_split_")
+        load_table(spark, sf_dir, "events").repartition(
+            _N_SPLITS, "user_id"
+        ).write.mode("overwrite").parquet(d)
+        _SPLIT_DIRS[sf_dir] = d
+    return _SPLIT_DIRS[sf_dir]
+
+
+def stream_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once sink demo, end to end: events replayed as
+    ``_N_SPLITS`` micro-batches through ``foreachBatch`` into the
+    ledger-gated store, then the FINAL batch is replayed (what Spark
+    does after a sink failure) — the ledger makes it a no-op, and the
+    returned snapshot hash-matches the one-shot batch oracle. Remove
+    the ledger and the replayed batch double-counts: the driver's
+    value-hash catches it."""
+    split_dir = _split_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    store = IdempotentSnapshotStore(spark)
+    q = (
+        stream.writeStream.foreachBatch(store.upsert)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="spark_graft_sink_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    assert store.last is not None and len(store.applied) >= 2
+    store.apply(*store.last)  # failure-replay of the final batch
+    assert store.n_skipped_replays == 1
+    return store.snapshot()
+
+
+_SINK_IDEMPOTENT_SQL = f"""
+WITH last AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+agg AS (
+  SELECT user_id, CAST(max(ts) AS TIMESTAMP) AS last_ts,
+         count(*) AS n_events,
+         {sql_dsum('value', 2)} AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, l.event_type AS last_event_type, a.last_ts,
+       a.n_events, a.total_value
+FROM agg a JOIN last l USING (user_id)
+"""
+
+
+QUERIES = {
+    "stream_sink_idempotent": stream_sink_idempotent,
+}
+
+ORACLES = {
+    "stream_sink_idempotent": _SINK_IDEMPOTENT_SQL,
+}

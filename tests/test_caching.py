@@ -1,0 +1,125 @@
+"""Cut-policy (reliable vs local checkpoint) and cache-eviction tests.
+
+Pins the two cluster-durability contracts added in round 5:
+- reliable=True (filesystem checkpoint) produces bit-identical results
+  to the default localCheckpoint — only failure semantics differ;
+- clear_frame_cache() actually frees executor storage, so a long-lived
+  session's memo cache is a bounded cache, not a slow leak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_akkatyped_spark import caching
+from graph_database_akkatyped_spark.caching import (
+    clear_frame_cache,
+    memoized_checkpoint,
+    persistent_rdd_ids,
+    set_reliable_checkpointing,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_reliable_checkpoint_same_result(spark):
+    """CC + PageRank through filesystem checkpoints == through
+    localCheckpoint: the cut changes where blocks live, never values."""
+    from graph_database_akkatyped_spark.operators.algos import (
+        connected_components,
+        pagerank_fixed,
+    )
+
+    clear_frame_cache()
+    cc_local = _rows(connected_components(spark, SF))
+    pr_local = _rows(pagerank_fixed(spark, SF))
+
+    clear_frame_cache()
+    set_reliable_checkpointing(True, spark)
+    try:
+        assert caching._RELIABLE is True
+        cc_rel = _rows(connected_components(spark, SF))
+        pr_rel = _rows(pagerank_fixed(spark, SF))
+    finally:
+        set_reliable_checkpointing(False)
+        clear_frame_cache()
+
+    assert cc_rel == cc_local and len(cc_rel) > 0
+    assert pr_rel == pr_local and len(pr_rel) > 0
+
+
+def test_pregel_reliable_kwarg(spark):
+    """Per-call reliable=True on the kernel itself (no global flag)."""
+    from graph_database_akkatyped_spark.operators.pregel import pregel
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (1, 0, 1), (2, 1, 1)],
+        "src long, dst long, weight long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(3)], "id long").select(
+        "id", F.when(F.col("id") == 0, F.lit(0).cast("long")).alias("state")
+    )
+
+    def run(reliable):
+        res = pregel(
+            verts,
+            edges,
+            msg=F.col("src_state") + F.col("weight"),
+            agg=F.min("msg"),
+            vprog=F.least(F.col("state"), F.col("agg_msg")),
+            max_iter=5,
+            reliable=reliable,
+        )
+        assert res.converged
+        return _rows(res.vertices)
+
+    assert run(True) == run(False) == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_clear_frame_cache_unpersists_blocks(spark):
+    """Eviction frees the blocks, and a build/clear cycle does not grow
+    persistent storage across generations (the round-3 'slow storage
+    leak' closed with code)."""
+    clear_frame_cache()
+    baseline = persistent_rdd_ids(spark)
+
+    def build():
+        return spark.range(1000).select(
+            "id", (F.col("id") % 7).alias("bucket")
+        )
+
+    counts = []
+    for _ in range(3):
+        df = memoized_checkpoint(spark, "evict_probe", SF, build)
+        assert df.count() == 1000
+        # memo hit: second call must not add blocks
+        memoized_checkpoint(spark, "evict_probe", SF, build)
+        grown = persistent_rdd_ids(spark) - baseline
+        assert grown, "memoized frame should hold persisted blocks"
+        counts.append(len(grown))
+        clear_frame_cache(SF)
+        assert persistent_rdd_ids(spark) - baseline == set()
+    # every generation holds the same bounded number of blocks
+    assert len(set(counts)) == 1
+
+
+def test_clear_frame_cache_is_scoped_by_sf_dir(spark):
+    clear_frame_cache()
+    baseline = persistent_rdd_ids(spark)
+    a = memoized_checkpoint(
+        spark, "scope_probe", "/tmp/fake_a", lambda: spark.range(10)
+    )
+    b = memoized_checkpoint(
+        spark, "scope_probe", "/tmp/fake_b", lambda: spark.range(20)
+    )
+    clear_frame_cache("/tmp/fake_a")
+    # b survives the scoped eviction and is still readable
+    assert b.count() == 20
+    assert ("scope_probe", "/tmp/fake_b") in caching._CACHE
+    assert ("scope_probe", "/tmp/fake_a") not in caching._CACHE
+    clear_frame_cache()
+    assert persistent_rdd_ids(spark) - baseline == set()

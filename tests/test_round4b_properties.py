@@ -39,9 +39,15 @@ def test_merge_upsert_accounting(spark, run):
     n_del = n_base - int((out["change_type"] != "inserted").sum())
     assert len(out) == n_base - n_del + n_ins
     assert n_del >= 0
-    # inserted keys live in the synthetic range, existing keys below it
+    # inserted keys are offset past max(c_custkey), so they can never
+    # collide with a real customer at any scale factor
+    max_ck = (
+        load_table(spark, SF_SMOKE, "customer")
+        .agg({"c_custkey": "max"})
+        .first()[0]
+    )
     ins_keys = out.loc[out["change_type"] == "inserted", "custkey"]
-    assert (ins_keys >= 1000000).all()  # custkey 0 maps to exactly 1e6
+    assert (ins_keys > max_ck).all()
 
 
 def test_pareto_shares_sum_to_one(spark, run):

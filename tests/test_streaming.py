@@ -4,6 +4,7 @@ row set as the batch twin on the same file (SURVEY.md §5.4)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from graph_database_akkatyped_spark.streaming.windows import (
     run_streaming_twin,
@@ -385,3 +386,42 @@ def test_stateful_topk_fold_is_split_invariant():
     assert whole == halves == interleaved
     # ties on 9.0 break to the smallest event_id: 1, 2, 5
     assert whole[2:] == [9.0, 1, 9.0, 2, 9.0, 5]
+
+
+def test_idempotent_sink_ledger_and_replay(spark):
+    """The exactly-once contract, pinned explicitly: replaying any
+    applied batch is a no-op; bypassing the ledger double-counts."""
+    from graph_database_akkatyped_spark.streaming.sinks import (
+        IdempotentSnapshotStore,
+        merge_partials,
+        partial_snapshot,
+    )
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    b0 = events.where(F.col("user_id") % 2 == 0)
+    b1 = events.where(F.col("user_id") % 2 == 1)
+
+    store = IdempotentSnapshotStore(spark)
+    store.apply(partial_snapshot(b0), 0)
+    store.apply(partial_snapshot(b1), 1)
+    once = sorted(map(tuple, store.snapshot().collect()))
+
+    # replay both batches (arbitrary order) -> ledger skips, state unchanged
+    store.apply(partial_snapshot(b1), 1)
+    store.apply(partial_snapshot(b0), 0)
+    assert store.n_skipped_replays == 2
+    assert sorted(map(tuple, store.snapshot().collect())) == once
+
+    # ledger-less merge of a replayed batch corrupts counts — the
+    # failure mode the ledger exists to prevent
+    corrupted = merge_partials(store.state, partial_snapshot(b0))
+    n_ok = store.state.agg(F.sum("n_events")).first()[0]
+    n_bad = corrupted.agg(F.sum("n_events")).first()[0]
+    assert n_bad > n_ok
+
+    # merged multi-batch state == one-shot fold over everything
+    solo = IdempotentSnapshotStore(spark)
+    solo.apply(partial_snapshot(events), 0)
+    assert sorted(map(tuple, solo.snapshot().collect())) == once
