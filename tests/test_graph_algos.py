@@ -185,3 +185,51 @@ def test_capped_user_graph_is_subgraph(spark):
         & (F.col("c.weight") <= F.col("f.weight"))
     ).count()
     assert ok == n_capped
+
+
+def test_triangle_family_under_hub_skew(spark):
+    """Power-law stress for the triangle family: one 1000-degree hub
+    owns ~all wedges (C(1000,2) ~ 5e5 at this size; the shape AQE's
+    skew handling must absorb at 100 TB). Hub 0 -> leaves 1..H plus a
+    leaf ring gives exact analytic ground truths: H triangles
+    (0,i,i+1), every hub edge closes exactly 2, every ring edge exactly
+    1 — and the 4-truss cascades to empty (ring support 1 peels first,
+    stranding the hub edges)."""
+    from graph_database_akkatyped_spark.operators.algos import (
+        _truss_peel,
+        truss_frame,
+    )
+
+    H = 1000
+    hub = [(0, i) for i in range(1, H + 1)]
+    ring = [(i, i + 1) for i in range(1, H)] + [(1, H)]
+    ce = spark.createDataFrame(sorted(hub + ring), "a long, b long")
+
+    # the exact join shape _triangles uses (canonical x<y<z)
+    e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ce.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ce.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    assert tri.count() == H  # (0,i,i+1) for the ring + the wrap
+
+    # per-edge common-neighbor counts (mutual_neighbors/edge_jaccard
+    # plan): hub edges close 2 triangles, ring edges 1
+    pairs = (
+        tri.select(F.col("x").alias("p"), F.col("y").alias("q"))
+        .unionAll(tri.select(F.col("x").alias("p"), F.col("z").alias("q")))
+        .unionAll(tri.select(F.col("y").alias("p"), F.col("z").alias("q")))
+    )
+    common = pairs.groupBy("p", "q").agg(F.count(F.lit(1)).alias("n"))
+    by_kind = {
+        r["is_hub"]: (r["lo"], r["hi"])
+        for r in common.groupBy((F.col("p") == 0).alias("is_hub"))
+        .agg(F.min("n").alias("lo"), F.max("n").alias("hi"))
+        .collect()
+    }
+    assert by_kind[True] == (2, 2)
+    assert by_kind[False] == (1, 1)
+
+    # truss peeling under the same skew: ring edges (support 1) die in
+    # round 1, the stranded hub star follows — exact empty fixpoint
+    assert _truss_peel(ce).where(F.col("a") != 0).count() == 0
+    assert truss_frame(ce).count() == 0

@@ -138,6 +138,25 @@ def main() -> None:
         f"n_meet={r['n_meet']} in {time.perf_counter() - t0:.1f}s"
     )
 
+    # round-5: k-truss at scale — the wedge join is the cost driver
+    # (sum of deg^2 intermediates), peeling converges in 2-3 rounds on
+    # a near-random graph
+    from graph_database_akkatyped_spark.operators.algos import truss_frame
+
+    t0 = time.perf_counter()
+    canon = (
+        base.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kept = truss_frame(canon).count()
+    print(
+        f"k-truss(4): {kept}/{canon.count()} edges kept "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+
 
 if __name__ == "__main__":
     main()
