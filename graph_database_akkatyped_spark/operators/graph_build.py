@@ -257,7 +257,10 @@ def slot_capped_users(e: DataFrame, cap: int = _SLOT_CAP) -> DataFrame:
     keeping the heaviest co-occurrers (the edges every downstream
     algorithm actually uses); the rank is one window over the
     slot-user aggregate — same recipe as bipartite_copurchase's
-    top-3-per-part."""
+    top-3-per-part. The window sorts each slot in one task
+    (O(k log k) for a k-user slot — a 10⁶-user spike is one task
+    sorting 10⁶ rows, a straggler but never a blowup; the quadratic
+    danger was always the pair join's OUTPUT, which the cap bounds)."""
     from pyspark.sql import Window
 
     su = e.groupBy("event_type", "hour", "user_id").agg(
