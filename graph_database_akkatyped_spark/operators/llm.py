@@ -2739,6 +2739,62 @@ FROM cm{last} m JOIN stats s ON s.cid = m.cid
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection: within each near-dup
+    cluster keep the HIGHEST-quality document (ties → smaller doc_id),
+    not the arbitrary min-id — what a production corpus pipeline
+    actually ships (dedup discards the worst copies, e.g. the
+    boilerplate-wrapped mirror of a clean page). Composition of two
+    existing stages: ``dedup_clusters`` (banded candidate pairs →
+    transitive CC clusters) ⋈ ``text_quality_score``, then one
+    rank-per-cluster window.
+
+    Scale shape: the join is on doc_id (the id both sides already hash
+    by), the window partitions by cluster — cluster sizes are dup-group
+    sizes (small by nature; a pathological mega-cluster is one sorted
+    partition, linear-log). Quality is per-row IEEE-754 double
+    arithmetic — deterministic across engines (numerics.py) — so even
+    the float ranking is value-hash-oracled."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster",
+            "quality",
+            (F.col("rn") == 1).alias("is_keeper"),
+        )
+    )
+
+
+_DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a, b FROM ({_DEDUP_NGRAM_SQL})
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+),
+verts AS (SELECT doc_id AS v FROM documents),
+reach(s, d) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN sym e ON e.a = r.d
+),
+comp AS (SELECT s AS doc_id, min(d) AS cluster FROM reach GROUP BY s),
+qual AS ({_TEXT_QUALITY_SQL.strip()})
+SELECT c.doc_id, c.cluster, q.quality,
+       row_number() OVER (PARTITION BY c.cluster
+                          ORDER BY q.quality DESC, c.doc_id ASC) = 1
+         AS is_keeper
+FROM comp c JOIN qual q USING (doc_id)
+"""
+
+
 def _pca_sql(iters: int = _PCA_ITERS) -> str:
     u = _PCA_UNIT
     ctes = [
@@ -2784,6 +2840,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_materialize": dedup_materialize,
     "dedup_incremental": dedup_incremental,
@@ -2827,6 +2884,7 @@ ORACLES = {
     # rows-only by design (sketches)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
     "dedup_materialize": _DEDUP_MATERIALIZE_SQL,
     "dedup_incremental": _DEDUP_INCR_SQL,

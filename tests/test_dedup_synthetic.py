@@ -154,3 +154,22 @@ def test_embedding_salted_identical_to_unsalted(spark, emb_dir, n_salt):
         .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     assert base.equals(salted)
+
+
+def test_keep_best_one_keeper_max_quality(spark):
+    """dedup_keep_best invariants on real fixtures: exactly one keeper
+    per cluster, and the keeper carries the cluster-max quality."""
+    from pyspark.sql import functions as F
+    from graph_database_akkatyped_spark.operators.llm import dedup_keep_best
+
+    out = dedup_keep_best(spark, "/root/testdata/sf0.001")
+    per = out.groupBy("cluster").agg(
+        F.sum(F.col("is_keeper").cast("int")).alias("n_keep"),
+        F.max("quality").alias("q_max"),
+        F.max_by("quality", F.col("is_keeper").cast("int")).alias("q_keep"),
+    )
+    bad = per.where(
+        (F.col("n_keep") != 1) | (F.col("q_keep") < F.col("q_max"))
+    ).count()
+    assert bad == 0
+    assert out.count() > 0
