@@ -2795,6 +2795,84 @@ FROM comp c JOIN qual q USING (doc_id)
 """
 
 
+_BUDGET_PCT = 25  # token budget as % of total corpus tokens
+
+
+def corpus_token_budget_sample(
+    spark: SparkSession, sf_dir: str, n_shards: int | None = None
+) -> DataFrame:
+    """Budget-constrained corpus selection: take documents in
+    quality-descending order (ties → smaller doc_id) until the running
+    token total fills ``_BUDGET_PCT``% of the corpus — "give me the
+    best N-token training subset", the selection step between quality
+    scoring and pack_sequences in a real pipeline.
+
+    The running total uses the SAME two-pass distributed prefix sum as
+    :func:`pack_sequences` (range-partition by the sort key, O(shards)
+    driver-side offsets, per-shard windows) — a single un-partitioned
+    ORDER BY quality window would serialize the corpus through one
+    task at 100 TB. Token counts are integers so the cumulative sum
+    and the cutoff are exact; per-row double quality is IEEE-754
+    deterministic, so selection is value-hash-oracled. Budget may
+    overshoot by at most one document (inclusive <= threshold)."""
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "quality"
+    )
+    if n_shards is None:
+        n_shards = _pack_shard_count(spark, q)
+    sized = (
+        q.repartitionByRange(
+            n_shards, F.col("quality").desc(), F.col("doc_id").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        # freeze the shard assignment (range boundaries are sampled)
+        .transform(cut)
+    )
+    subtot = {
+        r["pid"]: r["tot"]
+        for r in sized.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    running, offsets = 0, {}
+    for pid in sorted(subtot):
+        offsets[pid] = running
+        running += subtot[pid]
+    threshold = running * _BUDGET_PCT // 100
+    if offsets:
+        off_df = spark.createDataFrame(
+            list(offsets.items()), "pid int, off bigint"
+        )
+        sized = sized.join(F.broadcast(off_df), "pid")
+    else:
+        sized = sized.withColumn("off", F.lit(0).cast("long"))
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sized.withColumn(
+        "cum_tok", F.col("off") + F.sum("n_tok").over(w)
+    )
+    return cum.where(F.col("cum_tok") <= F.lit(threshold)).select(
+        "doc_id", "n_tok", "quality", "cum_tok"
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH q AS ({_TEXT_QUALITY_SQL.strip()}),
+sized AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, quality FROM q
+),
+cum AS (
+  SELECT doc_id, n_tok, quality,
+         SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC) AS cum_tok
+  FROM sized
+)
+SELECT doc_id, n_tok, quality, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM cum
+WHERE cum_tok <= (SELECT sum(n_tok) * {_BUDGET_PCT} // 100 FROM sized)
+"""
+
+
 def _pca_sql(iters: int = _PCA_ITERS) -> str:
     u = _PCA_UNIT
     ctes = [
@@ -2841,6 +2919,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "corpus_token_budget_sample": corpus_token_budget_sample,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_materialize": dedup_materialize,
     "dedup_incremental": dedup_incremental,
@@ -2885,6 +2964,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
+    "corpus_token_budget_sample": _TOKEN_BUDGET_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
     "dedup_materialize": _DEDUP_MATERIALIZE_SQL,
     "dedup_incremental": _DEDUP_INCR_SQL,

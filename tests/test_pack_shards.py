@@ -33,3 +33,19 @@ def test_default_shard_count_scales_with_session(spark):
     docs = llm.load_table(spark, SF_ORACLE, "documents")
     n = llm._pack_shard_count(spark, docs)
     assert n >= spark.sparkContext.defaultParallelism
+
+
+def test_token_budget_sample_shard_invariant(spark):
+    """The budget selection must be identical at any prefix-sum shard
+    count (offsets compose) — same invariance pack_sequences pins."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        corpus_token_budget_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sets = []
+    for n in (4, 16, 64):
+        out = corpus_token_budget_sample(spark, sf, n_shards=n)
+        sets.append(sorted(map(tuple, out.collect())))
+    assert sets[0] == sets[1] == sets[2]
+    assert len(sets[0]) > 0
