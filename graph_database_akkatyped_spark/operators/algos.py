@@ -541,6 +541,48 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_SAMPLE_PCT = 25  # deterministic edge-sampling rate (%)
+
+
+def triangle_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled triangle count — the 100 TB scale path for the triangle
+    family: exact enumeration costs Σdeg² wedge checks (8·10⁸ at the
+    1M-vertex rehearsal, BASELINE.md), so at real scale you count on a
+    DETERMINISTIC edge sample and scale up. Each edge survives an md5
+    gate with probability q = {_TRI_SAMPLE_PCT}/100 (the same
+    hash-gate recipe as the SCC graph — reproducible across engines
+    and runs, unlike rand()); a triangle survives iff all 3 edges do
+    (q³), so ``n_est = n_sampled / q³`` is the standard unbiased
+    edge-sampling estimator (Tsourakakis et al.'s DOULION) — computed
+    in exact integers (q = 1/4 → ×64). Wedge-work drops by q², and
+    because the gate is deterministic the whole estimate value-hashes
+    against the DuckDB twin."""
+    ce = _canonical_edges(spark, sf_dir)
+    gate = (
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(a AS STRING), '_', "
+            "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % 100
+        < _TRI_SAMPLE_PCT
+    )
+    s = ce.where(gate)
+    e1 = s.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = s.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = s.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    scale = (100 // _TRI_SAMPLE_PCT) ** 3
+    return s.agg(F.count(F.lit(1)).alias("n_sampled_edges")).crossJoin(
+        F.broadcast(
+            tri.agg(F.count(F.lit(1)).alias("n_triangles_sampled"))
+        )
+    ).select(
+        "n_sampled_edges",
+        "n_triangles_sampled",
+        (F.col("n_triangles_sampled") * scale).alias("n_triangles_est"),
+    )
+
+
 _TRI_BASE = f"""
 WITH ce AS (
   SELECT a, b FROM (
@@ -583,6 +625,27 @@ _TRIANGLE_COUNT_SQL = (
     + """
 SELECT count(*) AS n_triangles
 FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+
+_TRI_APPROX_SQL = (
+    _TRI_BASE
+    + f""",
+se AS MATERIALIZED (
+  SELECT a, b FROM ce
+  WHERE CAST('0x' || substr(md5(CAST(a AS VARCHAR) || '_'
+          || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {_TRI_SAMPLE_PCT}
+),
+tri AS (
+  SELECT count(*) AS n
+  FROM se e1 JOIN se e2 ON e2.a = e1.b
+  JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT count(*) FROM se) AS n_sampled_edges,
+       n AS n_triangles_sampled,
+       n * {(100 // _TRI_SAMPLE_PCT) ** 3} AS n_triangles_est
+FROM tri
 """
 )
 
@@ -905,6 +968,7 @@ QUERIES = {
     "label_propagation": label_propagation,
     "kcore_decompose": kcore_decompose,
     "triangle_count": triangle_count,
+    "triangle_count_approx": triangle_count_approx,
     "k_truss_edges": k_truss_edges,
     "motif_triangle_sql": motif_triangle_sql,
     "mutual_neighbors": mutual_neighbors,
@@ -925,6 +989,7 @@ ORACLES = {
     "kcore_decompose": _kcore_sql(),
     "k_truss_edges": _truss_sql(),
     "triangle_count": _TRIANGLE_COUNT_SQL,
+    "triangle_count_approx": _TRI_APPROX_SQL,
     "motif_triangle_sql": _MOTIF_SQL,
     "mutual_neighbors": _MUTUAL_SQL,
     "clustering_coefficient": _CLUSTERING_SQL,

@@ -45,12 +45,13 @@ _MODULES = (
 # first (rank -1), which is correct for new keys but must be a
 # deliberate listing so test_registry keeps the set exact.
 _SWEEP_ORDER = (
-    # -- block 1 (round-5 rotation, 53 keys): the 4 new keys, the 8
+    # -- block 1 (round-5 rotation, 54 keys): the 5 new keys, the 8
     # r5 behavior-changed keys, cut-migration spot checks over the
     # iterative kernels, then r4-modified keys sampled only once --
     # all within the driver's ~50-key budget
     "build_user_graph_capped", "stream_sink_idempotent",
     "dedup_keep_best", "corpus_token_budget_sample",
+    "triangle_count_approx",
     "motif_find_cosupplied", "multimodal_frame_sample", "merge_cdc_upsert",
     "degree_assortativity", "graph_reciprocity", "tombstone_cascade",
     "k_truss_edges", "embedding_pca_power", "bfs_levels", "khop_neighbors",

@@ -34,7 +34,11 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graph_database_akkatyped_spark.caching import cut
+from graph_database_akkatyped_spark.caching import (
+    _unpersist_ids,
+    cut,
+    persistent_rdd_ids,
+)
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.numerics import dec2double, sql_dsum
 
@@ -96,20 +100,36 @@ class IdempotentSnapshotStore:
         self.state: DataFrame | None = None
         self.last: tuple[DataFrame, int] | None = None
         self.n_skipped_replays = 0
+        self._state_block_ids: set[int] = set()
 
     def upsert(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch entry point. The partial is cut eagerly while
         the micro-batch frame is still valid; the merge itself goes
-        through the ledger-gated :meth:`apply`."""
+        through the ledger-gated :meth:`apply`. Only the latest partial
+        is retained (for failure-replay) — the previous one's blocks
+        are freed once it is no longer the replay candidate."""
+        before = persistent_rdd_ids(self.spark)
         partial = cut(partial_snapshot(batch_df))
+        new_ids = persistent_rdd_ids(self.spark) - before
+        prev = getattr(self, "_partial_block_ids", set())
         self.last = (partial, batch_id)
         self.apply(partial, batch_id)
+        _unpersist_ids(self.spark, prev)
+        self._partial_block_ids = new_ids
 
     def apply(self, partial: DataFrame, batch_id: int) -> None:
         if batch_id in self.applied:  # replayed batch: already committed
             self.n_skipped_replays += 1
             return
+        before = persistent_rdd_ids(self.spark)
         self.state = cut(merge_partials(self.state, partial))
+        new_ids = persistent_rdd_ids(self.spark) - before
+        # the superseded state generation's blocks are dead once the
+        # new cut materializes — free them so a long stream holds O(1)
+        # state generations, not O(batches) (same discipline as the
+        # Pregel kernel)
+        _unpersist_ids(self.spark, self._state_block_ids)
+        self._state_block_ids = new_ids
         self.applied.add(batch_id)
 
     def snapshot(self) -> DataFrame:

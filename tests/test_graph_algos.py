@@ -233,3 +233,22 @@ def test_triangle_family_under_hub_skew(spark):
     # round 1, the stranded hub star follows — exact empty fixpoint
     assert _truss_peel(ce).where(F.col("a") != 0).count() == 0
     assert truss_frame(ce).count() == 0
+
+
+def test_triangle_count_approx_deterministic_and_close(spark):
+    """DOULION-style sampled count: deterministic across invocations
+    (md5 gate, not rand()) and within sampling error of the exact
+    count on the sf0.01 fixture."""
+    from graph_database_akkatyped_spark.operators.algos import (
+        triangle_count,
+        triangle_count_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = triangle_count_approx(spark, sf).first()
+    b = triangle_count_approx(spark, sf).first()
+    assert tuple(a) == tuple(b)  # deterministic, unlike rand() sampling
+    exact = triangle_count(spark, sf).first()["n_triangles"]
+    assert a["n_triangles_est"] == a["n_triangles_sampled"] * 64
+    # q=1/4 edge sampling at ~1.4k triangles: generous 35% error bound
+    assert abs(a["n_triangles_est"] - exact) / exact < 0.35
