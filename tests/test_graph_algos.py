@@ -252,3 +252,19 @@ def test_triangle_count_approx_deterministic_and_close(spark):
     assert a["n_triangles_est"] == a["n_triangles_sampled"] * 64
     # q=1/4 edge sampling at ~1.4k triangles: generous 35% error bound
     assert abs(a["n_triangles_est"] - exact) / exact < 0.35
+
+
+def test_directed_edges_cap_is_subset(spark):
+    """user_directed_edges(cap=...) must be a subset of the uncapped
+    succession graph — same guard contract as user_edges_sym."""
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        user_directed_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = user_directed_edges(spark, sf)
+    capped = user_directed_edges(spark, sf, cap=8)
+    n_capped = capped.count()
+    assert n_capped > 0
+    assert capped.join(full, ["src", "dst"], "left_semi").count() == n_capped
+    assert n_capped <= full.count()
