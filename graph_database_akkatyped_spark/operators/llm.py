@@ -2873,6 +2873,107 @@ WHERE cum_tok <= (SELECT sum(n_tok) * {_BUDGET_PCT} // 100 FROM sized)
 """
 
 
+_PARA_WORDS = 20  # chunk ("paragraph") granularity in tokens
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup, Dolma/CCNet style:
+    every whole-doc dedup key in this module keeps or drops entire
+    documents, but production corpora mostly carry *partial* overlap —
+    boilerplate headers, quoted paragraphs, syndicated fragments — so
+    the highest-recall cleanup is removing duplicated PARAGRAPHS while
+    keeping their host documents. The fixtures carry no newlines, so
+    "paragraph" is the post-normalization chunk a real pipeline would
+    use anyway: consecutive ``_PARA_WORDS``-token spans.
+
+    Algorithm (all built-in expressions, one shuffle per stage):
+    chunk each doc's token array (``transform(sequence, slice)``, no
+    explode-regroup round trip), ``posexplode`` chunks, keep the
+    globally FIRST occurrence of each chunk md5 (first by doc_id, then
+    by in-doc position — the deterministic "earliest copy wins" rule),
+    then reconstruct each document from its surviving chunks in order.
+    Output: per-doc chunk count, kept count, and the cleaned text.
+
+    Scale shape: the first-occurrence window partitions by chunk md5 —
+    a group-by-key over fixed-width 16-byte keys whose groups are dup
+    multiplicities (tiny; a viral boilerplate chunk with 10^6 copies is
+    one sorted partition, linear-log, and AQE skew-split applies since
+    the output is one winner per group, not k^2 pairs). Reconstruction
+    groups by doc_id, the key the scan is already hashed by. At 100 TB
+    the md5 shuffle carries (pos, chunk) pairs — chunk text can be
+    dropped from the shuffle by re-joining winners to the chunk table
+    on (doc_id, pos); kept here inline because the reconstruct needs
+    the text anyway and carrying it once beats a second scan-side join."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(_PARA_WORDS))).cast("int")
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * _PARA_WORDS + 1, _PARA_WORDS), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        F.asc("doc_id"), F.asc("pos")
+    )
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("chunk"))
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(kept_struct).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .select("doc_id", "n_chunks", "n_kept", "kept_text")
+    )
+
+
+_DEDUP_PARAGRAPH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(ws) / {_PARA_WORDS}.0) AS BIGINT)),
+           i -> array_to_string(
+                  ws[i*{_PARA_WORDS}+1 : i*{_PARA_WORDS}+{_PARA_WORDS}],
+                  ' ')
+         ) AS chunks
+  FROM words
+),
+ex AS (
+  SELECT doc_id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) - 1 AS pos
+  FROM chunked
+),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM ex
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                  FILTER (WHERE rn = 1), '') AS kept_text
+FROM ranked GROUP BY doc_id
+"""
+
+
 def _pca_sql(iters: int = _PCA_ITERS) -> str:
     u = _PCA_UNIT
     ctes = [
@@ -2919,6 +3020,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_paragraph": dedup_paragraph,
     "corpus_token_budget_sample": corpus_token_budget_sample,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_materialize": dedup_materialize,
@@ -2964,6 +3066,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
+    "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
     "corpus_token_budget_sample": _TOKEN_BUDGET_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
     "dedup_materialize": _DEDUP_MATERIALIZE_SQL,

@@ -173,3 +173,52 @@ def test_keep_best_one_keeper_max_quality(spark):
     ).count()
     assert bad == 0
     assert out.count() > 0
+
+
+_P20_A = " ".join(f"alpha{i}" for i in range(20))   # paragraph A (20 words)
+_P20_B = " ".join(f"beta{i}" for i in range(20))    # paragraph B (shared)
+_P20_C = " ".join(f"gamma{i}" for i in range(20))   # paragraph C
+
+
+@pytest.fixture(scope="module")
+def para_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("para_docs")
+    docs = [
+        (0, _P20_A + " " + _P20_B),  # first carrier of B
+        (1, _P20_C + " " + _P20_B),  # later copy of B -> must be dropped
+        (2, _P20_B + " " + _P20_B),  # intra-doc repeat -> keep one
+        (3, "tail words only"),      # sub-chunk doc, unique
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark, para_dir):
+    """dedup_paragraph semantics on a corpus with engineered overlap:
+    the earliest copy (doc order, then position) of a duplicated
+    paragraph survives, later copies are removed, and documents are
+    reconstructed from their surviving chunks in order."""
+    out = llm.dedup_paragraph(spark, para_dir).toPandas()
+    row = dict(
+        (int(r.doc_id), (int(r.n_chunks), int(r.n_kept), r.kept_text))
+        for r in out.itertuples()
+    )
+    # doc 0 carries the first copy of B: everything kept
+    assert row[0] == (2, 2, _P20_A + " " + _P20_B)
+    # doc 1's copy of B is a later occurrence: only C survives
+    assert row[1] == (2, 1, _P20_C)
+    # intra-doc repeat: doc 2's SECOND B goes (its first B already lost
+    # to doc 0's earlier copy, so nothing survives)
+    assert row[2] == (2, 0, "")
+    # unique sub-chunk doc untouched
+    assert row[3] == (1, 1, "tail words only")
+    con = _duck_for(para_dir, "documents")
+    oracle_pd = con.execute(llm._DEDUP_PARAGRAPH_SQL).fetchdf()
+    assert not compare(out, oracle_pd)
