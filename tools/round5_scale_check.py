@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from graph_database_akkatyped_spark.caching import clear_frame_cache
 from graph_database_akkatyped_spark.catalog import load_table
-from graph_database_akkatyped_spark.operators import graph_build, motif
+from graph_database_akkatyped_spark.operators import graph_build, llm, motif
 from graph_database_akkatyped_spark.session import get_spark
 from graph_database_akkatyped_spark.streaming import sinks
 
@@ -36,6 +36,10 @@ QUERIES = {
     "build_user_graph_capped": graph_build.QUERIES["build_user_graph_capped"],
     "motif_find_cosupplied": motif.QUERIES["motif_find_cosupplied"],
     "stream_sink_idempotent": sinks.QUERIES["stream_sink_idempotent"],
+    # documents are replicated with IDENTICAL text: every chunk's dup
+    # group grows to N copies — the boilerplate regime. Output must stay
+    # linear (one winner per group), so time should scale ~N, not N^2.
+    "dedup_paragraph": llm.QUERIES["dedup_paragraph"],
 }
 
 
@@ -65,6 +69,9 @@ def replicate(spark, n: int) -> str:
         load_table(spark, SF_DIR, "lineitem").crossJoin(copies),
         ["l_orderkey", "l_suppkey", "l_partkey"],
     ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    shift(
+        load_table(spark, SF_DIR, "documents").crossJoin(copies), ["doc_id"]
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     return out
 
 
