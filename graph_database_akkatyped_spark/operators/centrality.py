@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from graph_database_akkatyped_spark.caching import cut
 from graph_database_akkatyped_spark.caching import memoized_checkpoint as _memoized
 from graph_database_akkatyped_spark.operators.graph_extras import (
     DIRECTED_EDGES_CTE,
@@ -225,6 +226,182 @@ SELECT seed AS seed_id,
             ELSE 0.0 END AS closeness
 FROM lv GROUP BY seed
 """
+
+
+# --------------------------------------- sampled betweenness (Brandes)
+
+_BC_UNIT = 1_000_000
+
+
+def betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001, seed-sampled): the
+    standard estimator that runs Brandes' dependency accumulation from
+    K probe seeds instead of every vertex — exact betweenness is
+    all-pairs and off the table at 100 TB; K-seed Brandes is K BFS
+    traversals plus K backward sweeps, all frontier-shaped joins.
+
+    Completes the centrality suite (degree / PageRank / Katz / HITS /
+    harmonic-closeness / eccentricity) with the one classic member the
+    others can't substitute: "who sits ON the shortest paths" rather
+    than "who is close" or "who is linked from hubs".
+
+    Determinism: the textbook δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) is a float
+    sum whose accumulation order Spark doesn't fix, so this is the
+    µ-unit FIXED-POINT Brandes — every edge contribution is the exact
+    integer ``σ(v)·(UNIT+δ(w)) div σ(w)`` (widened through
+    DECIMAL(38,0)/HUGEINT before the integral divide), and integer sums
+    are order-independent, giving bit parity with the unrolled DuckDB
+    oracle. Each per-edge floor loses < 1 µ-unit (< 1e-6 of a path).
+
+    Forward pass: σ per BFS level over the memoized
+    :func:`msbfs_frame` levels (the traversal eccentricity and
+    harmonic-closeness already paid for). Backward pass: one join per
+    level from deepest to 1, each O(frontier ⋈ edges) — never
+    all-pairs. σ is carried as BIGINT: path counts are bounded by the
+    per-level product of frontier degrees; document-scale graphs stay
+    far below 2^63 within the level ≤ 20 BFS horizon, and both engines
+    use the same width so any overflow would at least split loudly.
+
+    Output: per reached vertex (seeds excluded), the SUM of δ over the
+    K seeds in µ-units + as double — the unnormalized sampled estimate;
+    at K = n it equals directed-pair Brandes betweenness."""
+    visited = msbfs_frame(spark, sf_dir)  # (seed, id, level)
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
+    lmax = visited.agg(F.max("level")).collect()[0][0] or 0
+    empty = visited.sparkSession.createDataFrame(
+        [], "user_id bigint, bc_e6 bigint, bc double"
+    )
+    if lmax == 0:
+        return empty
+    # forward: shortest-path counts sigma, level by level
+    cur = visited.where(F.col("level") == 0).select(
+        "seed", "id", F.lit(1).cast("long").alias("sigma")
+    )
+    sig = {0: cur}
+    for lvl in range(1, lmax + 1):
+        tgt = visited.where(F.col("level") == lvl).select("seed", "id")
+        cur = (
+            cur.join(edges.select(F.col("a").alias("id"), "b"), "id")
+            .select("seed", F.col("b").alias("id"), "sigma")
+            .join(tgt, ["seed", "id"])
+            .groupBy("seed", "id")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .transform(cut)
+        )
+        sig[lvl] = cur
+    # backward: fixed-point dependency accumulation, deepest level first
+    prev = sig[lmax].withColumn("delta", F.lit(0).cast("long"))
+    deltas = [prev.select("seed", "id", "delta")]
+    for lvl in range(lmax - 1, 0, -1):
+        contrib = (
+            sig[lvl]
+            .join(edges.select(F.col("a").alias("id"), "b"), "id")
+            .join(
+                prev.select(
+                    "seed",
+                    F.col("id").alias("b"),
+                    F.col("sigma").alias("wsigma"),
+                    F.col("delta").alias("wdelta"),
+                ),
+                ["seed", "b"],
+            )
+            .groupBy("seed", "id")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"CAST(CAST(sigma AS DECIMAL(38,0)) * "
+                        f"({_BC_UNIT} + wdelta) div wsigma AS BIGINT)"
+                    )
+                ).alias("dsum")
+            )
+        )
+        prev = (
+            sig[lvl]
+            .join(contrib, ["seed", "id"], "left")
+            .select(
+                "seed",
+                "id",
+                "sigma",
+                F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"),
+            )
+            .transform(cut)
+        )
+        deltas.append(prev.select("seed", "id", "delta"))
+    allx = deltas[0]
+    for d in deltas[1:]:
+        allx = allx.unionByName(d)
+    return allx.groupBy("id").agg(
+        F.sum("delta").cast("long").alias("bc_e6")
+    ).select(
+        F.col("id").alias("user_id"),
+        "bc_e6",
+        (F.col("bc_e6").cast("double") / F.lit(1e6)).alias("bc"),
+    )
+
+
+def _betweenness_sql(levels: int = _ECC_MAX_LEVEL) -> str:
+    """Unrolled DuckDB twin of :func:`betweenness_sampled`: recursive
+    BFS for levels (shared with _HARMONIC_SQL/_ECC_SQL), then one
+    MATERIALIZED CTE per level for the σ forward pass and the δ
+    backward pass (MATERIALIZED is load-bearing: DuckDB inlines
+    referenced CTEs — see the k-truss too-many-open-files note). CTEs
+    beyond the graph's true depth are empty and cost nothing."""
+    u = _BC_UNIT
+    parts = [
+        f"seeds AS (SELECT v AS seed FROM verts ORDER BY v LIMIT {_ECC_SEEDS})",
+        (
+            "bfs(seed, id, lvl) AS (\n"
+            "  SELECT seed, seed, 0 FROM seeds\n"
+            "  UNION\n"
+            "  SELECT bfs.seed, e.b, bfs.lvl + 1\n"
+            "  FROM bfs JOIN uedges e ON e.a = bfs.id\n"
+            f"  WHERE bfs.lvl < {levels})"
+        ),
+        (
+            "lv AS MATERIALIZED (SELECT seed, id, min(lvl) AS lvl "
+            "FROM bfs GROUP BY seed, id)"
+        ),
+        (
+            "sig0 AS MATERIALIZED (SELECT seed, id, CAST(1 AS BIGINT) "
+            "AS sigma FROM lv WHERE lvl = 0)"
+        ),
+    ]
+    for lvl in range(1, levels + 1):
+        parts.append(
+            f"sig{lvl} AS MATERIALIZED (SELECT s.seed, e.b AS id, "
+            f"CAST(SUM(s.sigma) AS BIGINT) AS sigma "
+            f"FROM sig{lvl - 1} s JOIN uedges e ON e.a = s.id "
+            f"JOIN lv t ON t.seed = s.seed AND t.id = e.b "
+            f"AND t.lvl = {lvl} GROUP BY s.seed, e.b)"
+        )
+    parts.append(
+        f"d{levels} AS (SELECT seed, id, sigma, CAST(0 AS BIGINT) "
+        f"AS delta FROM sig{levels})"
+    )
+    for lvl in range(levels - 1, 0, -1):
+        parts.append(
+            f"d{lvl} AS MATERIALIZED (SELECT v.seed, v.id, v.sigma, "
+            f"CAST(COALESCE(SUM(CAST(v.sigma AS HUGEINT) * "
+            f"({u} + w.delta) // w.sigma), 0) AS BIGINT) AS delta "
+            f"FROM sig{lvl} v "
+            f"LEFT JOIN uedges e ON e.a = v.id "
+            f"LEFT JOIN d{lvl + 1} w ON w.seed = v.seed AND w.id = e.b "
+            f"GROUP BY v.seed, v.id, v.sigma)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT seed, id, delta FROM d{lvl}" for lvl in range(1, levels + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + USER_EDGES_CTE.strip().rstrip(",")
+        + ",\n"
+        + ",\n".join(parts)
+        + "\nSELECT id AS user_id, CAST(SUM(delta) AS BIGINT) AS bc_e6, "
+        "CAST(SUM(delta) AS DOUBLE) / 1e6 AS bc "
+        f"FROM ({union}) GROUP BY id"
+    )
 
 
 # ------------------------------------------------ degree assortativity
@@ -484,6 +661,7 @@ FROM rec
 QUERIES = {
     "hits_hubs_authorities": hits_hubs_authorities,
     "harmonic_closeness": harmonic_closeness,
+    "betweenness_sampled": betweenness_sampled,
     "degree_assortativity": degree_assortativity,
     "community_modularity": community_modularity,
     "graph_reciprocity": graph_reciprocity,
@@ -492,6 +670,7 @@ QUERIES = {
 ORACLES = {
     "hits_hubs_authorities": _hits_sql(),
     "harmonic_closeness": _HARMONIC_SQL,
+    "betweenness_sampled": _betweenness_sql(),
     "degree_assortativity": _ASSORT_SQL,
     "community_modularity": _modularity_sql(),
     "graph_reciprocity": _RECIPROCITY_SQL,

@@ -95,3 +95,57 @@ def test_bidirectional_dist_exact_and_unreachable(spark):
     # genuinely disconnected
     r = bidirectional_dist_frame(edges, seed(0), seed(10), half=3).collect()[0]
     assert (r["dist"], r["n_meet"]) == (-1, 0)
+
+
+def test_betweenness_sampled_path_graph(spark, tmp_path):
+    """Fixed-point Brandes on an engineered path graph 1-2-3-4 (events
+    co-occurrence slots (1,2), (2,3), (3,4)). Seeds = 3 smallest ids
+    {1,2,3}; hand-computed directed-pair deltas sum to
+    bc = {1: 0, 2: 3.0, 3: 2.0, 4: 0} in whole units."""
+    import datetime as dt
+
+    import duckdb
+
+    from graph_database_akkatyped_spark.caching import clear_frame_cache
+    from graph_database_akkatyped_spark.operators.centrality import (
+        _betweenness_sql,
+        betweenness_sampled,
+    )
+
+    rows = []
+    slots = [(1, 2), (2, 3), (3, 4)]
+    for h, (u, v) in enumerate(slots):
+        for i, u_id in enumerate((u, v)):
+            rows.append(
+                (
+                    h * 10 + i,
+                    dt.datetime(2024, 1, 1, h, 5),
+                    u_id,
+                    "x",
+                    1.0,
+                    "{}",
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    clear_frame_cache()  # drop memoized msbfs/uedges from other sf_dirs
+    try:
+        out = betweenness_sampled(spark, str(tmp_path)).toPandas()
+    finally:
+        clear_frame_cache()
+    got = dict(zip(out.user_id, out.bc_e6))
+    assert got == {1: 0, 2: 3_000_000, 3: 2_000_000, 4: 0}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = dict(
+        con.execute(
+            f"SELECT user_id, bc_e6 FROM ({_betweenness_sql()})"
+        ).fetchall()
+    )
+    assert oracle == got
