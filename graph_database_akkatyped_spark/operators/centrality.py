@@ -269,9 +269,24 @@ def betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _memoized(
         spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
     )
+    bc = betweenness_frame(visited, edges)
+    return bc.select(
+        F.col("id").alias("user_id"),
+        "bc_e6",
+        (F.col("bc_e6").cast("double") / F.lit(1e6)).alias("bc"),
+    )
+
+
+def betweenness_frame(visited: DataFrame, edges: DataFrame) -> DataFrame:
+    """Raw fixed-point Brandes passes over a precomputed multi-source
+    BFS frame ``visited(seed, id, level)`` and a symmetric edge list
+    ``edges(a, b)`` → ``(id, bc_e6)``. Separated from the registered
+    key so tools/graph_scale_check.py can rehearse it on synthetic
+    million-vertex graphs; see :func:`betweenness_sampled` for the
+    algorithm notes."""
     lmax = visited.agg(F.max("level")).collect()[0][0] or 0
     empty = visited.sparkSession.createDataFrame(
-        [], "user_id bigint, bc_e6 bigint, bc double"
+        [], "id bigint, bc_e6 bigint"
     )
     if lmax == 0:
         return empty
@@ -334,10 +349,6 @@ def betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         allx = allx.unionByName(d)
     return allx.groupBy("id").agg(
         F.sum("delta").cast("long").alias("bc_e6")
-    ).select(
-        F.col("id").alias("user_id"),
-        "bc_e6",
-        (F.col("bc_e6").cast("double") / F.lit(1e6)).alias("bc"),
     )
 
 

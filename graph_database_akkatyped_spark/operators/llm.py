@@ -2974,6 +2974,105 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup health report — the dashboard row a corpus
+    owner reads before a training run: how much of each source is
+    exact-duplicated, near-duplicated, and paragraph-duplicated.
+    Composes three registered stages (exact hash groups, banded n-gram
+    Jaccard pairs, :func:`dedup_paragraph` chunk stats) into one
+    per-source aggregate, so the report stays consistent with the
+    operators that would actually do the removal.
+
+    Scale shape: every component is already banded/linear; this adds
+    two doc_id equi-joins (the scan's hash key) and one groupBy over
+    |sources| rows. The near-dup flag set is distinct doc ids from the
+    pair list — bounded by docs, not pairs. The only division is one
+    per output row, after all integer aggregation — deterministic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = Window.partitionBy("text_hash")
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"),
+    ).withColumn(
+        "is_exact_dup", F.col("doc_id") != F.min("doc_id").over(w)
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    near = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    para = dedup_paragraph(spark, sf_dir).select(
+        "doc_id", "n_chunks", "n_kept"
+    )
+    return (
+        flagged.join(near, "doc_id", "left")
+        .join(para, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dup"),
+            F.sum(F.coalesce(F.col("is_near"), F.lit(False)).cast("long"))
+            .alias("n_near_dup"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n_kept").cast("long").alias("n_kept"),
+        )
+        .withColumn(
+            "para_dup_pct",
+            (F.col("n_chunks") - F.col("n_kept")).cast("double")
+            * F.lit(100.0)
+            / F.col("n_chunks").cast("double"),
+        )
+    )
+
+
+_DEDUP_REPORT_SQL = f"""
+WITH flagged AS (
+  SELECT doc_id, source,
+         doc_id <> min(doc_id) OVER (
+           PARTITION BY sha256(lower(trim(text)))) AS is_exact_dup
+  FROM documents
+),
+pairs AS MATERIALIZED ({{ngram}}),
+near AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a AS doc_id FROM pairs UNION ALL SELECT b FROM pairs)
+),
+para AS MATERIALIZED (
+  SELECT doc_id, n_chunks, n_kept FROM ({{para}}) p
+),
+agg AS (
+  SELECT f.source,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN f.is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_dup,
+         CAST(sum(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_near_dup,
+         CAST(sum(p.n_chunks) AS BIGINT) AS n_chunks,
+         CAST(sum(p.n_kept) AS BIGINT) AS n_kept
+  FROM flagged f
+  LEFT JOIN near n USING (doc_id)
+  JOIN para p USING (doc_id)
+  GROUP BY f.source
+)
+SELECT source, n_docs, n_exact_dup, n_near_dup, n_chunks, n_kept,
+       CAST(n_chunks - n_kept AS DOUBLE) * 100.0
+         / CAST(n_chunks AS DOUBLE) AS para_dup_pct
+FROM agg
+"""
+
+
+def _dedup_report_sql() -> str:
+    return _DEDUP_REPORT_SQL.format(
+        ngram=_DEDUP_NGRAM_SQL.strip(),
+        para=_DEDUP_PARAGRAPH_SQL.strip(),
+    )
+
+
 def _pca_sql(iters: int = _PCA_ITERS) -> str:
     u = _PCA_UNIT
     ctes = [
@@ -3021,6 +3120,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "dedup_paragraph": dedup_paragraph,
+    "corpus_dedup_report": corpus_dedup_report,
     "corpus_token_budget_sample": corpus_token_budget_sample,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_materialize": dedup_materialize,
@@ -3067,6 +3167,7 @@ ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
+    "corpus_dedup_report": _dedup_report_sql(),
     "corpus_token_budget_sample": _TOKEN_BUDGET_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
     "dedup_materialize": _DEDUP_MATERIALIZE_SQL,

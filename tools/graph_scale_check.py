@@ -157,6 +157,38 @@ def main() -> None:
         f"in {time.perf_counter() - t0:.1f}s"
     )
 
+    # round-5: sampled betweenness — forward sigma + backward delta are
+    # 2*depth frontier joins; on a near-random graph depth ~ log(n)
+    from graph_database_akkatyped_spark.operators.centrality import (
+        betweenness_frame,
+    )
+
+    t0 = time.perf_counter()
+    seeds_df = verts.orderBy("id").limit(3).select(F.col("id").alias("seed"))
+    visited = seeds_df.select(
+        "seed", F.col("seed").alias("id"), F.lit(0).alias("level")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("seed", "id")
+    for lvl in range(1, 9):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select("seed", F.col("b").alias("id"))
+            .distinct()
+            .join(visited, ["seed", "id"], "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "id")
+    bc = betweenness_frame(visited, sym)
+    n_bc, bc_max = bc.count(), bc.agg(F.max("bc_e6")).first()[0]
+    print(
+        f"betweenness(3 seeds): {n_bc} vertices, max_delta={bc_max / 1e6:.1f} "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+
 
 if __name__ == "__main__":
     main()
