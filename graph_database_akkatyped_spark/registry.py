@@ -45,7 +45,7 @@ _MODULES = (
 # first (rank -1), which is correct for new keys but must be a
 # deliberate listing so test_registry keeps the set exact.
 _SWEEP_ORDER = (
-    # -- block 1 (round-5 rotation, 54 keys): the 5 new keys, the 8
+    # -- block 1 (round-5 rotation, 57 keys): the 8 new keys, the 8
     # r5 behavior-changed keys, cut-migration spot checks over the
     # iterative kernels, then r4-modified keys sampled only once --
     # all within the driver's ~50-key budget

@@ -149,3 +149,40 @@ def test_betweenness_sampled_path_graph(spark, tmp_path):
         ).fetchall()
     )
     assert oracle == got
+
+
+def test_betweenness_frame_partition_invariance(spark):
+    """Fixed-point deltas are integer sums — bit-identical at any
+    shuffle parallelism (the registered key memoizes its full result,
+    so registry-level invariance would be vacuous; drive the frame)."""
+    from graph_database_akkatyped_spark.operators.centrality import (
+        betweenness_frame,
+    )
+
+    # two seeds over a 5-cycle: every vertex reachable, sigma > 1 arises
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    sym = edges + [(b, a) for a, b in edges]
+    edf = spark.createDataFrame(sym, "a long, b long")
+    rows = []
+    for seed in (0, 1):
+        dist = {seed: 0}
+        frontier = [seed]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for a, b in sym:
+                    if a == u and b not in dist:
+                        dist[b] = dist[u] + 1
+                        nxt.append(b)
+            frontier = nxt
+        rows += [(seed, v, l) for v, l in dist.items()]
+    vdf = spark.createDataFrame(rows, "seed long, id long, level int")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, betweenness_frame(vdf, edf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, betweenness_frame(vdf, edf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
+    assert len(a) == 5 and all(d >= 0 for _, d in a)

@@ -54,6 +54,11 @@ _KEYS = [
     "degree_assortativity",
     "stream_cdc_snapshot",
     "dedup_substring_shingle",
+    # round-5: ordered-window reconstruction + post-agg division;
+    # betweenness_sampled memoizes its full result so its invariance
+    # is pinned at frame level in test_centrality.py
+    "dedup_paragraph",
+    "corpus_dedup_report",
 ]
 
 
