@@ -265,6 +265,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for true near-dups (J ≥ 0.5), a documented subset at the J≈0.1
     fringe. The exact all-pairs form lives only in the unit-test
     fixture (tests/test_dedup_synthetic.py)."""
+    # the full verified pair frame is memoized: dedup_clusters /
+    # dedup_keep_best / corpus_dedup_report all derive from it, so the
+    # banded candidate join runs once per (session, sf_dir) — the same
+    # shared-frame treatment as the triangle family (round 4)
+    return memoized_checkpoint(
+        spark, "ngram_pairs", sf_dir, lambda: _ngram_pairs(spark, sf_dir)
+    )
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = memoized_checkpoint(  # used 3x below
         spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
