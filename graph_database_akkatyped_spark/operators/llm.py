@@ -920,6 +920,66 @@ SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+def simsearch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: per query (vec_id < 5), exact
+    cosine top-5 among only the candidates sharing the query's
+    ``label`` — the "filtered ANN" shape every production retrieval
+    stack needs (tenant / language / license filters) and the one
+    classic indexes handle worst. This is the PRE-filter strategy: the
+    predicate lands in the join condition, so candidates are pruned
+    BEFORE any dot product is spent — right whenever the filter is
+    selective. (The alternative, post-filtering an unfiltered top-k,
+    under-fills k at high selectivity; with IVF, pre-filter = apply the
+    predicate inside each probed cell — same composition as
+    simsearch_ivf with the label equi-condition added to the cell
+    join.) The filter column rides the same row as the vector, so no
+    extra join against a metadata table is needed at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        base.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", F.col("label").alias("label"), "cos", "rnk")
+    )
+
+
+_SIMSEARCH_FILTERED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+)
+SELECT q_id, vec_id, label, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.label AS label,
+         {_sql_dot('q.embedding', 'c.embedding')}
+           / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_dot('q.embedding', 'c.embedding')}
+                     / (sqrt(q.nrm) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk
+  FROM e q JOIN e c
+    ON q.vec_id < 5 AND c.label = q.label AND c.vec_id <> q.vec_id
+) WHERE rnk <= 5
+"""
+
+
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: BucketedRandomProjectionLSH candidates -> exact
     re-rank top-10 per query by euclidean distance. Seeded;
@@ -3139,6 +3199,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "corpus_training_manifest": corpus_training_manifest,
     "simsearch_topk": simsearch_topk,
+    "simsearch_filtered_topk": simsearch_filtered_topk,
     "simsearch_hybrid_rrf": simsearch_hybrid_rrf,
     "simsearch_ivf": simsearch_ivf,
     "simsearch_lsh": simsearch_lsh,
@@ -3186,6 +3247,7 @@ ORACLES = {
     "embedding_quantize": _EMB_QUANTIZE_SQL,
     "corpus_training_manifest": _CORPUS_MANIFEST_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
+    "simsearch_filtered_topk": _SIMSEARCH_FILTERED_SQL,
     "simsearch_hybrid_rrf": _HYBRID_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
     # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's

@@ -52,7 +52,7 @@ _SWEEP_ORDER = (
     "build_user_graph_capped", "stream_sink_idempotent",
     "dedup_keep_best", "corpus_token_budget_sample",
     "triangle_count_approx", "dedup_paragraph", "betweenness_sampled",
-    "corpus_dedup_report",
+    "corpus_dedup_report", "simsearch_filtered_topk",
     "motif_find_cosupplied", "multimodal_frame_sample", "merge_cdc_upsert",
     "degree_assortativity", "graph_reciprocity", "tombstone_cascade",
     "k_truss_edges", "embedding_pca_power", "bfs_levels", "khop_neighbors",
