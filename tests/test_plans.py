@@ -65,11 +65,13 @@ def test_dedup_ngram_jaccard_stays_banded(spark):
     """Candidate generation must stay the MinHash band equi-join: every
     join in the plan is an equi-join (hash/sort-merge), never a
     cartesian or nested-loop product — the one quadratic-regression
-    risk the round-3 audit left unpinned."""
+    risk the round-3 audit left unpinned. Drives the raw ``_ngram_pairs``
+    builder: the registered key memoizes its result (round 5), so its
+    plan is a checkpoint scan that would make this check vacuous."""
     from graph_database_akkatyped_spark.operators import llm
     from graph_database_akkatyped_spark.plans.explain import formatted_plan
 
-    plan = formatted_plan(llm.dedup_ngram_jaccard(spark, SF_ORACLE))
+    plan = formatted_plan(llm._ngram_pairs(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the band join itself must survive as a real equi-join

