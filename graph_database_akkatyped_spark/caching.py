@@ -28,6 +28,23 @@ kernels (Pregel supersteps, memoized frames):
   100 TB on spot instances, reliable is the only sane setting for
   multi-hour Pregel/dedup pipelines.
 
+STORAGE LIFECYCLE — the two modes free superseded generations
+differently, and the O(1)-generations claim is mode-specific:
+
+- localCheckpoint blocks register in ``getPersistentRDDs``; the
+  eviction machinery here (:func:`clear_frame_cache`, Pregel's
+  prev-generation free) unpersists them synchronously, so executor
+  storage holds O(1) generations per kernel — guaranteed.
+- reliable checkpoint FILES do NOT register as persisted RDDs and
+  cannot be freed by unpersist. They are deleted by Spark's
+  ContextCleaner when the JVM-side RDD is garbage-collected —
+  but ONLY when ``spark.cleaner.referenceTracking.cleanCheckpoints``
+  is true (``session.get_spark`` sets it; it must be set at context
+  creation). With the flag, checkpoint-FS usage is O(live frames) up
+  to JVM-GC lag (asynchronous, eventually-freed — not a synchronous
+  O(1) bound); without it, disk grows O(iterations) and
+  :func:`set_reliable_checkpointing` emits a warning.
+
 Results are bit-identical either way (pinned by
 tests/test_graph_algos.py::test_reliable_checkpoint_same_result) —
 the cut changes WHERE blocks live, never their content.
@@ -52,11 +69,32 @@ def set_reliable_checkpointing(
     subsequent :func:`cut` (Pregel supersteps, memoized frames) writes
     a reliable checkpoint; pass ``checkpoint_dir`` (cluster FS path)
     or it defaults to a local temp dir (fine for tests, pointless on a
-    real cluster — executors must all reach the directory)."""
+    real cluster — executors must all reach the directory).
+
+    Superseded checkpoint FILES are reclaimed by the ContextCleaner
+    only when ``spark.cleaner.referenceTracking.cleanCheckpoints`` was
+    set at context creation (``session.get_spark`` does); on a session
+    built without it this warns, because multi-hour iterative runs
+    then grow the checkpoint FS O(iterations) — see the module
+    docstring's STORAGE LIFECYCLE section."""
     global _RELIABLE
     _RELIABLE = flag
     if flag and spark is not None:
         ensure_checkpoint_dir(spark, checkpoint_dir)
+        clean = spark.conf.get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        )
+        if str(clean).lower() != "true":
+            import warnings
+
+            warnings.warn(
+                "reliable checkpointing enabled but spark.cleaner."
+                "referenceTracking.cleanCheckpoints is not set on this "
+                "session: superseded checkpoint files will accumulate "
+                "on the checkpoint FS (O(iterations) disk). Build the "
+                "session via session.get_spark, which sets it.",
+                stacklevel=2,
+            )
 
 
 def ensure_checkpoint_dir(
@@ -105,6 +143,22 @@ def _unpersist_ids(spark: SparkSession, ids: set[int]) -> None:
             rdd.unpersist(False)
 
 
+def cut_block_ids(df: DataFrame) -> set[int]:
+    """The persisted-RDD ids backing a :func:`cut` frame, read off the
+    frame's OWN plan (the ``LogicalRDD`` the checkpoint produced) —
+    never a global before/after diff of ``getPersistentRDDs``, which
+    would mis-claim blocks created by nested memoized builds or by
+    concurrent jobs on the same session. Reliable-checkpoint frames
+    return the id too, but their storage is files (freed by the
+    ContextCleaner, not unpersist) — ``_unpersist_ids`` on them is a
+    harmless no-op because the id is absent from getPersistentRDDs."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return {int(plan.rdd().id())}
+    except Exception:  # not a checkpoint-backed frame
+        return set()
+
+
 def memoized_checkpoint(
     spark: SparkSession,
     kind: str,
@@ -123,10 +177,11 @@ def memoized_checkpoint(
         return hit[1]
     if hit is not None:
         _CACHE.pop((kind, sf_dir), None)
-    before = persistent_rdd_ids(spark)
     df = cut(build(), reliable)
-    block_ids = persistent_rdd_ids(spark) - before
-    _CACHE[(kind, sf_dir)] = (spark, df, block_ids)
+    # attribution comes from the cut frame's own plan: nested memoized
+    # keys populated during build() keep their own block ids, and a
+    # concurrent job's persists are never claimed by this key
+    _CACHE[(kind, sf_dir)] = (spark, df, cut_block_ids(df))
     return df
 
 

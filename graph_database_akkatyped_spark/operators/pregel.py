@@ -17,8 +17,12 @@ Scale notes (the part naive Spark iteration gets wrong):
   clusters; the default ``localCheckpoint`` is faster but dies with
   any executor. Results are bit-identical either way.
 - the PREVIOUS superstep's blocks are unpersisted once the new cut is
-  materialized, so storage stays O(1) generations instead of
-  O(iterations) over a long convergence run.
+  materialized, so EXECUTOR storage stays O(1) generations instead of
+  O(iterations) over a long convergence run. (That synchronous bound
+  covers localCheckpoint blocks; in reliable mode the superseded
+  checkpoint FILES are reclaimed asynchronously by the ContextCleaner
+  — requires ``spark.cleaner.referenceTracking.cleanCheckpoints``,
+  which ``session.get_spark`` sets; see caching.py STORAGE LIFECYCLE.)
 - The convergence check aggregates a pre-computed ``changed`` flag on
   the just-checkpointed result, so it reuses materialized blocks instead
   of recomputing the superstep.
@@ -35,7 +39,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from graph_database_akkatyped_spark.caching import (
     cut,
-    persistent_rdd_ids,
+    cut_block_ids,
     _unpersist_ids,
 )
 
@@ -118,14 +122,14 @@ def pregel(
             )
         )
         if (i + 1) % checkpoint_every == 0 or check_convergence or frontier_only:
-            before = persistent_rdd_ids(spark)
             stepped = cut(stepped, reliable)
-            new_ids = persistent_rdd_ids(spark) - before
             # the new generation is fully materialized; the previous
             # superstep's blocks are dead weight — free them so storage
-            # stays O(1) generations over a long run
+            # stays O(1) generations over a long run. Ids come off the
+            # cut frame's own plan (exact attribution — a concurrent
+            # job's persists are never claimed).
             _unpersist_ids(spark, prev_block_ids)
-            prev_block_ids = new_ids
+            prev_block_ids = cut_block_ids(stepped)
         if check_convergence:
             n_changed = stepped.agg(F.sum("changed")).first()[0] or 0
             if n_changed == 0:

@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # reliable checkpoints (caching.cut(reliable=True)) are cleaned
+        # by the ContextCleaner when the JVM-side RDD becomes
+        # unreachable — without this, superseded Pregel-superstep
+        # checkpoints accumulate on the checkpoint FS forever (disk
+        # grows O(iterations) on multi-hour runs). Must be set at
+        # context creation; set_reliable_checkpointing() warns when it
+        # finds a session built without it.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects;
         # read as long (ns since epoch) and convert in catalog.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -29,7 +29,7 @@ ledger behavior.
 
 from __future__ import annotations
 
-import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from graph_database_akkatyped_spark.caching import (
     _unpersist_ids,
     cut,
+    memoized_checkpoint,
     persistent_rdd_ids,
 )
 from graph_database_akkatyped_spark.catalog import load_table
@@ -162,14 +163,13 @@ def _split_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return _SPLIT_DIRS[sf_dir]
 
 
-def stream_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once sink demo, end to end: events replayed as
-    ``_N_SPLITS`` micro-batches through ``foreachBatch`` into the
-    ledger-gated store, then the FINAL batch is replayed (what Spark
-    does after a sink failure) — the ledger makes it a no-op, and the
-    returned snapshot hash-matches the one-shot batch oracle. Remove
-    the ledger and the replayed batch double-counts: the driver's
-    value-hash catches it."""
+def run_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full exactly-once run: events replayed as ``_N_SPLITS``
+    micro-batches through ``foreachBatch`` into the ledger-gated
+    store, then the FINAL batch is replayed (what Spark does after a
+    sink failure) — the ledger makes it a no-op. Returns the snapshot
+    frame still backed by the store's cut blocks; callers must
+    materialize (or re-cut) it before the store is released."""
     split_dir = _split_events_dir(spark, sf_dir)
     schema = spark.read.parquet(split_dir).schema
     stream = (
@@ -178,20 +178,54 @@ def stream_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(split_dir)
     )
     store = IdempotentSnapshotStore(spark)
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_sink_ckpt_")
     q = (
         stream.writeStream.foreachBatch(store.upsert)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="spark_graft_sink_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
     assert store.last is not None and len(store.applied) >= 2
     store.apply(*store.last)  # failure-replay of the final batch
     assert store.n_skipped_replays == 1
-    return store.snapshot()
+    snap = store.snapshot()
+    snap._sink_store = store  # keep the store alive until materialized
+    snap._sink_ckpt = ckpt
+    return snap
+
+
+def stream_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered exactly-once sink key: the driver's value-hash oracle
+    IS the idempotence check (a broken ledger double-counts the
+    replayed batch and the hash mismatches).
+
+    Resource discipline (round-6 fix): the result is memoized via
+    ``memoized_checkpoint`` like every other expensive key, so a bench
+    loop re-invoking it costs one memo fetch, not a fresh streaming
+    run; and after the snapshot is cut, the store's internal state +
+    partial blocks are unpersisted and the run's streaming checkpoint
+    temp dir is deleted — a full run leaves behind exactly one
+    evictable cut frame (``clear_frame_cache`` frees it), zero stray
+    blocks, zero stray temp dirs."""
+    holder: dict = {}
+
+    def build() -> DataFrame:
+        snap = run_sink_idempotent(spark, sf_dir)
+        holder["store"] = snap._sink_store
+        holder["ckpt"] = snap._sink_ckpt
+        return snap
+
+    out = memoized_checkpoint(spark, "sink_idempotent", sf_dir, build)
+    store = holder.get("store")
+    if store is not None:  # fresh build: release the run's resources
+        _unpersist_ids(
+            spark,
+            store._state_block_ids
+            | getattr(store, "_partial_block_ids", set()),
+        )
+        shutil.rmtree(holder["ckpt"], ignore_errors=True)
+    return out
 
 
 _SINK_IDEMPOTENT_SQL = f"""

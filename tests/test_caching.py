@@ -107,6 +107,41 @@ def test_clear_frame_cache_unpersists_blocks(spark):
     assert len(set(counts)) == 1
 
 
+def test_nested_memoized_build_attribution(spark):
+    """A key whose build() populates ANOTHER memoized key must not
+    claim the nested key's blocks (the round-5 before/after-diff bug):
+    evicting the outer key leaves the nested frame's storage intact
+    and readable. Attribution now comes from each cut frame's own
+    LogicalRDD id (caching.cut_block_ids)."""
+    clear_frame_cache()
+    baseline = persistent_rdd_ids(spark)
+
+    def build_outer():
+        inner = memoized_checkpoint(
+            spark, "nested_inner", "/tmp/fake_nested",
+            lambda: spark.range(50).select("id"),
+        )
+        return inner.select((F.col("id") * 2).alias("id2"))
+
+    outer = memoized_checkpoint(
+        spark, "nested_outer", "/tmp/fake_nested", build_outer
+    )
+    assert outer.count() == 50
+    inner_ids = caching._CACHE[("nested_inner", "/tmp/fake_nested")][2]
+    outer_ids = caching._CACHE[("nested_outer", "/tmp/fake_nested")][2]
+    assert inner_ids and outer_ids and inner_ids.isdisjoint(outer_ids)
+    # evict ONLY the outer entry; the inner frame must stay persisted
+    spark_, _df, ids = caching._CACHE.pop(("nested_outer", "/tmp/fake_nested"))
+    caching._unpersist_ids(spark_, ids)
+    assert inner_ids <= persistent_rdd_ids(spark)
+    inner = memoized_checkpoint(
+        spark, "nested_inner", "/tmp/fake_nested", lambda: spark.range(0)
+    )
+    assert inner.count() == 50  # memo hit, blocks alive
+    clear_frame_cache()
+    assert persistent_rdd_ids(spark) - baseline == set()
+
+
 def test_clear_frame_cache_is_scoped_by_sf_dir(spark):
     clear_frame_cache()
     baseline = persistent_rdd_ids(spark)

@@ -388,6 +388,33 @@ def test_stateful_topk_fold_is_split_invariant():
     assert whole[2:] == [9.0, 1, 9.0, 2, 9.0, 5]
 
 
+def test_idempotent_sink_key_is_leak_free(spark):
+    """Round-6 hygiene contract for the registered sink key: a full
+    run leaves exactly one evictable memoized block (no stray store
+    state/partial blocks), re-invocation is a memo hit that adds
+    nothing, and clear_frame_cache frees it all."""
+    from graph_database_akkatyped_spark.caching import (
+        clear_frame_cache,
+        persistent_rdd_ids,
+    )
+    from graph_database_akkatyped_spark.streaming.sinks import (
+        stream_sink_idempotent,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clear_frame_cache()
+    baseline = persistent_rdd_ids(spark)
+    first = stream_sink_idempotent(spark, sf)
+    n = first.count()
+    after_first = persistent_rdd_ids(spark) - baseline
+    assert n > 0 and len(after_first) == 1
+    again = stream_sink_idempotent(spark, sf)
+    assert again.count() == n
+    assert persistent_rdd_ids(spark) - baseline == after_first
+    clear_frame_cache(sf)
+    assert persistent_rdd_ids(spark) - baseline == set()
+
+
 def test_idempotent_sink_ledger_and_replay(spark):
     """The exactly-once contract, pinned explicitly: replaying any
     applied batch is a no-op; bypassing the ledger double-counts."""
