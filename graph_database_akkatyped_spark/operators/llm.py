@@ -1212,6 +1212,236 @@ FROM per_q
 """
 
 
+# ------------------------------------------- filtered ANN at index scale
+
+_FILT_TENANT_MOD = 4  # synthetic tenant id = vec_id % 4 (stand-in for a
+# real metadata column — license / language / tenant — riding the row)
+_FILT_NPROBE = 4  # the filtered path probes MORE cells than the
+# unfiltered one (nprobe 4 vs simsearch_ivf's 2): a 1-in-4 filter cuts
+# eligible candidate density per cell ~4x, so the standard filtered-ANN
+# compensation is to widen the probe proportionally — measured macro
+# recall@10 at sf0.01: 0.22 (nprobe=2) -> 0.58 (nprobe=4)
+
+
+def _tenant_col() -> Column:
+    return (F.col("vec_id") % _FILT_TENANT_MOD).alias("tenant")
+
+
+def simsearch_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN at INDEX scale: the round-5 pre-filter strategy
+    (`simsearch_filtered_topk` put the predicate in the join condition)
+    composed into the IVF path — probe the top-``_FILT_NPROBE`` cells
+    per query by centroid cosine, then apply the metadata
+    equi-predicate INSIDE each probed cell, so a candidate pays a dot
+    product only if it is both in a probed cell AND filter-eligible. This is the shape every
+    production retrieval stack needs (tenant / license / language
+    filters over a cell-partitioned index): at 100 TB the cell id is
+    the partition key and the filter column rides the row, so the scan
+    reads only probed-cell files and Parquet row-group stats prune the
+    filter before any vector math.
+
+    The filter here is a synthetic ``tenant = vec_id % 4`` (the
+    fixtures carry no second metadata column); the predicate is a pure
+    function of the row, so the whole pipeline — deterministic integer
+    centroids, cell probe, in-cell filter, exact re-rank — value-hash
+    matches the SQL oracle. Recall < 1 by design when a query's true
+    filtered neighbors live outside its probed cells; the honest
+    scorecard is :func:`simsearch_recall_filtered`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cdims = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("val").cast("double") * 1e8).cast("long")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)).cast("double") * 1e8)
+        ).alias("cval")
+    )
+    centroids = cdims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+        ).alias("centroid")
+    )
+    cells = centroids.select(
+        "label", "centroid", _dot(F.col("centroid"), F.col("centroid")).alias("cnrm")
+    )
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select(
+        "vec_id", _tenant_col(), "label", "embedding", norm.alias("nrm")
+    )
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("tenant").alias("q_tenant"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c_cos = _dot(F.col("q_emb"), F.col("centroid")) / (
+        F.sqrt("q_nrm") * F.sqrt("cnrm")
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), "label")
+    probed = (
+        queries.crossJoin(F.broadcast(cells))
+        .withColumn("c_cos", c_cos)
+        .withColumn("cell_rnk", F.row_number().over(wc))
+        .where(F.col("cell_rnk") <= _FILT_NPROBE)
+        .select(
+            "q_id", "q_tenant", "q_emb", "q_nrm",
+            F.col("label").alias("p_label"),
+        )
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        base.join(
+            probed,
+            (F.col("label") == F.col("p_label"))
+            & (F.col("tenant") == F.col("q_tenant"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", "tenant", "cos", "rnk")
+    )
+
+
+_IVF_FILTERED_SQL = f"""
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cdims AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM dims GROUP BY label, pos
+),
+cells AS (
+  SELECT label, list(cval ORDER BY pos) AS centroid FROM cdims GROUP BY label
+),
+cells_n AS (
+  SELECT label, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm FROM cells
+),
+base AS (
+  SELECT vec_id, vec_id % {_FILT_TENANT_MOD} AS tenant, label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS q_id, tenant AS q_tenant, embedding AS q_emb,
+         nrm AS q_nrm
+  FROM base WHERE vec_id < 5
+),
+probed AS (
+  SELECT q_id, q_tenant, q_emb, q_nrm, label FROM (
+    SELECT q.q_id, q.q_tenant, q.q_emb, q.q_nrm, c.label,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {_sql_dot('q.q_emb', 'c.centroid')}
+                       / (sqrt(q.q_nrm) * sqrt(c.cnrm)) DESC, c.label) AS cell_rnk
+    FROM queries q CROSS JOIN cells_n c
+  ) WHERE cell_rnk <= {_FILT_NPROBE}
+)
+SELECT q_id, vec_id, tenant, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT p.q_id, b.vec_id, b.tenant,
+         {_sql_dot('p.q_emb', 'b.embedding')}
+           / (sqrt(p.q_nrm) * sqrt(b.nrm)) AS cos,
+         row_number() OVER (
+           PARTITION BY p.q_id
+           ORDER BY {_sql_dot('p.q_emb', 'b.embedding')}
+                     / (sqrt(p.q_nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rnk
+  FROM probed p JOIN base b
+    ON b.label = p.label AND b.tenant = p.q_tenant AND b.vec_id <> p.q_id
+) WHERE rnk <= 10
+"""
+
+
+def _filtered_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force filtered top-10 (tenant predicate only, every
+    cell scanned) — the ground truth `simsearch_recall_filtered`
+    measures the IVF path against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", _tenant_col(), "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("tenant").alias("q_tenant"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        base.join(
+            F.broadcast(queries),
+            (F.col("tenant") == F.col("q_tenant"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "vec_id")
+    )
+
+
+def simsearch_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the filtered IVF path vs exact filtered brute
+    force — the honest scorecard for `simsearch_ivf_filtered` (mirrors
+    `simsearch_recall` / `simsearch_recall_pq`): a probed cell set
+    that misses a query's filtered neighborhood shows up here as a
+    sub-1 recall, not as a silent wrong answer."""
+    truth = _filtered_truth(spark, sf_dir)
+    cand = simsearch_ivf_filtered(spark, sf_dir).select("q_id", "vec_id")
+    return _recall_vs_truth(truth, cand)
+
+
+_FILTERED_TRUTH_SQL = f"""
+WITH base AS (
+  SELECT vec_id, vec_id % {_FILT_TENANT_MOD} AS tenant, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+)
+SELECT q_id, vec_id FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_dot('q.embedding', 'c.embedding')}
+                     / (sqrt(q.nrm) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk
+  FROM base q JOIN base c
+    ON q.vec_id < 5 AND c.tenant = q.tenant AND c.vec_id <> q.vec_id
+) WHERE rnk <= 10
+"""
+
+_RECALL_FILTERED_SQL = f"""
+WITH truth AS (
+  {_FILTERED_TRUTH_SQL}
+),
+cand AS (
+  SELECT q_id, vec_id FROM ({_IVF_FILTERED_SQL})
+),
+per_q AS (
+  SELECT t.q_id, count(*) AS n_true,
+         CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN cand c
+    ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+  GROUP BY t.q_id
+)
+SELECT q_id, n_true, n_hit,
+       CAST(n_hit AS DOUBLE) / n_true AS recall_at_10,
+       CAST(sum(n_hit) OVER () AS DOUBLE) / sum(n_true) OVER ()
+         AS macro_recall
+FROM per_q
+"""
+
+
 # ------------------------------------------------- product quantization
 
 _PQ_SUB = 8  # subspaces (64 dims -> 8 x 8-dim subvectors)
@@ -3202,6 +3432,8 @@ QUERIES = {
     "simsearch_filtered_topk": simsearch_filtered_topk,
     "simsearch_hybrid_rrf": simsearch_hybrid_rrf,
     "simsearch_ivf": simsearch_ivf,
+    "simsearch_ivf_filtered": simsearch_ivf_filtered,
+    "simsearch_recall_filtered": simsearch_recall_filtered,
     "simsearch_lsh": simsearch_lsh,
     "simsearch_recall": simsearch_recall,
     "simsearch_recall_lsh": simsearch_recall_lsh,
@@ -3250,6 +3482,8 @@ ORACLES = {
     "simsearch_filtered_topk": _SIMSEARCH_FILTERED_SQL,
     "simsearch_hybrid_rrf": _HYBRID_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
+    "simsearch_ivf_filtered": _IVF_FILTERED_SQL,
+    "simsearch_recall_filtered": _RECALL_FILTERED_SQL,
     # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's
     # seeded internal RNG — not SQL-reproducible)
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,

@@ -45,6 +45,9 @@ _MODULES = (
 # first (rank -1), which is correct for new keys but must be a
 # deliberate listing so test_registry keeps the set exact.
 _SWEEP_ORDER = (
+    # -- round-6 keys land at the head while the round is in flight;
+    # the final round-6 rotation is rebuilt before the bench commit --
+    "simsearch_ivf_filtered", "simsearch_recall_filtered",
     # -- block 1 (round-5 rotation, 57 keys): the 8 new keys, the 8
     # r5 behavior-changed keys, cut-migration spot checks over the
     # iterative kernels, then r4-modified keys sampled only once --

@@ -125,3 +125,46 @@ def test_filtered_topk_respects_predicate_and_subsets_exact(spark):
         assert len(rows) <= 5
         cosines = [r["cos"] for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_filtered_predicate_and_recall(spark):
+    """Filtered-IVF invariants: every result row satisfies the tenant
+    predicate; every result lies inside the probed cells (it appears in
+    the unfiltered exhaustive filtered ranking); and the recall twin's
+    counts are internally consistent with the candidate set."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        _FILT_TENANT_MOD,
+        _filtered_truth,
+        simsearch_ivf_filtered,
+        simsearch_recall_filtered,
+    )
+
+    out = simsearch_ivf_filtered(spark, SF_ORACLE).collect()
+    assert out, "filtered IVF returned nothing"
+    for r in out:
+        assert r["tenant"] == r["q_id"] % _FILT_TENANT_MOD
+        assert r["vec_id"] != r["q_id"]
+        assert r["vec_id"] % _FILT_TENANT_MOD == r["q_id"] % _FILT_TENANT_MOD
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rnk"])
+        cosines = [r["cos"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in _filtered_truth(spark, SF_ORACLE).collect()
+    }
+    cand = {(r["q_id"], r["vec_id"]) for r in out}
+    rec = {r["q_id"]: r for r in simsearch_recall_filtered(spark, SF_ORACLE).collect()}
+    n_hit_total = 0
+    for q, row in rec.items():
+        expect_hits = len({p for p in truth if p[0] == q} & cand)
+        assert row["n_hit"] == expect_hits
+        assert row["n_true"] == 10
+        n_hit_total += expect_hits
+    # macro recall must match the summed integer counts exactly
+    any_row = next(iter(rec.values()))
+    assert abs(any_row["macro_recall"] - n_hit_total / (10 * len(rec))) < 1e-12
