@@ -2901,25 +2901,11 @@ _KM_K = 4
 _KM_ITERS = 2
 
 
-def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means (k=``_KM_K``, ``_KM_ITERS``
-    iterations) on the quantized embeddings — the clustering primitive
-    behind corpus bucketing / semantic sharding, run as the real
-    algorithm (assignment + centroid UPDATE), not a fixed-codebook
-    quantizer like simsearch_ivf.
-
-    Per iteration: broadcast the k centroids, one codegen'd fold
-    computes each point's squared distance per centroid, ``min_by``
-    picks the argmin (ties to the lower cid — explicit, so the oracle
-    agrees), and a (k x dim)-key aggregate rebuilds centroids as
-    ``sum div count`` — truncated-INTEGER means, which both engines
-    compute identically, making a genuinely iterative ML kernel
-    value-hash-oracled. Cluster-tiny state (k·dim longs) is the only
-    thing broadcast; the data is scanned once per iteration — the
-    100 TB shape. Output: one row per (cid, dim) with the final
-    centroid coordinate, member count, and exact inertia."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    xq = emb.select(
+def _xq_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, xq: array<long>) — embeddings quantized to µ-units
+    (floor(x·1e6)), the memory-proven bit-identical recipe shared by
+    the PCA/kmeans/semantic-dedup kernels."""
+    return emb.select(
         "vec_id",
         F.transform(
             F.col("embedding"),
@@ -2927,10 +2913,20 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         ).alias("xq"),
     )
-    # deterministic init: the k smallest vec_ids
+
+
+def kmeans_assign(
+    xq: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """The Lloyd loop shared by :func:`embedding_kmeans_lloyd` and
+    :func:`dedup_semantic`: returns (assigned, cents) where assigned =
+    (vec_id, cid, xq, d2) after ``iters`` assignment+update rounds and
+    cents = the final (cid, c) centroids. Deterministic at any
+    parallelism: k-smallest-vec_id init, ties to the lower cid,
+    truncated-integer centroid means — see the caller docstrings."""
     cents = (
         xq.orderBy("vec_id")
-        .limit(_KM_K)
+        .limit(k)
         .select(
             F.row_number()
             .over(Window.orderBy("vec_id"))
@@ -2947,7 +2943,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: acc + t,
     )
     assigned = None
-    for _ in range(_KM_ITERS):
+    for _ in range(iters):
         scored = xq.crossJoin(F.broadcast(cents)).select(
             "vec_id", "xq", "cid", dist.alias("d2")
         )
@@ -2974,6 +2970,28 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             )
         )
+    return assigned, cents
+
+
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=``_KM_K``, ``_KM_ITERS``
+    iterations) on the quantized embeddings — the clustering primitive
+    behind corpus bucketing / semantic sharding, run as the real
+    algorithm (assignment + centroid UPDATE), not a fixed-codebook
+    quantizer like simsearch_ivf.
+
+    Per iteration: broadcast the k centroids, one codegen'd fold
+    computes each point's squared distance per centroid, ``min_by``
+    picks the argmin (ties to the lower cid — explicit, so the oracle
+    agrees), and a (k x dim)-key aggregate rebuilds centroids as
+    ``sum div count`` — truncated-INTEGER means, which both engines
+    compute identically, making a genuinely iterative ML kernel
+    value-hash-oracled. Cluster-tiny state (k·dim longs) is the only
+    thing broadcast; the data is scanned once per iteration — the
+    100 TB shape. Output: one row per (cid, dim) with the final
+    centroid coordinate, member count, and exact inertia."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_assign(_xq_frame(emb))
     stats = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("d2").alias("inertia_pre"),
@@ -2985,7 +3003,10 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(iters: int = _KM_ITERS) -> str:
+def _kmeans_ctes(iters: int = _KM_ITERS) -> list[str]:
+    """The Lloyd-loop CTE chain (final assignment lives in ``a{iters}``,
+    final centroid coordinates in ``cm{iters}``) — shared by the kmeans
+    oracle and the semantic-dedup oracle."""
     u = _PCA_UNIT
     ctes = [
         (
@@ -3022,6 +3043,11 @@ def _kmeans_sql(iters: int = _KM_ITERS) -> str:
             f"c{i} AS (SELECT cid, list(cj ORDER BY dim) AS c "
             f"FROM cm{i} GROUP BY cid)"
         )
+    return ctes
+
+
+def _kmeans_sql(iters: int = _KM_ITERS) -> str:
+    ctes = _kmeans_ctes(iters)
     last = iters
     return (
         "WITH "
@@ -3035,6 +3061,153 @@ def _kmeans_sql(iters: int = _KM_ITERS) -> str:
 SELECT m.cid, CAST(m.dim AS INTEGER) AS dim, CAST(m.cj AS BIGINT) AS c_e6,
        s.n_members, s.inertia_pre
 FROM cm{last} m JOIN stats s ON s.cid = m.cid
+"""
+    )
+
+
+_SEMDEDUP_COS = 0.30  # fixture-calibrated: the synthetic embeddings are
+# near-orthogonal random (max pairwise cosine 0.51, 99.9th pct 0.38), so
+# the production SemDeDup threshold (~0.95) would make every stage after
+# clustering vacuous on this corpus. 0.30 keeps cluster -> band ->
+# verify -> prune all non-vacuously hash-checked; a real deployment
+# passes its own tau through dedup_semantic_frame (the synthetic test
+# plants genuine 0.99-cosine duplicates and runs at 0.95).
+
+
+def dedup_semantic_frame(
+    emb: DataFrame, tau: float = _SEMDEDUP_COS
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over an embedding frame
+    ``(vec_id, embedding)``: k-means cluster first, then prune
+    within-cluster near-duplicates above a cosine threshold.
+
+    Composition of two proven kernels — :func:`kmeans_assign` (the
+    deterministic Lloyd loop) scopes the search, and the sign-LSH
+    banding from :func:`dedup_embedding_cosine` generates candidates
+    WITHIN each cluster (join key = (cid, band, key)), so the pair
+    work per cluster is banded-linear, never members². Verified pairs
+    (exact cosine >= tau) feed the keep-first rule: a vector is pruned
+    iff some SMALLER vec_id in its cluster is a near-duplicate — the
+    deterministic version of SemDeDup's keep-one-exemplar (the paper
+    keeps a random member; min-id is the determinization that makes
+    the result value-hash-oracle-able).
+
+    100 TB shape: clustering is scan-per-iteration with k·dim
+    broadcast state; candidates are equi-join buckets (cid, band,
+    key); the prune is one grouped count + left join. No stage holds a
+    cluster² or corpus² term — tools/round6_scale_check.py measures
+    the 10x ratio."""
+    xq = _xq_frame(emb)
+    assigned, _ = kmeans_assign(xq)
+    asg = assigned.select("vec_id", "cid")
+    banded = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[_sign_band_key(b) for b in range(_EMB_BANDS)])
+            ).alias("band", "key"),
+        )
+        .join(asg, "vec_id")
+    )
+    cand = (
+        banded.select(F.col("vec_id").alias("a"), "cid", "band", "key")
+        .join(
+            banded.select(F.col("vec_id").alias("b"), "cid", "band", "key"),
+            ["cid", "band", "key"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt("nrm_a") * F.sqrt("nrm_b")
+    )
+    pairs = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "a",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "b",
+        )
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(tau))
+        .select("a", "b")
+    )
+    earlier = pairs.groupBy(F.col("b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_dup_earlier")
+    )
+    return (
+        asg.join(earlier, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("n_dup_earlier", F.lit(0)).alias("n_dup_earlier"),
+            (F.coalesce("n_dup_earlier", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SemDeDup key over the fixture embeddings — see
+    :func:`dedup_semantic_frame` for semantics and the scale story."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return dedup_semantic_frame(emb)
+
+
+def _semantic_sql(tau: float = _SEMDEDUP_COS) -> str:
+    ctes = _kmeans_ctes(_KM_ITERS)
+    banded_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_sign_band_key_sql(b)} AS key "
+        f"FROM embeddings"
+        for b in range(_EMB_BANDS)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS MATERIALIZED (SELECT vec_id, cid FROM a{_KM_ITERS}),
+banded AS MATERIALIZED (
+  SELECT bb.vec_id, a.cid, bb.band, bb.key
+  FROM ({banded_union}) bb JOIN asg a USING (vec_id)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT b1.vec_id AS a, b2.vec_id AS b
+  FROM banded b1
+  JOIN banded b2 ON b1.cid = b2.cid AND b1.band = b2.band
+                AND b1.key = b2.key AND b1.vec_id < b2.vec_id
+),
+e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN e e1 ON e1.vec_id = c.a JOIN e e2 ON e2.vec_id = c.b
+  WHERE {_sql_dot('e1.embedding', 'e2.embedding')}
+          / (sqrt(e1.nrm) * sqrt(e2.nrm)) >= {tau}
+),
+earlier AS (
+  SELECT b AS vec_id, count(*) AS n_dup_earlier FROM pairs GROUP BY b
+)
+SELECT a.vec_id, a.cid,
+       CAST(COALESCE(n.n_dup_earlier, 0) AS BIGINT) AS n_dup_earlier,
+       COALESCE(n.n_dup_earlier, 0) = 0 AS keep
+FROM asg a LEFT JOIN earlier n USING (vec_id)
 """
     )
 
@@ -3459,6 +3632,7 @@ QUERIES = {
     "dedup_substring_shingle": dedup_substring_shingle,
     "embedding_pca_power": embedding_pca_power,
     "embedding_kmeans_lloyd": embedding_kmeans_lloyd,
+    "dedup_semantic": dedup_semantic,
     "langid_confusion": langid_confusion,
 }
 
@@ -3509,5 +3683,6 @@ ORACLES = {
     "dedup_substring_shingle": _SUBSTRING_SHINGLE_SQL,
     "embedding_pca_power": _pca_sql(),
     "embedding_kmeans_lloyd": _kmeans_sql(),
+    "dedup_semantic": _semantic_sql(),
     "langid_confusion": _LANGID_CONFUSION_SQL,
 }

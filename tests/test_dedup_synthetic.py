@@ -222,3 +222,53 @@ def test_paragraph_dedup_first_occurrence_wins(spark, para_dir):
     con = _duck_for(para_dir, "documents")
     oracle_pd = con.execute(llm._DEDUP_PARAGRAPH_SQL).fetchdf()
     assert not compare(out, oracle_pd)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup contract on planted data at the PRODUCTION threshold
+    (0.95): scaled copies of a cluster exemplar (cosine exactly 1) die
+    except the smallest vec_id; genuinely distinct members of the same
+    cluster (cosine ~0.92 to the exemplar) survive; clusters are the
+    planted families."""
+    dim = 64
+    fams = []
+    for f in range(4):
+        c = np.zeros(dim)
+        c[f * 16 : (f + 1) * 16] = 1.0
+        fams.append(c)
+    rows = []
+    # ids 0..3: one exemplar per family (k-means init = 4 smallest ids)
+    for f, c in enumerate(fams):
+        rows.append((f, c))
+    # ids 4..9: scaled copies of family 0 and 1 — perfect semantic dups
+    rows.append((4, fams[0] * 1.5))
+    rows.append((5, fams[0] * 0.7))
+    rows.append((6, fams[1] * 2.0))
+    rows.append((7, fams[1] * 1.1))
+    # ids 8..9: distinct members of family 2/3 (perturbed: cos ~0.92)
+    p2 = fams[2].copy(); p2[2 * 16] += 2.0
+    p3 = fams[3].copy(); p3[3 * 16 + 5] += 2.0
+    rows.append((8, p2))
+    rows.append((9, p3))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in llm.dedup_semantic_frame(emb, tau=0.95).collect()
+    }
+    assert len(out) == 10
+    # family co-membership: copies share their exemplar's cluster
+    assert out[4]["cid"] == out[5]["cid"] == out[0]["cid"]
+    assert out[6]["cid"] == out[7]["cid"] == out[1]["cid"]
+    assert out[8]["cid"] == out[2]["cid"]
+    assert out[9]["cid"] == out[3]["cid"]
+    # perfect dups die, keeping the smallest id per family
+    assert out[0]["keep"] and not out[4]["keep"] and not out[5]["keep"]
+    assert out[1]["keep"] and not out[6]["keep"] and not out[7]["keep"]
+    # distinct same-cluster members survive the production threshold
+    assert out[2]["keep"] and out[8]["keep"]
+    assert out[3]["keep"] and out[9]["keep"]
+    # prune accounting: id 5 has dups 0 and 4 earlier in its cluster
+    assert out[5]["n_dup_earlier"] == 2 and out[4]["n_dup_earlier"] == 1
