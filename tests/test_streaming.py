@@ -452,3 +452,179 @@ def test_idempotent_sink_ledger_and_replay(spark):
     solo = IdempotentSnapshotStore(spark)
     solo.apply(partial_snapshot(events), 0)
     assert sorted(map(tuple, solo.snapshot().collect())) == once
+
+
+def test_crash_recovery_resumes_from_checkpoint(spark):
+    """The round-6 crash-recovery proof: kill a running foreachBatch
+    stream mid-run with an injected failure, restart it from the SAME
+    checkpointLocation against the SAME store (the external
+    transactional table a real deployment writes), and the final state
+    equals the uninterrupted run's. Also pins that the restart resumed
+    from committed offsets (the second run only sees batch ids the
+    first run had not committed) — i.e. recovery is replay-from-
+    checkpoint, not replay-from-scratch."""
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from graph_database_akkatyped_spark.streaming.sinks import (
+        IncrementalDegreeStore,
+        _split_events_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split_dir = _split_events_dir(spark, sf)
+    schema = spark.read.parquet(split_dir).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(split_dir)
+        )
+
+    # ground truth: one uninterrupted run
+    solo = IncrementalDegreeStore(spark)
+    q = (
+        reader().writeStream.foreachBatch(solo.upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_solo_"))
+        .start()
+    )
+    q.awaitTermination()
+    expected = sorted(map(tuple, solo.snapshot().collect()))
+    n_batches = len(solo.applied)
+    assert n_batches >= 3, "need >=3 micro-batches to crash mid-stream"
+
+    # run 1: crash after two committed batches
+    store = IncrementalDegreeStore(spark)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_crash_")
+
+    def crashing_sink(batch_df, batch_id):
+        if len(store.applied) >= 2 and batch_id not in store.applied:
+            raise RuntimeError("injected crash")
+        store.upsert(batch_df, batch_id)
+
+    q1 = (
+        reader().writeStream.foreachBatch(crashing_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q1.awaitTermination()
+        raise AssertionError("stream should have crashed")
+    except StreamingQueryException:
+        pass
+    assert len(store.applied) == 2
+
+    # run 2: same checkpoint, same store — resume and finish
+    second_run_ids: list[int] = []
+
+    def recovering_sink(batch_df, batch_id):
+        second_run_ids.append(batch_id)
+        store.upsert(batch_df, batch_id)
+
+    q2 = (
+        reader().writeStream.foreachBatch(recovering_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.awaitTermination()
+    # resumed, not restarted: only uncommitted batch ids re-delivered
+    assert second_run_ids and min(second_run_ids) >= 2
+    assert len(store.applied) == n_batches
+    assert sorted(map(tuple, store.snapshot().collect())) == expected
+
+
+def test_rocksdb_state_store_same_results(spark):
+    """The state-bigger-than-heap configuration: the RocksDB state
+    store provider (state spills to local disk instead of living on
+    the JVM heap — the 100 TB regime for big windowed/dedup state)
+    produces the identical windowed aggregate as the default
+    HDFS-backed in-memory provider. Config is per-query-start via the
+    session conf; DEPLOYMENT.md documents the cluster settings."""
+    import tempfile
+    import uuid
+
+    from graph_database_akkatyped_spark.streaming.windows import stream_events
+
+    sf = "/root/testdata/sf0.001"
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run():
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        agg = (
+            stream_events(spark, sf)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rdb_"))
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["window"].start, r["window"].end, r["event_type"], r["count"])
+            for r in spark.table(name).collect()
+        )
+
+    default_rows = run()
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(provider_conf, rocksdb)
+    try:
+        rocks_rows = run()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
+
+
+def test_incremental_degree_natural_idempotence(spark):
+    """Set-union maintenance is self-healing under at-least-once
+    delivery: re-applying ANY batch with the ledger bypassed is a
+    no-op (all pairs anti-join away), and the maintained degrees equal
+    the batch rebuild."""
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.streaming.sinks import (
+        IncrementalDegreeStore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    store = IncrementalDegreeStore(spark)
+    b0 = events.where(F.col("user_id") % 2 == 0)
+    b1 = events.where(F.col("user_id") % 2 == 1)
+    store.upsert(b0, 0)
+    store.upsert(b1, 1)
+    once = sorted(map(tuple, store.snapshot().collect()))
+
+    # ledger-bypassed replays of both batches: naturally no-ops
+    store.apply(IncrementalDegreeStore._batch_pairs(b0), 100)
+    store.apply(IncrementalDegreeStore._batch_pairs(b1), 101)
+    assert sorted(map(tuple, store.snapshot().collect())) == once
+
+    rebuilt = sorted(
+        map(
+            tuple,
+            events.select(
+                "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+            )
+            .distinct()
+            .groupBy("user_id")
+            .count()
+            .collect(),
+        )
+    )
+    assert once == rebuilt
