@@ -623,6 +623,180 @@ FROM rows_
 """
 
 
+# ------------------------------------------ one-level Louvain (2 sweeps)
+
+_LOUVAIN_SWEEPS = 2
+
+
+def _louvain_sweep(
+    labels: DataFrame, edges: DataFrame, deg: DataFrame, m2: DataFrame
+) -> DataFrame:
+    """One synchronous modularity-gain sweep: every vertex evaluates
+    moving to each neighbor community, scored by the exact integer
+    gain surrogate H(c) = e_vc·m − d_v·D'_c where D'_c excludes v's
+    own degree from its current community — the terms of ΔQ·m² that
+    vary with the candidate c (the e_va/D_a terms constant in c cancel
+    in the argmax). All vertices move simultaneously (deterministic —
+    no sequential vertex order to pin); a move needs a STRICTLY
+    positive improvement over staying AND a target community id
+    SMALLER than the current one. The monotone-id guard is what makes
+    the synchronous sweep sound: unrestricted simultaneous moves cycle
+    (in a clique every vertex's best target is the min-id singleton
+    while the min vertex itself hops away — measured Q < 0 on the
+    fixtures), whereas with it labels are non-increasing per vertex,
+    the min-id anchor of every dense group is immovable, and groups
+    accrete onto anchors exactly like the parallel-Louvain "min label"
+    heuristic (Grappolo's tie rule generalized to the move rule).
+    BIGINT bound: |H| ≤ d_max·m — at the fixture graphs ≤ 1e9; a
+    100 TB run widens the two products to DECIMAL(38,0) (same recipe
+    as PageRank/HITS, ~1e19 headroom)."""
+    lab_b = labels.select(F.col("v").alias("b"), F.col("l").alias("c"))
+    evc = (
+        edges.join(lab_b, "b")
+        .groupBy(F.col("a").alias("v"), "c")
+        .agg(F.count(F.lit(1)).alias("e_vc"))
+    )
+    own = labels.select("v", F.col("l").alias("c")).withColumn(
+        "e_vc", F.lit(0).cast("long")
+    )
+    cand = (
+        evc.unionByName(own)
+        .groupBy("v", "c")
+        .agg(F.sum("e_vc").alias("e_vc"))
+    )
+    dc = (
+        labels.join(deg, "v", "left")
+        .groupBy(F.col("l").alias("c"))
+        .agg(F.coalesce(F.sum("d"), F.lit(0)).alias("dc"))
+    )
+    scored = (
+        cand.join(labels, "v")
+        .join(deg, "v", "left")
+        .withColumn("d", F.coalesce("d", F.lit(0)))
+        .join(dc, "c")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "v",
+            "c",
+            "l",
+            (
+                F.col("e_vc") * F.col("m")
+                - F.col("d")
+                * (
+                    F.col("dc")
+                    - F.when(F.col("c") == F.col("l"), F.col("d")).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    best = (
+        scored.where(F.col("c") < F.col("l"))
+        .groupBy("v")
+        .agg(
+            F.expr("max_by(c, struct(h, -c))").alias("best_c"),
+            F.max(F.struct("h", (-F.col("c")).alias("nc")))
+            .getField("h")
+            .alias("best_h"),
+        )
+    )
+    stay = scored.where(F.col("c") == F.col("l")).select(
+        "v", F.col("l").alias("cur"), F.col("h").alias("h_stay")
+    )
+    return stay.join(best, "v", "left").select(
+        "v",
+        F.when(
+            F.col("best_h").isNotNull()
+            & (F.col("best_h") > F.col("h_stay")),
+            F.col("best_c"),
+        )
+        .otherwise(F.col("cur"))
+        .alias("l"),
+    )
+
+
+def community_louvain_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level Louvain community detection on the symmetric user
+    graph: ``_LOUVAIN_SWEEPS`` synchronous modularity-gain sweeps from
+    the singleton partition — the standard stronger-than-LPA community
+    method (LPA optimizes nothing; this climbs Newman modularity
+    directly). Each sweep is two equi-joins + two grouped aggregates,
+    the same linear shuffle shape as LPA; the full multi-level Louvain
+    adds graph contraction between levels — level 1 is where the bulk
+    of the modularity is won (tests pin Q(louvain) ≥ Q(LPA) on the
+    fixtures). Deterministic by construction (synchronous moves,
+    integer scores, min-id ties), so the whole pipeline value-hash
+    matches the unrolled SQL oracle."""
+    verts = user_vertices(spark, sf_dir).select(F.col("id").alias("v"))
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
+    deg = edges.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    m2 = edges.agg(F.count(F.lit(1)).alias("m"))
+    labels = verts.select("v", F.col("v").alias("l"))
+    for _ in range(_LOUVAIN_SWEEPS):
+        labels = cut(_louvain_sweep(labels, edges, deg, m2))
+    return labels.select(
+        F.col("v").alias("user_id"), F.col("l").alias("community")
+    )
+
+
+def _louvain_sql(sweeps: int = _LOUVAIN_SWEEPS) -> str:
+    ctes = [
+        USER_EDGES_CTE.strip(),
+        "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d "
+        "FROM uedges GROUP BY a)",
+        "m2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM uedges)",
+        "l0 AS (SELECT v, v AS l FROM verts)",
+    ]
+    for i in range(1, sweeps + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"evc{i} AS (SELECT e.a AS v, lb.l AS c, "
+            f"CAST(count(*) AS BIGINT) AS e_vc "
+            f"FROM uedges e JOIN {p} lb ON lb.v = e.b GROUP BY e.a, lb.l)"
+        )
+        ctes.append(
+            f"cand{i} AS (SELECT v, c, CAST(SUM(e_vc) AS BIGINT) AS e_vc "
+            f"FROM (SELECT v, c, e_vc FROM evc{i} "
+            f"UNION ALL SELECT v, l AS c, 0 FROM {p}) GROUP BY v, c)"
+        )
+        ctes.append(
+            f"dc{i} AS (SELECT {p}.l AS c, "
+            f"CAST(COALESCE(SUM(deg.d), 0) AS BIGINT) AS dc "
+            f"FROM {p} LEFT JOIN deg ON deg.v = {p}.v GROUP BY {p}.l)"
+        )
+        ctes.append(
+            f"sc{i} AS (SELECT cd.v, cd.c, lb.l, "
+            f"cd.e_vc * (SELECT m FROM m2) - COALESCE(dg.d, 0) * "
+            f"(dcx.dc - CASE WHEN cd.c = lb.l "
+            f"THEN COALESCE(dg.d, 0) ELSE 0 END) AS h "
+            f"FROM cand{i} cd JOIN {p} lb ON lb.v = cd.v "
+            f"LEFT JOIN deg dg ON dg.v = cd.v "
+            f"JOIN dc{i} dcx ON dcx.c = cd.c)"
+        )
+        ctes.append(
+            f"best{i} AS (SELECT v, c AS best_c, h AS best_h FROM sc{i} "
+            f"WHERE c < l "
+            f"QUALIFY row_number() OVER "
+            f"(PARTITION BY v ORDER BY h DESC, c ASC) = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT s.v, CASE WHEN b.best_h IS NOT NULL "
+            f"AND b.best_h > s.h THEN b.best_c ELSE s.l END AS l "
+            f"FROM sc{i} s LEFT JOIN best{i} b ON b.v = s.v "
+            f"WHERE s.c = s.l)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS user_id, l AS community FROM l{sweeps}"
+    )
+
+
 # ---------------------------------------------------------- reciprocity
 
 
@@ -679,6 +853,7 @@ QUERIES = {
     "betweenness_sampled": betweenness_sampled,
     "degree_assortativity": degree_assortativity,
     "community_modularity": community_modularity,
+    "community_louvain_l1": community_louvain_l1,
     "graph_reciprocity": graph_reciprocity,
 }
 
@@ -688,5 +863,6 @@ ORACLES = {
     "betweenness_sampled": _betweenness_sql(),
     "degree_assortativity": _ASSORT_SQL,
     "community_modularity": _modularity_sql(),
+    "community_louvain_l1": _louvain_sql(),
     "graph_reciprocity": _RECIPROCITY_SQL,
 }

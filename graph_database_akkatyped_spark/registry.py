@@ -48,7 +48,7 @@ _SWEEP_ORDER = (
     # -- round-6 keys land at the head while the round is in flight;
     # the final round-6 rotation is rebuilt before the bench commit --
     "simsearch_ivf_filtered", "simsearch_recall_filtered",
-    "dedup_semantic", "stream_graph_degree",
+    "dedup_semantic", "stream_graph_degree", "community_louvain_l1",
     # -- block 1 (round-5 rotation, 57 keys): the 8 new keys, the 8
     # r5 behavior-changed keys, cut-migration spot checks over the
     # iterative kernels, then r4-modified keys sampled only once --

@@ -186,3 +186,71 @@ def test_betweenness_frame_partition_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert a == b
     assert len(a) == 5 and all(d >= 0 for _, d in a)
+
+
+def _modularity(labels: dict, sym_edges: list) -> float:
+    """Newman modularity over directed-symmetric edge count m:
+    Q = sum_c [e_c/m - (D_c/m)^2]."""
+    m = len(sym_edges)
+    e_c: dict = {}
+    d_c: dict = {}
+    for a, b in sym_edges:
+        d_c[labels[a]] = d_c.get(labels[a], 0) + 1
+        if labels[a] == labels[b]:
+            e_c[labels[a]] = e_c.get(labels[a], 0) + 1
+    return sum(
+        e_c.get(c, 0) / m - (d / m) ** 2 for c, d in d_c.items()
+    )
+
+
+def test_louvain_beats_lpa_modularity(spark):
+    """The reason Louvain exists: its one-level pass must score at
+    least LPA's modularity on the fixture graph (it climbs Q directly;
+    LPA optimizes nothing). Also pins structural invariants: every
+    vertex labeled, communities are vertex ids, count bounded by n."""
+    from graph_database_akkatyped_spark.operators.algos import (
+        label_propagation,
+    )
+    from graph_database_akkatyped_spark.operators.centrality import (
+        community_louvain_l1,
+    )
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        user_edges_sym,
+        user_vertices,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sym = [
+        (r["a"], r["b"]) for r in user_edges_sym(spark, sf).collect()
+    ]
+    verts = {r["id"] for r in user_vertices(spark, sf).collect()}
+    louv = {
+        r["user_id"]: r["community"]
+        for r in community_louvain_l1(spark, sf).collect()
+    }
+    lpa = {
+        r["user_id"]: r["label"]
+        for r in label_propagation(spark, sf).collect()
+    }
+    assert set(louv) == verts
+    assert set(louv.values()) <= verts
+    q_louv = _modularity(louv, sym)
+    q_lpa = _modularity(lpa, sym)
+    assert q_louv >= q_lpa - 1e-12, (q_louv, q_lpa)
+    assert len(set(louv.values())) <= len(verts)
+
+
+def test_louvain_deterministic_across_partitioning(spark):
+    from graph_database_akkatyped_spark.operators.centrality import (
+        community_louvain_l1,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, community_louvain_l1(spark, sf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, community_louvain_l1(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert a == b and len(a) > 0
