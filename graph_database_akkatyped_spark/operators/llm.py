@@ -2373,44 +2373,95 @@ FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """
 
 
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: treat text bytes as an opaque binary
-    payload column and run an Arrow-batched mapInPandas "decoder".
+_MM_MAGIC = b"IM01"
 
-    The real image/audio decode is STUBBED (codec libs are not in this
-    container): the stub derives deterministic fake frame metadata from
-    the payload length, so the Spark-side contract — binary column in,
-    typed metadata out, batch-wise Arrow transfer — is fully real and
-    oracle-checkable against SQL on the lengths.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    payload = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+
+def multimodal_encode_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) — a deterministic container format
+    packed JVM-side with binary concat: 4-byte magic ``IM01``, 2-byte
+    big-endian width, 2-byte big-endian height, then the body bytes
+    (the document text's UTF-8). Width/height derive from doc_id, so
+    the decode below can be verified field-by-field by an oracle that
+    never touches the bytes. This is the fixture generator for the
+    binary-column story — the fixtures themselves carry no image
+    bytes, so the repo synthesizes a real container instead of faking
+    metadata from lengths (the round-1..5 stub this replaced)."""
+    width = (F.lit(64) + F.pmod(F.col("doc_id") * 7, F.lit(448))).cast("int")
+    height = (F.lit(64) + F.pmod(F.col("doc_id") * 13, F.lit(448))).cast("int")
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_MM_MAGIC),
+            be16(width),
+            be16(height),
+            F.col("text").cast("binary"),
+        ).alias("payload"),
     )
 
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary decode, realized: synthesize the ``IM01``
+    container (:func:`multimodal_encode_frame`), then DECODE it with
+    genuine byte-level parsing in an Arrow-batched ``mapInPandas`` —
+    magic check, big-endian header field extraction, body slice, and
+    an md5 content checksum, exactly the shape a PIL/libav decoder
+    plugs into (swap the parse body for ``Image.open(BytesIO(b))``).
+
+    Oracle strategy: every decoded field is INDEPENDENTLY recomputable
+    without the container — width/height from the doc_id formula, body
+    length/checksum from the source text — so the SQL twin verifies
+    the decoder actually inverted the encoder byte-for-byte (a wrong
+    offset or endianness flips the hash). 100 TB shape: map-only over
+    the binary column, zero shuffle; Arrow moves the bytes to Python
+    once per batch, and the output is narrow typed metadata."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal_encode_frame(docs)
+
     def decode_batches(batches):
-        # STUB: replace with PIL/libav decode in a real deployment.
         for pdf in batches:
-            n = pdf["payload"].map(len)
-            out = pdf[["doc_id"]].copy()
-            out["n_bytes"] = n.astype("int64")
-            out["width"] = (n % 640).astype("int64")
-            out["height"] = (n % 480).astype("int64")
-            out["n_frames"] = (1 + n % 16).astype("int64")
-            yield out
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                assert b[:4] == _MM_MAGIC, "bad container magic"
+                width = int.from_bytes(b[4:6], "big")
+                height = int.from_bytes(b[6:8], "big")
+                body = b[8:]
+                rows.append(
+                    (
+                        int(doc_id),
+                        width,
+                        height,
+                        len(body),
+                        hashlib.md5(body).hexdigest(),
+                    )
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_body_bytes", "checksum"
+                ],
+            )
 
     return payload.mapInPandas(
         decode_batches,
-        schema="doc_id long, n_bytes long, width long, height long, n_frames long",
+        schema=(
+            "doc_id long, width int, height int, "
+            "n_body_bytes long, checksum string"
+        ),
     )
 
 
 _MULTIMODAL_DECODE_SQL = """
 SELECT doc_id,
-       CAST(n_chars AS BIGINT) AS n_bytes,
-       CAST(n_chars % 640 AS BIGINT) AS width,
-       CAST(n_chars % 480 AS BIGINT) AS height,
-       CAST(1 + n_chars % 16 AS BIGINT) AS n_frames
+       CAST(64 + (doc_id * 7) % 448 AS INTEGER) AS width,
+       CAST(64 + (doc_id * 13) % 448 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+       md5(text) AS checksum
 FROM documents
 """
 
@@ -2626,7 +2677,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder), with the codec decode replaced by a deterministic
     char-window stand-in (no codec libs in this container; a real
     deployment swaps the frame expression for a Pandas-UDF decode like
-    :func:`multimodal_decode_stub`).
+    :func:`multimodal_decode`, which parses a real binary container).
 
     All built-in expressions — ``sequence`` + ``posexplode`` for the
     frame index fan-out, ``substring``/``md5``/``octet_length`` for the
@@ -3626,7 +3677,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich_checked,
-    "multimodal_decode_stub": multimodal_decode_stub,
+    "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "simsearch_hard_negatives": simsearch_hard_negatives,
     "dedup_substring_shingle": dedup_substring_shingle,
@@ -3677,7 +3728,7 @@ ORACLES = {
     "pack_sequences": _PACK_SQL,
     "split_train_test": _SPLIT_SQL,
     "multimodal_enrich": _MULTIMODAL_ENRICH_SQL,
-    "multimodal_decode_stub": _MULTIMODAL_DECODE_SQL,
+    "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "simsearch_hard_negatives": _HARD_NEG_SQL,
     "dedup_substring_shingle": _SUBSTRING_SHINGLE_SQL,

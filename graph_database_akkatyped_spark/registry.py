@@ -49,6 +49,7 @@ _SWEEP_ORDER = (
     # the final round-6 rotation is rebuilt before the bench commit --
     "simsearch_ivf_filtered", "simsearch_recall_filtered",
     "dedup_semantic", "stream_graph_degree", "community_louvain_l1",
+    "multimodal_decode",
     # -- block 1 (round-5 rotation, 57 keys): the 8 new keys, the 8
     # r5 behavior-changed keys, cut-migration spot checks over the
     # iterative kernels, then r4-modified keys sampled only once --
@@ -106,7 +107,7 @@ _SWEEP_ORDER = (
     "stream_sliding", "grouping_cube", "split_train_test",
     "join_theta_range", "udf_mapinarrow", "graph_activity_timeline",
     "agg_filtered", "agg_minmax_by", "simsearch_topk",
-    "agg_approx_percentile", "rfm_segmentation", "multimodal_decode_stub",
+    "agg_approx_percentile", "rfm_segmentation",
     "set_except", "sessionize_events", "text_ngrams", "udf_python",
     "neighbors_out", "pivot_segment", "join_semi", "sssp_pred_tree",
     "degree_out", "build_user_graph", "flagship", "udf_pandas",

@@ -263,3 +263,42 @@ def test_merge_cdc_is_single_outer_join(spark):
     )
     assert n_outer == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_multimodal_decode_roundtrip_and_map_only(spark):
+    """The realized binary decode: the encoder emits an 8-byte header
+    the decoder inverts exactly (magic, big-endian width/height, body
+    slice + md5), and the whole pipeline is map-only — no shuffle for
+    a 100 TB binary-column scan."""
+    import hashlib
+
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.multimodal_decode(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
+
+    enc = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in llm.multimodal_encode_frame(
+            load_table(spark, SF_ORACLE, "documents")
+        ).take(20)
+    }
+    dec = {
+        r["doc_id"]: r
+        for r in llm.multimodal_decode(spark, SF_ORACLE).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+    for doc_id, payload in enc.items():
+        d = dec[doc_id]
+        assert payload[:4] == llm._MM_MAGIC
+        assert int.from_bytes(payload[4:6], "big") == d["width"]
+        assert int.from_bytes(payload[6:8], "big") == d["height"]
+        body = payload[8:]
+        assert len(body) == d["n_body_bytes"]
+        assert hashlib.md5(body).hexdigest() == d["checksum"]
+        assert body == texts[doc_id].encode("utf-8")
