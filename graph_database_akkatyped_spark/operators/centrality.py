@@ -647,14 +647,24 @@ def _louvain_sweep(
     the min-id anchor of every dense group is immovable, and groups
     accrete onto anchors exactly like the parallel-Louvain "min label"
     heuristic (Grappolo's tie rule generalized to the move rule).
+
+    WEIGHTED form (round 6, for the multi-level pass): ``edges``
+    carries an integer weight column ``w`` (level 1 passes w = 1 —
+    bit-identical to the unweighted round-5 semantics); e_vc sums w,
+    and self-loops (a = b, present only on the contracted graph) are
+    excluded from e_vc — a super-vertex's self-loop moves WITH it, so
+    its term is constant across candidates and must not distort the
+    stay-vs-move comparison — while still counting toward the weighted
+    degree d (a super-vertex's degree is the sum of its members').
     BIGINT bound: |H| ≤ d_max·m — at the fixture graphs ≤ 1e9; a
     100 TB run widens the two products to DECIMAL(38,0) (same recipe
     as PageRank/HITS, ~1e19 headroom)."""
     lab_b = labels.select(F.col("v").alias("b"), F.col("l").alias("c"))
     evc = (
-        edges.join(lab_b, "b")
+        edges.where(F.col("a") != F.col("b"))
+        .join(lab_b, "b")
         .groupBy(F.col("a").alias("v"), "c")
-        .agg(F.count(F.lit(1)).alias("e_vc"))
+        .agg(F.sum("w").alias("e_vc"))
     )
     own = labels.select("v", F.col("l").alias("c")).withColumn(
         "e_vc", F.lit(0).cast("long")
@@ -731,16 +741,66 @@ def community_louvain_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = user_vertices(spark, sf_dir).select(F.col("id").alias("v"))
     edges = _memoized(
         spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
-    )
-    deg = edges.groupBy(F.col("a").alias("v")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    m2 = edges.agg(F.count(F.lit(1)).alias("m"))
+    ).select("a", "b", F.lit(1).cast("long").alias("w"))
+    deg = edges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d"))
+    m2 = edges.agg(F.sum("w").alias("m"))
     labels = verts.select("v", F.col("v").alias("l"))
     for _ in range(_LOUVAIN_SWEEPS):
         labels = cut(_louvain_sweep(labels, edges, deg, m2))
     return labels.select(
         F.col("v").alias("user_id"), F.col("l").alias("community")
+    )
+
+
+def community_louvain_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-level Louvain: the level-1 sweeps of
+    ``community_louvain_l1``, then graph CONTRACTION — communities
+    become super-vertices, inter-community edge multiplicities become
+    integer weights, intra-community edges become self-loops — and a
+    second round of weighted sweeps on the contracted graph, with the
+    final labels projected back to the original vertices. This is the
+    step that wins the modularity level 1 leaves on the table when two
+    adjacent communities should merge but no single vertex move is
+    positive (the whole-community move is).
+
+    Scale shape: the contraction is one double equi-join + grouped sum
+    over the level-1 edge list (linear, same shuffle key the sweeps
+    already use), and level 2 runs on a graph with #communities
+    vertices — typically orders of magnitude smaller, so its sweeps
+    are nearly free; the classic Louvain cost profile (level 1
+    dominates) is preserved. Total m is invariant under contraction
+    (sum of weights = original directed edge count), so the integer
+    gain surrogate needs no rescaling and the whole two-level pipeline
+    stays bit-deterministic → full SQL-hash oracle parity."""
+    verts = user_vertices(spark, sf_dir).select(F.col("id").alias("v"))
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    ).select("a", "b", F.lit(1).cast("long").alias("w"))
+    deg = edges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d"))
+    m2 = edges.agg(F.sum("w").alias("m"))
+    labels = verts.select("v", F.col("v").alias("l"))
+    for _ in range(_LOUVAIN_SWEEPS):
+        labels = cut(_louvain_sweep(labels, edges, deg, m2))
+    # contract: super-vertex = level-1 community, w = edge multiplicity
+    la = labels.select(F.col("v").alias("a"), F.col("l").alias("ca"))
+    lb = labels.select(F.col("v").alias("b"), F.col("l").alias("cb"))
+    cedges = cut(
+        edges.join(la, "a")
+        .join(lb, "b")
+        .groupBy(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        .agg(F.sum("w").alias("w"))
+    )
+    cdeg = cedges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d"))
+    clabels = (
+        labels.select(F.col("l").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("l"))
+    )
+    for _ in range(_LOUVAIN_SWEEPS):
+        clabels = cut(_louvain_sweep(clabels, cedges, cdeg, m2))
+    proj = clabels.select(F.col("v").alias("l"), F.col("l").alias("l2"))
+    return labels.join(proj, "l").select(
+        F.col("v").alias("user_id"), F.col("l2").alias("community")
     )
 
 
@@ -794,6 +854,81 @@ def _louvain_sql(sweeps: int = _LOUVAIN_SWEEPS) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT v AS user_id, l AS community FROM l{sweeps}"
+    )
+
+
+def _louvain_w_sweep_ctes(
+    pref: str, i: int, edges: str, deg: str, prev: str
+) -> list[str]:
+    """CTEs for one WEIGHTED synchronous sweep producing ``{pref}l{i}``
+    from labels ``prev`` over edge CTE ``edges`` (a, b, w) with weighted
+    degree CTE ``deg`` (v, d). Mirrors the weighted _louvain_sweep:
+    e_vc sums w and excludes self-loops; d and m include them.
+    sc/l are MATERIALIZED (load-bearing — each is referenced more than
+    once, and DuckDB inlines referenced CTEs, so an unmaterialized
+    two-level chain re-derives the events self-join exponentially)."""
+    return [
+        f"{pref}evc{i} AS (SELECT e.a AS v, lb.l AS c, "
+        f"CAST(SUM(e.w) AS BIGINT) AS e_vc "
+        f"FROM {edges} e JOIN {prev} lb ON lb.v = e.b "
+        f"WHERE e.a <> e.b GROUP BY e.a, lb.l)",
+        f"{pref}cand{i} AS (SELECT v, c, CAST(SUM(e_vc) AS BIGINT) AS e_vc "
+        f"FROM (SELECT v, c, e_vc FROM {pref}evc{i} "
+        f"UNION ALL SELECT v, l AS c, 0 FROM {prev}) GROUP BY v, c)",
+        f"{pref}dc{i} AS (SELECT {prev}.l AS c, "
+        f"CAST(COALESCE(SUM({deg}.d), 0) AS BIGINT) AS dc "
+        f"FROM {prev} LEFT JOIN {deg} ON {deg}.v = {prev}.v "
+        f"GROUP BY {prev}.l)",
+        f"{pref}sc{i} AS MATERIALIZED (SELECT cd.v, cd.c, lb.l, "
+        f"cd.e_vc * (SELECT m FROM m2) - COALESCE(dg.d, 0) * "
+        f"({pref}dc{i}.dc - CASE WHEN cd.c = lb.l "
+        f"THEN COALESCE(dg.d, 0) ELSE 0 END) AS h "
+        f"FROM {pref}cand{i} cd JOIN {prev} lb ON lb.v = cd.v "
+        f"LEFT JOIN {deg} dg ON dg.v = cd.v "
+        f"JOIN {pref}dc{i} ON {pref}dc{i}.c = cd.c)",
+        f"{pref}best{i} AS (SELECT v, c AS best_c, h AS best_h "
+        f"FROM {pref}sc{i} WHERE c < l "
+        f"QUALIFY row_number() OVER "
+        f"(PARTITION BY v ORDER BY h DESC, c ASC) = 1)",
+        f"{pref}l{i} AS MATERIALIZED (SELECT s.v, "
+        f"CASE WHEN b.best_h IS NOT NULL "
+        f"AND b.best_h > s.h THEN b.best_c ELSE s.l END AS l "
+        f"FROM {pref}sc{i} s LEFT JOIN {pref}best{i} b ON b.v = s.v "
+        f"WHERE s.c = s.l)",
+    ]
+
+
+def _louvain_multi_sql(sweeps: int = _LOUVAIN_SWEEPS) -> str:
+    ctes = [
+        USER_EDGES_CTE.strip(),
+        "ew AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w "
+        "FROM uedges)",
+        "degA AS (SELECT a AS v, CAST(SUM(w) AS BIGINT) AS d "
+        "FROM ew GROUP BY a)",
+        "m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM ew)",
+        "A_l0 AS (SELECT v, v AS l FROM verts)",
+    ]
+    for i in range(1, sweeps + 1):
+        ctes += _louvain_w_sweep_ctes("A_", i, "ew", "degA", f"A_l{i - 1}")
+    top = f"A_l{sweeps}"
+    ctes += [
+        f"cedges AS MATERIALIZED (SELECT la.l AS a, lb.l AS b, "
+        f"CAST(SUM(e.w) AS BIGINT) AS w "
+        f"FROM ew e JOIN {top} la ON la.v = e.a "
+        f"JOIN {top} lb ON lb.v = e.b GROUP BY la.l, lb.l)",
+        "degB AS (SELECT a AS v, CAST(SUM(w) AS BIGINT) AS d "
+        "FROM cedges GROUP BY a)",
+        f"B_l0 AS (SELECT DISTINCT l AS v, l AS l FROM {top})",
+    ]
+    for i in range(1, sweeps + 1):
+        ctes += _louvain_w_sweep_ctes(
+            "B_", i, "cedges", "degB", f"B_l{i - 1}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a.v AS user_id, b.l AS community "
+        f"FROM {top} a JOIN B_l{sweeps} b ON b.v = a.l"
     )
 
 
@@ -854,6 +989,7 @@ QUERIES = {
     "degree_assortativity": degree_assortativity,
     "community_modularity": community_modularity,
     "community_louvain_l1": community_louvain_l1,
+    "community_louvain_multi": community_louvain_multi,
     "graph_reciprocity": graph_reciprocity,
 }
 
@@ -864,5 +1000,6 @@ ORACLES = {
     "degree_assortativity": _ASSORT_SQL,
     "community_modularity": _modularity_sql(),
     "community_louvain_l1": _louvain_sql(),
+    "community_louvain_multi": _louvain_multi_sql(),
     "graph_reciprocity": _RECIPROCITY_SQL,
 }

@@ -254,3 +254,56 @@ def test_louvain_deterministic_across_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert a == b and len(a) > 0
+
+
+def test_louvain_multi_improves_on_l1(spark):
+    """The reason the second level exists: after contraction a whole
+    community can move where no single vertex move was positive, so
+    multi-level modularity must be >= level-1's (the level-2 sweeps
+    start from the level-1 partition and every accepted move has
+    strictly positive gain). Also pins that multi only ever MERGES
+    level-1 communities (labels refine), and partition-count
+    determinism of the full two-level pipeline."""
+    from graph_database_akkatyped_spark.operators.centrality import (
+        community_louvain_l1,
+        community_louvain_multi,
+    )
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        user_edges_sym,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sym = [(r["a"], r["b"]) for r in user_edges_sym(spark, sf).collect()]
+    l1 = {
+        r["user_id"]: r["community"]
+        for r in community_louvain_l1(spark, sf).collect()
+    }
+    mu = {
+        r["user_id"]: r["community"]
+        for r in community_louvain_multi(spark, sf).collect()
+    }
+    assert set(mu) == set(l1)
+    q1, qm = _modularity(l1, sym), _modularity(mu, sym)
+    assert qm >= q1 - 1e-12, (qm, q1)
+    # refinement: two vertices sharing a level-1 community never split
+    groups: dict = {}
+    for v, c in l1.items():
+        groups.setdefault(c, set()).add(mu[v])
+    assert all(len(s) == 1 for s in groups.values()), "multi split an l1 community"
+    assert len(set(mu.values())) <= len(set(l1.values()))
+
+
+def test_louvain_multi_deterministic_across_partitioning(spark):
+    from graph_database_akkatyped_spark.operators.centrality import (
+        community_louvain_multi,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, community_louvain_multi(spark, sf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, community_louvain_multi(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert a == b and len(a) > 0
