@@ -1442,6 +1442,140 @@ FROM per_q
 """
 
 
+# -------------------------------------------- incremental index append
+
+_APPEND_MOD = 10  # vec_id % 10 == 7 -> the "new batch" (~10% of corpus)
+
+
+def simsearch_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: assign a NEW batch of vectors
+    to the nearest centroid of a FROZEN index — never recluster the
+    base corpus on append. The corpus splits deterministically (vec_id
+    % {mod} == 7 is the arriving batch, the rest is the indexed base);
+    centroids are rebuilt from the base only, with the same
+    floor-scaled integer means as ``simsearch_ivf``, then each new
+    vector picks its cell by centroid cosine (ties broken by cell id).
+
+    Output per appended vector: the assigned cell, its centroid
+    cosine, whether the assignment DRIFTED off the vector's own label
+    cluster, and the cell's base fill count. The drifted fraction is
+    the standing monitor a production index tracks — when it climbs,
+    the frozen centroids no longer describe the data and a recluster
+    (the expensive path this operator exists to avoid) is due.
+
+    100 TB shape: O(batch x cells) broadcast assignment — the batch
+    streams against a tiny broadcast centroid table, nothing touches
+    the indexed base except the one-time centroid scan; appended rows
+    land in per-cell partitions so probes keep pruning. Same shape as
+    ``dedup_incremental`` (new-batch-vs-signature-table join).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = (F.col("vec_id") % _APPEND_MOD) == 7
+    base = emb.where(~is_new)
+    # frozen index: deterministic per-cell centroids from the BASE only
+    dims = base.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cdims = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1e8).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1e8)
+        ).alias("cval")
+    )
+    centroids = cdims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("centroid")
+    )
+    fill = base.groupBy("label").agg(F.count(F.lit(1)).alias("cell_n_base"))
+    cells = centroids.join(fill, "label").select(
+        F.col("label").alias("cell"),
+        "centroid",
+        _dot(F.col("centroid"), F.col("centroid")).alias("cnrm"),
+        "cell_n_base",
+    )
+    newb = emb.where(is_new).select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    c_cos = _dot(F.col("embedding"), F.col("centroid")) / (
+        F.sqrt("nrm") * F.sqrt("cnrm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cell")
+    return (
+        newb.crossJoin(F.broadcast(cells))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            "c_cos",
+            (F.col("cell") != F.col("label")).alias("drifted"),
+            "cell_n_base",
+        )
+    )
+
+
+simsearch_ivf_append.__doc__ = simsearch_ivf_append.__doc__.format(
+    mod=_APPEND_MOD
+)
+
+_IVF_APPEND_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id % {_APPEND_MOD} <> 7
+),
+dims AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM base
+),
+cdims AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM dims GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS cell, list(cval ORDER BY pos) AS centroid
+  FROM cdims GROUP BY label
+),
+fill AS (
+  SELECT label AS cell, CAST(count(*) AS BIGINT) AS cell_n_base
+  FROM base GROUP BY label
+),
+cells AS (
+  SELECT c.cell, c.centroid,
+         {_sql_dot('c.centroid', 'c.centroid')} AS cnrm, f.cell_n_base
+  FROM cents c JOIN fill f ON f.cell = c.cell
+),
+newb AS (
+  SELECT vec_id, label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings WHERE vec_id % {_APPEND_MOD} = 7
+)
+SELECT vec_id, label, cell, c_cos, cell <> label AS drifted, cell_n_base
+FROM (
+  SELECT n.vec_id, n.label, c.cell,
+         {_sql_dot('n.embedding', 'c.centroid')}
+           / (sqrt(n.nrm) * sqrt(c.cnrm)) AS c_cos,
+         c.cell_n_base,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_sql_dot('n.embedding', 'c.centroid')}
+                     / (sqrt(n.nrm) * sqrt(c.cnrm)) DESC, c.cell) AS rnk
+  FROM newb n CROSS JOIN cells c
+) WHERE rnk = 1
+"""
+
+
 # ------------------------------------------------- product quantization
 
 _PQ_SUB = 8  # subspaces (64 dims -> 8 x 8-dim subvectors)
@@ -3658,6 +3792,7 @@ QUERIES = {
     "simsearch_ivf": simsearch_ivf,
     "simsearch_ivf_filtered": simsearch_ivf_filtered,
     "simsearch_recall_filtered": simsearch_recall_filtered,
+    "simsearch_ivf_append": simsearch_ivf_append,
     "simsearch_lsh": simsearch_lsh,
     "simsearch_recall": simsearch_recall,
     "simsearch_recall_lsh": simsearch_recall_lsh,
@@ -3709,6 +3844,7 @@ ORACLES = {
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
     "simsearch_ivf_filtered": _IVF_FILTERED_SQL,
     "simsearch_recall_filtered": _RECALL_FILTERED_SQL,
+    "simsearch_ivf_append": _IVF_APPEND_SQL,
     # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's
     # seeded internal RNG — not SQL-reproducible)
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,

@@ -168,3 +168,55 @@ def test_ivf_filtered_predicate_and_recall(spark):
     # macro recall must match the summed integer counts exactly
     any_row = next(iter(rec.values()))
     assert abs(any_row["macro_recall"] - n_hit_total / (10 * len(rec))) < 1e-12
+
+
+def test_ivf_append_assignment_invariants(spark):
+    """Incremental index append: every vec_id % 10 == 7 vector is
+    assigned exactly once, to the argmax-cosine FROZEN centroid (ties
+    to the smaller cell id), the drift flag is exactly
+    cell != label, and cell_n_base counts the base split only. The
+    assignment must agree with a python re-derivation of the
+    base-only centroids (frozen-index semantics: appending must not
+    perturb the index)."""
+    import math
+
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.operators.llm import (
+        simsearch_ivf_append,
+    )
+
+    sf = SF_ORACLE
+    rows = {r["vec_id"]: r for r in simsearch_ivf_append(spark, sf).collect()}
+    emb = {
+        r["vec_id"]: (r["label"], list(r["embedding"]))
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    new_ids = {v for v in emb if v % 10 == 7}
+    assert set(rows) == new_ids
+    base = {v: e for v, e in emb.items() if v % 10 != 7}
+    # python twin: base-only centroids (float mean is close enough to
+    # the floor-scaled integer mean to reproduce the argmax here)
+    cents: dict = {}
+    fills: dict = {}
+    for lab, vec in base.values():
+        acc = cents.setdefault(lab, [0.0] * len(vec))
+        for i, x in enumerate(vec):
+            acc[i] += x
+        fills[lab] = fills.get(lab, 0) + 1
+    for lab in cents:
+        cents[lab] = [x / fills[lab] for x in cents[lab]]
+    for vid in new_ids:
+        lab, vec = emb[vid]
+        nrm = math.sqrt(sum(x * x for x in vec))
+        best = max(
+            sorted(cents),
+            key=lambda c: (
+                sum(a * b for a, b in zip(vec, cents[c]))
+                / (nrm * math.sqrt(sum(x * x for x in cents[c]))),
+                -c,
+            ),
+        )
+        r = rows[vid]
+        assert r["cell"] == best, (vid, r["cell"], best)
+        assert r["drifted"] == (r["cell"] != lab)
+        assert r["cell_n_base"] == fills[r["cell"]]
