@@ -264,6 +264,110 @@ SELECT s AS user_id, min(d) AS component FROM reach GROUP BY s
 """
 
 
+# ----------------------------------------- incremental CC maintenance
+
+_CC_DELTA_MOD = 20  # event_id % 20 == 0 -> the arriving journal batch
+
+
+def cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance: merge a journal
+    delta into an existing CC labeling WITHOUT re-running CC on the
+    full graph. The journal splits deterministically (event_id % {mod}
+    == 0 is the arriving batch, the rest is the already-labeled base).
+
+    The merge is exact, not approximate: contracting each base
+    component to a super-vertex preserves connectivity (every base
+    edge is internal to a base component by definition), so full-graph
+    CC equals CC of (contracted base + delta edges) projected back.
+    With min-id labels the contracted run returns the min user id of
+    each merged component — bit-identical to the batch answer, which
+    is why the ORACLE for this key is simply the full-graph CC SQL.
+
+    100 TB shape: the delta pass touches only the (event_type, hour)
+    slots the batch hit — a semi-join prunes the events scan to those
+    slots before any pair join — and the second CC runs on a graph
+    with #components + #new-vertices nodes, orders of magnitude
+    smaller than the base. The base labeling is the expensive part
+    and is memoized (it stands in for "yesterday's result" a real
+    deployment reads from the catalog; see api.py time travel)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+    )
+
+    def pairs(ev: DataFrame) -> DataFrame:
+        a = ev.select(F.col("user_id").alias("a"), "event_type", "hour")
+        b = ev.select(F.col("user_id").alias("b"), "event_type", "hour")
+        return (
+            a.join(b, ["event_type", "hour"])
+            .where(F.col("a") != F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+
+    is_delta = (F.col("event_id") % _CC_DELTA_MOD) == 0
+    base_ev = e.where(~is_delta)
+    base_cc = _memoized(
+        spark,
+        "cc_incr_base",
+        sf_dir,
+        lambda: cc_frame(
+            base_ev.select(F.col("user_id").alias("id")).distinct(),
+            pairs(base_ev),
+        ),
+    )
+    # delta edges: only slots the batch touched can create new pairs
+    touched = (
+        e.where(is_delta).select("event_type", "hour").distinct()
+    )
+    slot_ev = e.join(touched, ["event_type", "hour"], "left_semi")
+    base_slot_ev = base_ev.join(
+        touched, ["event_type", "hour"], "left_semi"
+    )
+    delta_edges = pairs(slot_ev).subtract(pairs(base_slot_ev))
+    # contract: endpoint -> base component label, or itself if unseen
+    lab_a = base_cc.select(
+        F.col("id").alias("a"), F.col("component").alias("ca")
+    )
+    lab_b = base_cc.select(
+        F.col("id").alias("b"), F.col("component").alias("cb")
+    )
+    super_edges = (
+        delta_edges.join(lab_a, "a", "left")
+        .join(lab_b, "b", "left")
+        .select(
+            F.coalesce("ca", F.col("a")).alias("a"),
+            F.coalesce("cb", F.col("b")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    verts_all = e.select(F.col("user_id").alias("id")).distinct()
+    c1 = (
+        verts_all.join(base_cc, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("c1")
+        )
+    )
+    super_verts = c1.select(F.col("c1").alias("id")).distinct()
+    merged = cc_frame(super_verts, super_edges)  # tiny contracted graph
+    return c1.join(
+        merged.select(
+            F.col("id").alias("c1"), F.col("component").alias("comp2")
+        ),
+        "c1",
+    ).select(F.col("id").alias("user_id"), F.col("comp2").alias("component"))
+
+
+cc_incremental.__doc__ = cc_incremental.__doc__.format(mod=_CC_DELTA_MOD)
+
+# oracle = the batch answer: the merge is exact by the contraction
+# argument above, so full-graph CC is the specification
+_CC_INCREMENTAL_SQL = _CC_SQL
+
+
 # ---------------------------------------------------------------- PageRank
 
 _UNIT = 10**12
@@ -964,6 +1068,7 @@ QUERIES = {
     "sssp_weighted": sssp_weighted,
     "sssp_user_weighted": sssp_user_weighted,
     "connected_components": connected_components,
+    "cc_incremental": cc_incremental,
     "pagerank_fixed": pagerank_fixed,
     "label_propagation": label_propagation,
     "kcore_decompose": kcore_decompose,
@@ -984,6 +1089,7 @@ ORACLES = {
     "sssp_weighted": _SSSP_SQL,
     "sssp_user_weighted": _SSSP_USER_SQL,
     "connected_components": _CC_SQL,
+    "cc_incremental": _CC_INCREMENTAL_SQL,
     "pagerank_fixed": _pagerank_sql(10),
     "label_propagation": _lpa_sql(4),
     "kcore_decompose": _kcore_sql(),

@@ -268,3 +268,98 @@ def test_directed_edges_cap_is_subset(spark):
     assert n_capped > 0
     assert capped.join(full, ["src", "dst"], "left_semi").count() == n_capped
     assert n_capped <= full.count()
+
+
+def test_cc_incremental_merges_and_new_vertices(spark, tmp_path):
+    """The contracted-merge path must be EXACT: a delta batch that (a)
+    bridges two base components and (b) introduces a brand-new vertex
+    must produce the same labels as batch CC on the full graph. Base:
+    slot A = {1, 2}, slot B = {3, 4} (two components, anchors 1 and
+    3). Delta (event_id % 20 == 0): user 2 appears in slot B (merges
+    the components -> everyone labeled 1) and new user 9 shares fresh
+    slot C with base user 4."""
+    import datetime
+
+    from graph_database_akkatyped_spark.operators.algos import (
+        cc_incremental,
+        connected_components,
+    )
+
+    def ev(eid, hour, uid, etype):
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1, hour, 0, 0),
+            uid,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # base (event_id % 20 != 0)
+        ev(1, 0, 1, "a"), ev(2, 0, 2, "a"),      # slot A: {1,2}
+        ev(3, 1, 3, "a"), ev(4, 1, 4, "a"),      # slot B: {3,4}
+        ev(5, 2, 4, "c"),                        # slot C: base user 4
+        # delta (event_id % 20 == 0)
+        ev(20, 1, 2, "a"),                       # user 2 -> slot B
+        ev(40, 2, 9, "c"),                       # NEW user 9 -> slot C
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    inc = sorted(map(tuple, cc_incremental(spark, sf).collect()))
+    batch = sorted(map(tuple, connected_components(spark, sf).collect()))
+    assert inc == batch
+    labels = dict(inc)
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1}
+
+
+def test_cc_incremental_contracted_graph_is_small(spark):
+    """The incremental claim quantified on the fixture: the second CC
+    runs on #base-components + #new-vertices nodes, far fewer than
+    the full vertex set (otherwise the key is a rebuild in disguise)."""
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.operators.algos import (
+        _CC_DELTA_MOD,
+        cc_frame,
+    )
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        user_edges_sym,
+        user_vertices,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "events")
+    base_users = (
+        e.where((F.col("event_id") % _CC_DELTA_MOD) != 0)
+        .select("user_id")
+        .distinct()
+    )
+    n_full = user_vertices(spark, sf).count()
+    base_verts = base_users.select(F.col("user_id").alias("id"))
+    # components of the base graph (delta events excluded)
+    base_ev = e.where((F.col("event_id") % _CC_DELTA_MOD) != 0).select(
+        F.col("user_id"),
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+    )
+    a = base_ev.select(F.col("user_id").alias("a"), "event_type", "hour")
+    b = base_ev.select(F.col("user_id").alias("b"), "event_type", "hour")
+    base_edges = (
+        a.join(b, ["event_type", "hour"])
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    n_comp = (
+        cc_frame(base_verts, base_edges)
+        .select("component")
+        .distinct()
+        .count()
+    )
+    n_new = n_full - base_users.count()
+    assert n_comp + n_new < n_full / 3, (n_comp, n_new, n_full)
