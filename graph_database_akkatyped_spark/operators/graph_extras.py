@@ -1019,8 +1019,135 @@ def _katz_sql(iters: int = _KATZ_ITERS) -> str:
     )
 
 
+# ------------------------------------------------------ link prediction
+
+_LP_TOPK = 3
+
+
+def link_predict_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over NON-adjacent pairs: for every candidate
+    pair (x < y) with at least one common neighbor but no edge, score
+    by neighborhood Jaccard cn / (d_x + d_y − cn), common-neighbor
+    count, and preferential attachment d_x·d_y, keeping the top
+    ``_LP_TOPK`` candidates per x. The complement of ``edge_jaccard``
+    (which scores pairs that ARE edges): this is the "who should be
+    connected next" query a recommender runs.
+
+    Runs on the slot-CAPPED user graph deliberately: candidate
+    generation is one wedge join (pairs sharing a neighbor), whose
+    output is Σ deg² — near-quadratic on an uncapped power-law graph
+    (the docstring warning in ``mutual_neighbors``), but ≤ n·cap²
+    (linear in n) once the slot cap bounds degree. That is the only
+    honest 100 TB shape for all-pairs candidate generation; the
+    ranking itself is exact on the capped graph. Ordering uses the
+    integer-scaled jacc_e6 key (floor of 1e6·Jaccard) so the window
+    rank never compares engine-computed doubles."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph_capped,
+    )
+
+    ce = build_user_graph_capped(spark, sf_dir).select("a", "b")
+    sym = ce.unionAll(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    cn = (
+        s1.join(s2, "z")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = cn.join(
+        ce, (cn["x"] == ce["a"]) & (cn["y"] == ce["b"]), "left_anti"
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("deg").alias("d_x"))
+    dy = deg.select(F.col("v").alias("y"), F.col("deg").alias("d_y"))
+    scored = (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "cn",
+            "d_x",
+            "d_y",
+            F.expr(
+                "CAST(cn * 1000000 div (d_x + d_y - cn) AS BIGINT)"
+            ).alias("jacc_e6"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("d_x") + F.col("d_y") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+            (F.col("d_x") * F.col("d_y")).alias("pref_attach"),
+        )
+    )
+    w = Window.partitionBy("x").orderBy(
+        F.col("jacc_e6").desc(), F.col("cn").desc(), "y"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _LP_TOPK)
+    )
+
+
+_LINK_PREDICT_SQL = f"""
+WITH su AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
+         count(*) AS n_ev
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts), user_id
+),
+top AS (
+  SELECT event_type, hr, user_id FROM su
+  QUALIFY row_number() OVER (
+    PARTITION BY event_type, hr
+    ORDER BY n_ev DESC, user_id ASC) <= 32
+),
+ce AS MATERIALIZED (
+  SELECT DISTINCT t1.user_id AS a, t2.user_id AS b
+  FROM top t1 JOIN top t2
+    ON t1.event_type = t2.event_type AND t1.hr = t2.hr
+   AND t1.user_id < t2.user_id
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce
+),
+deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY a),
+cn AS (
+  SELECT s1.a AS x, s2.a AS y, CAST(count(*) AS BIGINT) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+  GROUP BY s1.a, s2.a
+),
+cand AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM ce WHERE ce.a = cn.x AND ce.b = cn.y)
+),
+scored AS (
+  SELECT c.x, c.y, c.cn, dx.deg AS d_x, dy.deg AS d_y,
+         CAST(c.cn * 1000000 // (dx.deg + dy.deg - c.cn) AS BIGINT)
+           AS jacc_e6,
+         CAST(c.cn AS DOUBLE) / (dx.deg + dy.deg - c.cn) AS jaccard,
+         CAST(dx.deg * dy.deg AS BIGINT) AS pref_attach
+  FROM cand c JOIN deg dx ON dx.v = c.x JOIN deg dy ON dy.v = c.y
+)
+SELECT x, y, cn, d_x, d_y, jacc_e6, jaccard, pref_attach,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY x ORDER BY jacc_e6 DESC, cn DESC, y) AS rnk
+  FROM scored
+) WHERE rnk <= {_LP_TOPK}
+"""
+
+
 QUERIES = {
     "pagerank_personalized": pagerank_personalized,
+    "link_predict_jaccard": link_predict_jaccard,
     "sssp_pred_tree": sssp_pred_tree,
     "graph_activity_timeline": graph_activity_timeline,
     "topo_longest_path": topo_longest_path,
@@ -1034,6 +1161,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "link_predict_jaccard": _LINK_PREDICT_SQL,
     "graph_eccentricity": _ECC_SQL,
     "path_shortest_bidirectional": _BIDIR_SQL,
     "graph_random_walks": _walks_sql(),

@@ -363,3 +363,39 @@ def test_cc_incremental_contracted_graph_is_small(spark):
     )
     n_new = n_full - base_users.count()
     assert n_comp + n_new < n_full / 3, (n_comp, n_new, n_full)
+
+
+def test_link_predict_jaccard_invariants(spark):
+    """Link-prediction invariants on the fixture: no predicted pair is
+    an existing capped-graph edge, every pair has >= 1 common
+    neighbor, jacc_e6 is the floor of 1e6*jaccard, at most _LP_TOPK
+    rows per x, and the rank ordering follows (jacc_e6 desc, cn desc,
+    y asc)."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph_capped,
+    )
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        _LP_TOPK,
+        link_predict_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = link_predict_jaccard(spark, sf).collect()
+    assert rows
+    edges = {
+        (r["a"], r["b"])
+        for r in build_user_graph_capped(spark, sf).collect()
+    }
+    per_x: dict = {}
+    for r in rows:
+        assert (r["x"], r["y"]) not in edges
+        assert r["x"] < r["y"] and r["cn"] >= 1
+        denom = r["d_x"] + r["d_y"] - r["cn"]
+        assert r["jacc_e6"] == (r["cn"] * 1_000_000) // denom
+        assert abs(r["jaccard"] - r["cn"] / denom) < 1e-15
+        per_x.setdefault(r["x"], []).append(r)
+    for x, lst in per_x.items():
+        assert len(lst) <= _LP_TOPK
+        lst.sort(key=lambda r: r["rnk"])
+        keys = [(-r["jacc_e6"], -r["cn"], r["y"]) for r in lst]
+        assert keys == sorted(keys), x
