@@ -783,8 +783,75 @@ FROM agg
 """
 
 
+# ------------------------------------------------- SCD type-2 history
+
+
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 build: the history-preserving
+    twin of ``merge_cdc_upsert`` (which keeps only the latest state).
+    Every change to a customer's balance becomes a VERSIONED row with
+    a [valid_from, valid_to) interval and an is_current flag — the
+    standard warehouse dimension shape for as-of joins and audits
+    (``join_asof_nearest`` is the read-side query this layout serves).
+
+    The change stream is the orders journal (each order sets the
+    customer's balance to o_totalprice effective o_orderdate); the
+    initial version is the customer master row at a floor date.
+    Interval stitching is one window per key: valid_to =
+    lead(valid_from), version = row_number, current = last. Ties
+    within a day break on o_orderkey (the journal sequence), so the
+    history is total-ordered and bit-deterministic.
+
+    100 TB shape: one shuffle on the dimension key, then a linear
+    window pass — the same plan whether the history is 10 rows or 10
+    billion; no self-join, no driver state. Incremental maintenance
+    at scale appends new versions and closes only the affected keys'
+    previous current rows (the merge_cdc_upsert join shape scoped to
+    the batch's keys)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(0).cast("long").alias("chg_seq"),
+    )
+    chg = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("balance"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderkey").alias("chg_seq"),
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from", "chg_seq")
+    return cust.unionByName(chg).select(
+        "custkey",
+        "balance",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+WITH hist AS (
+  SELECT c_custkey AS custkey, c_acctbal AS balance,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         CAST(0 AS BIGINT) AS chg_seq
+  FROM customer
+  UNION ALL
+  SELECT o_custkey, o_totalprice, o_orderdate, o_orderkey FROM orders
+)
+SELECT custkey, balance, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INTEGER) AS version,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM hist
+WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, chg_seq)
+"""
+
+
 QUERIES = {
     "revenue_pareto": revenue_pareto,
+    "merge_scd2": merge_scd2,
     "events_pattern_match": events_pattern_match,
     "snapshot_diff": snapshot_diff,
     "merge_cdc_upsert": merge_cdc_upsert,
@@ -803,6 +870,7 @@ QUERIES = {
 
 ORACLES = {
     "revenue_pareto": _PARETO_SQL,
+    "merge_scd2": _SCD2_SQL,
     "events_pattern_match": _PATTERN_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "merge_cdc_upsert": _MERGE_SQL,

@@ -136,3 +136,29 @@ def test_snapshot_diff_monotone(spark, run):
     assert (added["n_orders_a"] == 0).all()
     unchanged = out[out["change_type"] == "unchanged"]
     assert (unchanged["spend_a"] == unchanged["spend_b"]).all()
+
+
+def test_scd2_interval_algebra(spark, run):
+    """SCD2 invariants that must hold for ANY input: per key the
+    intervals tile the timeline (valid_to of version k == valid_from
+    of version k+1, no gaps or overlaps), versions are contiguous from
+    1, exactly ONE current row per key (the only NULL valid_to), and
+    |history| = |customer| + |orders| (every change produces exactly
+    one version; the master row seeds version 1)."""
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    out = run(spark, "merge_scd2")
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    n_ord = load_table(spark, SF_SMOKE, "orders").count()
+    assert len(out) == n_cust + n_ord
+    assert out["custkey"].nunique() == n_cust
+    for key, g in out.groupby("custkey"):
+        g = g.sort_values("version")
+        assert list(g["version"]) == list(range(1, len(g) + 1))
+        assert int(g["is_current"].sum()) == 1
+        assert g.iloc[-1]["is_current"] and g.iloc[-1:]["valid_to"].isna().all()
+        # tiling: each version closes exactly where the next opens
+        vf = list(g["valid_from"])
+        vt = list(g["valid_to"])
+        for i in range(len(g) - 1):
+            assert vt[i] == vf[i + 1], key
