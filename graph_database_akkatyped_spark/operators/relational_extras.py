@@ -783,6 +783,112 @@ FROM agg
 """
 
 
+# ------------------------------------------------- Count-Min sketch
+
+_CM_D = 4  # hash rows
+_CM_W = 64  # buckets per row
+_CM_HEAVY_DIV = 50  # report items with est >= n/50
+
+
+def _cm_bucket_spark() -> str:
+    return (
+        "CAST(conv(substring(md5(concat(CAST(item AS STRING), '|cm', "
+        f"CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_CM_W}"
+    )
+
+
+def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the event journal's user_id
+    stream: a d×w counter grid (d={d} salted-md5 rows, w={w} buckets)
+    where every counter is a SUM — and sums are commutative, so unlike
+    Misra-Gries/SpaceSaving (whose state depends on arrival order)
+    the CM sketch is bit-deterministic under ANY partitioning and
+    merge order, which makes it the one frequency sketch that earns a
+    full SQL-hash oracle (the HLL key stays rows-only for exactly
+    this reason). Reported: every user whose ESTIMATE clears n/{div}
+    (integer comparison — no float threshold), with the exact count
+    and overcount alongside, so the key doubles as its own accuracy
+    scorecard. CM guarantees est >= true always and
+    est <= true + n·e/w with prob 1−e^−d; the test pins the one-sided
+    bound and that no true heavy hitter is missed (monotone: est >=
+    true means true-heavy implies est-heavy).
+
+    100 TB shape: the sketch build is one groupBy over (row, bucket)
+    — d·w = {d}·{w} cells regardless of item cardinality, the whole
+    point of sketching a stream whose distinct-key set doesn't fit
+    anywhere; the exact-count join exists only for the fixture
+    scorecard and is dropped at scale."""
+    e = load_table(spark, sf_dir, "events")
+    items = e.select(F.col("user_id").alias("item"))
+    hj = F.explode(
+        F.array(*[F.lit(j) for j in range(_CM_D)])
+    ).alias("j")
+    rows = items.select("item", hj)
+    cm = (
+        rows.withColumn("b", F.expr(_cm_bucket_spark()))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        items.distinct()
+        .select("item", hj)
+        .withColumn("b", F.expr(_cm_bucket_spark()))
+        .join(cm, ["j", "b"])
+        .groupBy("item")
+        .agg(F.min("c").alias("est"))
+    )
+    true = items.groupBy("item").agg(F.count(F.lit(1)).alias("true_n"))
+    tot = items.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        est.join(true, "item")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("est") * _CM_HEAVY_DIV >= F.col("n_total"))
+        .select(
+            "item",
+            "est",
+            "true_n",
+            (F.col("est") - F.col("true_n")).alias("overcount"),
+            "n_total",
+        )
+    )
+
+
+sketch_countmin_heavy.__doc__ = sketch_countmin_heavy.__doc__.format(
+    d=_CM_D, w=_CM_W, div=_CM_HEAVY_DIV
+)
+
+_CM_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(item AS VARCHAR) || '|cm' || "
+    f"CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % {_CM_W}"
+)
+
+_COUNTMIN_SQL = f"""
+WITH items AS (SELECT user_id AS item FROM events),
+hj AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)),
+cm AS (
+  SELECT j, {_CM_BUCKET_SQL} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM items CROSS JOIN hj GROUP BY 1, 2
+),
+est AS (
+  SELECT d.item, CAST(min(cm.c) AS BIGINT) AS est
+  FROM (SELECT DISTINCT item FROM items) d
+  CROSS JOIN hj
+  JOIN cm ON cm.j = hj.j
+         AND cm.b = CAST('0x' || substr(md5(CAST(d.item AS VARCHAR)
+             || '|cm' || CAST(hj.j AS VARCHAR)), 1, 15) AS BIGINT)
+             % {_CM_W}
+  GROUP BY d.item
+),
+tru AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS true_n FROM items GROUP BY item
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM items)
+SELECT e.item, e.est, t.true_n, e.est - t.true_n AS overcount, n_total
+FROM est e JOIN tru t ON t.item = e.item CROSS JOIN tot
+WHERE e.est * {_CM_HEAVY_DIV} >= n_total
+"""
+
+
 # ------------------------------------------------- SCD type-2 history
 
 
@@ -852,6 +958,7 @@ WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, chg_seq)
 QUERIES = {
     "revenue_pareto": revenue_pareto,
     "merge_scd2": merge_scd2,
+    "sketch_countmin_heavy": sketch_countmin_heavy,
     "events_pattern_match": events_pattern_match,
     "snapshot_diff": snapshot_diff,
     "merge_cdc_upsert": merge_cdc_upsert,
@@ -871,6 +978,7 @@ QUERIES = {
 ORACLES = {
     "revenue_pareto": _PARETO_SQL,
     "merge_scd2": _SCD2_SQL,
+    "sketch_countmin_heavy": _COUNTMIN_SQL,
     "events_pattern_match": _PATTERN_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "merge_cdc_upsert": _MERGE_SQL,

@@ -570,6 +570,137 @@ LEFT JOIN counts c ON c.hr = g.hr AND c.event_type = t.event_type
 """
 
 
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the hourly mean `value` series per
+    event_type over the full hour grid — the VALUE twin of
+    ``timeseries_gapfill`` (a count gap is a zero; a measurement gap
+    is an estimate). Missing hours take the straight line between the
+    surrounding observed hours; leading/trailing gaps carry the
+    nearest observation (ffill/bfill at the edges).
+
+    Exactness discipline: the hourly mean is an integer µ-unit mean
+    (floor-scaled sum div count — partition-order-proof like every
+    aggregate here), and the interpolation itself is INTEGER:
+    prev + (next−prev)·gap_pos div gap_len, so the filled series is
+    bit-identical to the SQL oracle with no float accumulation
+    anywhere. Two window passes (prev/next carry via last IGNORE
+    NULLS over the grid) — linear, one shuffle on event_type, grid
+    size O(span·types) independent of event volume."""
+    e = _events(spark, sf_dir)
+    hr = F.date_trunc("hour", "ts")
+    obs = e.groupBy(hr.alias("hr"), "event_type").agg(
+        F.expr(
+            "CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) div count(*) "
+            "AS BIGINT)"
+        ).alias("v_e6")
+    )
+    bounds = e.agg(F.min(hr).alias("lo"), F.max(hr).alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = e.select("event_type").distinct()
+    sparse = grid.crossJoin(types).join(obs, ["hr", "event_type"], "left")
+    from pyspark.sql import Window as W
+
+    fwd = W.partitionBy("event_type").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    bwd = W.partitionBy("event_type").orderBy(F.col("hr").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    carried = sparse.select(
+        "hr",
+        "event_type",
+        "v_e6",
+        F.last(
+            F.when(F.col("v_e6").isNotNull(), F.struct("hr", "v_e6")),
+            ignorenulls=True,
+        )
+        .over(fwd)
+        .alias("prev"),
+        F.last(
+            F.when(F.col("v_e6").isNotNull(), F.struct("hr", "v_e6")),
+            ignorenulls=True,
+        )
+        .over(bwd)
+        .alias("nxt"),
+    )
+    interp = F.when(F.col("v_e6").isNotNull(), F.col("v_e6")).otherwise(
+        F.when(F.col("prev").isNull(), F.col("nxt.v_e6")).when(
+            F.col("nxt").isNull(), F.col("prev.v_e6")
+        ).otherwise(
+            F.expr(
+                "prev.v_e6 + (nxt.v_e6 - prev.v_e6) * "
+                "timestampdiff(HOUR, prev.hr, hr) div "
+                "timestampdiff(HOUR, prev.hr, nxt.hr)"
+            )
+        )
+    )
+    return carried.select(
+        "hr",
+        "event_type",
+        F.col("v_e6").isNotNull().alias("observed"),
+        interp.cast("long").alias("value_e6"),
+        (interp.cast("double") / F.lit(1e6)).alias("value"),
+    )
+
+
+_INTERPOLATE_SQL = """
+WITH bounds AS (
+  SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+         max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds),
+                                INTERVAL '1 hour')) AS hr
+),
+types AS (SELECT DISTINCT event_type FROM events),
+obs AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+         CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) // count(*)
+              AS BIGINT) AS v_e6
+  FROM events GROUP BY 1, 2
+),
+sparse AS (
+  SELECT g.hr, t.event_type, o.v_e6
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN obs o ON o.hr = g.hr AND o.event_type = t.event_type
+),
+carried AS (
+  SELECT hr, event_type, v_e6,
+         last_value(CASE WHEN v_e6 IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER fwd AS prev_hr,
+         last_value(v_e6 IGNORE NULLS) OVER fwd AS prev_v,
+         last_value(CASE WHEN v_e6 IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER bwd AS next_hr,
+         last_value(v_e6 IGNORE NULLS) OVER bwd AS next_v
+  FROM sparse
+  WINDOW fwd AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         bwd AS (PARTITION BY event_type ORDER BY hr DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT hr, event_type, v_e6 IS NOT NULL AS observed,
+       CAST(interp AS BIGINT) AS value_e6,
+       CAST(interp AS DOUBLE) / 1e6 AS value
+FROM (
+  SELECT *,
+         CASE WHEN v_e6 IS NOT NULL THEN v_e6
+              WHEN prev_v IS NULL THEN next_v
+              WHEN next_v IS NULL THEN prev_v
+              ELSE prev_v + (next_v - prev_v) *
+                   date_diff('hour', prev_hr, hr) //
+                   date_diff('hour', prev_hr, next_hr)
+         END AS interp
+  FROM carried
+)
+"""
+
+
 def stream_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup-sketch maintenance as a STREAM: documents flow
     through the file source, shingles explode statelessly, and the
@@ -732,6 +863,7 @@ QUERIES = {
     "stream_topk_types": stream_topk_types,
     "sessionize_events": sessionize_events,
     "timeseries_gapfill": timeseries_gapfill,
+    "timeseries_interpolate": timeseries_interpolate,
     "timeseries_multires_rollup": timeseries_multires_rollup,
     "stream_minhash_signature": stream_minhash_signature,
     "stream_tumbling": stream_tumbling,
@@ -750,6 +882,7 @@ ORACLES = {
     "stream_topk_types": _TOPK_TYPES_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "timeseries_gapfill": _GAPFILL_SQL,
+    "timeseries_interpolate": _INTERPOLATE_SQL,
     "timeseries_multires_rollup": _MULTIRES_SQL,
     "stream_minhash_signature": _stream_minhash_sql(),
     "stream_tumbling": _TUMBLING_SQL,

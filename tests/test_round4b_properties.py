@@ -162,3 +162,81 @@ def test_scd2_interval_algebra(spark, run):
         vt = list(g["valid_to"])
         for i in range(len(g) - 1):
             assert vt[i] == vf[i + 1], key
+
+
+def test_countmin_one_sided_guarantee(spark):
+    """CM sketch algebra: est >= true for EVERY item (not only the
+    reported ones — the min over d counters can only overcount), and
+    therefore no true heavy hitter is ever missed by the integer
+    threshold. Checked by recomputing estimates for all items."""
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        _CM_D,
+        _CM_HEAVY_DIV,
+        _CM_W,
+        _cm_bucket_spark,
+        sketch_countmin_heavy,
+    )
+
+    sf = SF_SMOKE
+    e = load_table(spark, sf, "events")
+    items = e.select(F.col("user_id").alias("item"))
+    hj = F.explode(F.array(*[F.lit(j) for j in range(_CM_D)])).alias("j")
+    rows = items.select("item", hj).withColumn(
+        "b", F.expr(_cm_bucket_spark())
+    )
+    cm = rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    est_all = {
+        r["item"]: r["est"]
+        for r in items.distinct()
+        .select("item", hj)
+        .withColumn("b", F.expr(_cm_bucket_spark()))
+        .join(cm, ["j", "b"])
+        .groupBy("item")
+        .agg(F.min("c").alias("est"))
+        .collect()
+    }
+    true_all = {
+        r["item"]: r["n"]
+        for r in items.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(true_all.values())
+    assert set(est_all) == set(true_all)
+    for it, tr in true_all.items():
+        assert est_all[it] >= tr, it
+    reported = {
+        r["item"] for r in sketch_countmin_heavy(spark, sf).collect()
+    }
+    true_heavy = {it for it, tr in true_all.items() if tr * _CM_HEAVY_DIV >= n}
+    assert true_heavy <= reported
+
+
+def test_interpolate_fills_between_neighbors(spark):
+    """Interpolated values lie on the segment between the surrounding
+    observations (min <= v <= max of the two endpoints), observed
+    hours keep their exact integer hourly mean, and leading/trailing
+    gaps carry the nearest observation."""
+    from graph_database_akkatyped_spark.streaming.windows import (
+        timeseries_interpolate,
+    )
+
+    sf = SF_SMOKE
+    out = timeseries_interpolate(spark, sf).toPandas()
+    assert not out["value_e6"].isna().any()
+    for et, g in out.groupby("event_type"):
+        g = g.sort_values("hr").reset_index(drop=True)
+        obs_idx = list(g.index[g["observed"]])
+        assert obs_idx, et
+        for i in g.index[~g["observed"]]:
+            prevs = [j for j in obs_idx if j < i]
+            nxts = [j for j in obs_idx if j > i]
+            if not prevs:
+                assert g.loc[i, "value_e6"] == g.loc[nxts[0], "value_e6"]
+            elif not nxts:
+                assert g.loc[i, "value_e6"] == g.loc[prevs[-1], "value_e6"]
+            else:
+                lo = min(g.loc[prevs[-1], "value_e6"], g.loc[nxts[0], "value_e6"])
+                hi = max(g.loc[prevs[-1], "value_e6"], g.loc[nxts[0], "value_e6"])
+                assert lo <= g.loc[i, "value_e6"] <= hi, (et, i)
