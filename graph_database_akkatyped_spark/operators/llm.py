@@ -1442,6 +1442,94 @@ FROM per_q
 """
 
 
+def simsearch_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``simsearch_ivf`` with the index as a PHYSICAL layout: the
+    corpus is written ``partitionBy(cell)`` and the probe reads ONLY
+    the probed cells' directories — this key realizes the partition-
+    pruning claim simsearch_ivf's docstring makes ("only the probed
+    cells' vectors are read when the table is laid out by cell").
+    tests/test_plans.py asserts the candidate scan carries a
+    PartitionFilters entry on the cell column, i.e. the other cells'
+    bytes are never opened.
+
+    The probed cell set (nprobe × |queries| ≤ 10 pairs here; a bounded
+    handful at any scale — it is the PROBE fan-out, not the corpus) is
+    collected to the driver to form the static IN-list that the scan
+    prunes on, the same bounded-collect pattern as the seed lists in
+    operators.algos. Results are value-identical to ``simsearch_ivf``
+    (same centroids, same probe, same re-rank over the same rows), so
+    the oracle is the same SQL."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="spark_graft_ivfpart_")
+    emb.write.mode("overwrite").partitionBy("label").parquet(out)
+    idx = spark.read.parquet(out).select(
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+    )
+    dims = idx.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cdims = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1e8).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1e8)
+        ).alias("cval")
+    )
+    centroids = cdims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("centroid")
+    )
+    cells = centroids.select(
+        "label",
+        "centroid",
+        _dot(F.col("centroid"), F.col("centroid")).alias("cnrm"),
+    )
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    queries = (
+        emb.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            norm.alias("q_nrm"),
+        )
+    )
+    c_cos = _dot(F.col("q_emb"), F.col("centroid")) / (
+        F.sqrt("q_nrm") * F.sqrt("cnrm")
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), "label")
+    probed = (
+        queries.crossJoin(F.broadcast(cells))
+        .withColumn("c_cos", c_cos)
+        .withColumn("cell_rnk", F.row_number().over(wc))
+        .where(F.col("cell_rnk") <= 2)
+        .select("q_id", "q_emb", "q_nrm", "label")
+    )
+    # bounded probe fan-out -> static partition IN-list for the scan
+    probed_cells = sorted(
+        {r["label"] for r in probed.select("label").distinct().collect()}
+    )
+    cand = idx.where(F.col("label").isin(probed_cells)).select(
+        "vec_id", "label", "embedding", norm.alias("nrm")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        cand.join(F.broadcast(probed), "label")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+    )
+
+
 # -------------------------------------------- incremental index append
 
 _APPEND_MOD = 10  # vec_id % 10 == 7 -> the "new batch" (~10% of corpus)
@@ -3793,6 +3881,7 @@ QUERIES = {
     "simsearch_ivf_filtered": simsearch_ivf_filtered,
     "simsearch_recall_filtered": simsearch_recall_filtered,
     "simsearch_ivf_append": simsearch_ivf_append,
+    "simsearch_ivf_partitioned": simsearch_ivf_partitioned,
     "simsearch_lsh": simsearch_lsh,
     "simsearch_recall": simsearch_recall,
     "simsearch_recall_lsh": simsearch_recall_lsh,
@@ -3845,6 +3934,7 @@ ORACLES = {
     "simsearch_ivf_filtered": _IVF_FILTERED_SQL,
     "simsearch_recall_filtered": _RECALL_FILTERED_SQL,
     "simsearch_ivf_append": _IVF_APPEND_SQL,
+    "simsearch_ivf_partitioned": _SIMSEARCH_IVF_SQL,
     # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's
     # seeded internal RNG — not SQL-reproducible)
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,

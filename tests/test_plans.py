@@ -302,3 +302,24 @@ def test_multimodal_decode_roundtrip_and_map_only(spark):
         assert len(body) == d["n_body_bytes"]
         assert hashlib.md5(body).hexdigest() == d["checksum"]
         assert body == texts[doc_id].encode("utf-8")
+
+
+def test_ivf_partitioned_probe_prunes_cells(spark):
+    """The cell-partitioned IVF probe must read ONLY the probed cells'
+    directories: the candidate scan carries a PartitionFilters entry
+    on the cell column (label), and the result is value-identical to
+    the logical simsearch_ivf (same centroids, probe, re-rank)."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    df = llm.simsearch_ivf_partitioned(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    pf_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "label" in ln
+    ]
+    assert pf_lines, plan
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, llm.simsearch_ivf(spark, SF_ORACLE).collect()))
+    assert got == want
