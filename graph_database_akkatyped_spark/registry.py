@@ -43,9 +43,9 @@ _MODULES = (
 # keys, then RE-confirmation of the oldest evidence.
 _SWEEP_ORDER = (
     # -- block 1 (round-6 rotation, exactly 50 keys = the driver's
-    # per-round budget): the 14 new round-6 keys, the 1 key whose
+    # per-round budget): the 15 new round-6 keys, the 1 key whose
     # implementation changed this round (stream_sink_idempotent:
-    # memoized + resource release), then 35 of the 50 keys whose ONLY
+    # memoized + resource release), then 34 of the 50 keys whose ONLY
     # driver sample is still round 1 (relational core + section 2-B
     # builders, cheapest first) — re-confirmation pressure goes to the
     # oldest evidence. RULE: any NEW key must be added to block 1
@@ -54,7 +54,7 @@ _SWEEP_ORDER = (
     # test_registry keeps the set exact.
     "community_louvain_multi", "simsearch_ivf_append", "cc_incremental",
     "link_predict_jaccard", "merge_scd2", "timeseries_interpolate",
-    "sketch_countmin_heavy", "simsearch_ivf_partitioned",
+    "sketch_countmin_heavy", "simsearch_ivf_partitioned", "stream_scd2",
     "simsearch_ivf_filtered", "simsearch_recall_filtered",
     "dedup_semantic", "stream_graph_degree", "community_louvain_l1",
     "multimodal_decode", "stream_sink_idempotent", "scan_parquet",
@@ -67,17 +67,17 @@ _SWEEP_ORDER = (
     "agg_distinct", "agg_minmax_by", "agg_mode", "agg_listagg",
     "grouping_rollup", "grouping_cube", "grouping_sets", "window_rank",
     "window_running", "window_lead_lag", "window_range_frame",
-    "window_first_last", "window_ntile",
-    # -- block 2 head: the 15 remaining r1-only keys that did not fit
+    "window_first_last",
+    # -- block 2 head: the 16 remaining r1-only keys that did not fit
     # the 50-key budget (named so coverage accounting stays honest —
     # they are expected to MISS round 6 and lead round 7's rotation):
-    # sort_limit_topk + set_union + set_intersect + set_except +
-    # pivot_segment + unpivot_melt + subquery_in + subquery_scalar
-    # (displaced by the late round-6 additions), flagship, agg_hash,
-    # agg_moments, agg_percentiles, agg_approx_distinct (rows-only),
-    # join_salted_skew, table_profile
-    "sort_limit_topk", "set_union", "set_intersect", "set_except",
-    "pivot_segment",
+    # window_ntile + sort_limit_topk + set_union + set_intersect +
+    # set_except + pivot_segment + unpivot_melt + subquery_in +
+    # subquery_scalar (displaced by the late round-6 additions),
+    # flagship, agg_hash, agg_moments, agg_percentiles,
+    # agg_approx_distinct (rows-only), join_salted_skew, table_profile
+    "window_ntile", "sort_limit_topk", "set_union", "set_intersect",
+    "set_except", "pivot_segment",
     "unpivot_melt", "subquery_in", "subquery_scalar",
     "flagship", "agg_hash", "agg_moments", "agg_percentiles",
     "agg_approx_distinct", "join_salted_skew", "table_profile",

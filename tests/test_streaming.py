@@ -628,3 +628,72 @@ def test_incremental_degree_natural_idempotence(spark):
         )
     )
     assert once == rebuilt
+
+
+def test_scd2_store_ledger_and_affected_key_scope(spark):
+    """IncrementalScd2Store algebra on a hand-built history: replaying
+    a committed batch is a ledger no-op (history hash-identical,
+    n_skipped_replays increments), and each batch re-stitches ONLY its
+    affected keys — an untouched key keeps its exact interval rows
+    across commits. Final history equals the one-shot stitch of all
+    raw versions."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.streaming.sinks import (
+        IncrementalScd2Store,
+        _scd2_stitch,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows,
+            "custkey long, balance double, valid_from timestamp, "
+            "chg_seq long",
+        )
+
+    t0 = datetime.datetime(1990, 1, 1)
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 2, 1)
+    seed = [(k, 100.0 * k, t0, 0) for k in (1, 2, 3)]
+    b1 = [(1, 111.0, t1, 10)]
+    b2 = [(2, 222.0, t1, 20), (2, 223.0, t2, 21)]
+
+    store = IncrementalScd2Store(spark)
+    store.apply(frame(seed), -1)
+    store.apply(frame(b1), 0)
+    after_b1 = sorted(map(tuple, store.snapshot().collect()))
+    store.apply(frame(b1), 0)  # replay: ledger no-op
+    assert store.n_skipped_replays == 1
+    assert sorted(map(tuple, store.snapshot().collect())) == after_b1
+    key3_before = [r for r in after_b1 if r[0] == 3]
+    store.apply(frame(b2), 1)
+    final = sorted(map(tuple, store.snapshot().collect()))
+    # untouched key 3 kept its exact rows across both commits
+    assert [r for r in final if r[0] == 3] == key3_before
+    # final history == one-shot stitch of all raw versions
+    oneshot = sorted(
+        map(
+            tuple,
+            _scd2_stitch(frame(seed + b1 + b2))
+            .select(
+                "custkey",
+                "balance",
+                "valid_from",
+                "valid_to",
+                "version",
+                "is_current",
+            )
+            .collect(),
+        )
+    )
+    assert final == oneshot
+    # interval algebra per key: one current row, versions contiguous
+    by_key: dict = {}
+    for r in final:
+        by_key.setdefault(r[0], []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r[4])
+        assert [r[4] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(1 for r in rows if r[5]) == 1
