@@ -23,6 +23,10 @@ What each key should show:
   the span 10x -> grid 10x, everything linear.
 - sketch_countmin_heavy: sketch build linear in events; d*w cells
   fixed (the exact-count scorecard join is also linear).
+- simsearch_ivf_partitioned: partitioned index WRITE is the linear
+  bulk; the probe reads only the probed cells at any corpus size.
+- stream_scd2: per-batch work is O(touched keys' history); 10x
+  disjoint customers -> 10x batch size, linear.
 
 Usage: python tools/round6b_scale_check.py [N]   (default 10)
 Results recorded in BASELINE.md.
@@ -49,7 +53,7 @@ from graph_database_akkatyped_spark.operators import (
     relational_extras,
 )
 from graph_database_akkatyped_spark.session import get_spark
-from graph_database_akkatyped_spark.streaming import windows
+from graph_database_akkatyped_spark.streaming import sinks, windows
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ID_STRIDE = 10**9
@@ -64,6 +68,8 @@ QUERIES = {
     "sketch_countmin_heavy": relational_extras.QUERIES[
         "sketch_countmin_heavy"
     ],
+    "simsearch_ivf_partitioned": llm.QUERIES["simsearch_ivf_partitioned"],
+    "stream_scd2": sinks.QUERIES["stream_scd2"],
 }
 
 
