@@ -586,10 +586,161 @@ FROM feat
 """
 
 
+_VEC_BUCKET = (
+    "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) "
+    "AS BIGINT) % 10"
+)
+_VEC_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 10"
+)
+_DECONTAM_SEM_COS = 0.30  # fixture-calibrated like dedup_semantic's tau
+
+
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space twin of
+    ``decontam_ngram_overlap``: for every EVAL-split vector (md5
+    bucket ≥ 8, the val+test share of split_train_test's 8/1/1), find
+    train-split vectors with cosine ≥ ``_DECONTAM_SEM_COS`` and report
+    how contaminated the eval member is (n_train_near, max_cos).
+    N-gram overlap catches verbatim leaks; this catches paraphrased /
+    re-rendered leaks that share no surface n-grams — the audit both
+    the benchmark-hygiene and dataset-release literature now expect.
+
+    Scale shape: candidates come from the same 8-band sign-LSH as
+    dedup_embedding_cosine / dedup_semantic, but as a TRAIN × EVAL
+    bipartite equi-join on (band, key) — never the |train|·|eval|
+    cross product; only banded candidates get the exact-dot verify.
+    Band recall rises with the threshold, so at the production
+    setting (near-duplicate leaks, τ ≥ 0.9) the bands are a
+    high-recall pruner; the fixture τ of 0.30 exercises the same
+    plumbing on synthetic embeddings. Both engines compute the
+    identical banded candidate set, so even max_cos value-hashes.
+    Output: one row per eval vector (clean rows keep NULL max_cos),
+    linear in corpus size."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        _EMB_BANDS,
+        _dot,
+        _sign_band_key,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "b", F.expr(_VEC_BUCKET)
+    )
+    banded = emb.select(
+        "vec_id",
+        "b",
+        F.posexplode(
+            F.array(*[_sign_band_key(k) for k in range(_EMB_BANDS)])
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.where(F.col("b") <= 7)
+        .select(F.col("vec_id").alias("t"), "band", "key")
+        .join(
+            banded.where(F.col("b") >= 8)
+            .select(F.col("vec_id").alias("v"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("t", "v")
+        .distinct()
+    )
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    cos = _dot(F.col("emb_t"), F.col("emb_v")) / (
+        F.sqrt("nrm_t") * F.sqrt("nrm_v")
+    )
+    hits = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("t"),
+                F.col("embedding").alias("emb_t"),
+                F.col("nrm").alias("nrm_t"),
+            ),
+            "t",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("v"),
+                F.col("embedding").alias("emb_v"),
+                F.col("nrm").alias("nrm_v"),
+            ),
+            "v",
+        )
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(_DECONTAM_SEM_COS))
+        .groupBy(F.col("v").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_train_near"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+    return (
+        emb.where(F.col("b") >= 8)
+        .select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_train_near", F.lit(0)).alias("n_train_near"),
+            "max_cos",
+            (F.coalesce("n_train_near", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _decontam_sem_sql() -> str:
+    from graph_database_akkatyped_spark.operators.llm import (
+        _EMB_BANDS,
+        _sign_band_key_sql,
+        _sql_dot,
+    )
+
+    banded_union = " UNION ALL ".join(
+        f"SELECT vec_id, b, {k} AS band, {_sign_band_key_sql(k)} AS key "
+        f"FROM emb"
+        for k in range(_EMB_BANDS)
+    )
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding, {_VEC_BUCKET_SQL} AS b FROM embeddings
+),
+banded AS MATERIALIZED ({banded_union}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT b1.vec_id AS t, b2.vec_id AS v
+  FROM banded b1
+  JOIN banded b2 ON b1.band = b2.band AND b1.key = b2.key
+  WHERE b1.b <= 7 AND b2.b >= 8
+),
+e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM emb
+),
+hits AS (
+  SELECT c.v AS vec_id, CAST(count(*) AS BIGINT) AS n_train_near,
+         max(cos) AS max_cos
+  FROM (
+    SELECT c.t, c.v,
+           {_sql_dot('e1.embedding', 'e2.embedding')}
+             / (sqrt(e1.nrm) * sqrt(e2.nrm)) AS cos
+    FROM cand c JOIN e e1 ON e1.vec_id = c.t JOIN e e2 ON e2.vec_id = c.v
+  ) c
+  WHERE cos >= {_DECONTAM_SEM_COS}
+  GROUP BY c.v
+)
+SELECT ev.vec_id,
+       CAST(COALESCE(h.n_train_near, 0) AS BIGINT) AS n_train_near,
+       h.max_cos,
+       COALESCE(h.n_train_near, 0) > 0 AS contaminated
+FROM (SELECT vec_id FROM emb WHERE b >= 8) ev
+LEFT JOIN hits h USING (vec_id)
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "tombstone_cascade": tombstone_cascade,
     "decontam_ngram_overlap": decontam_ngram_overlap,
+    "decontam_semantic": decontam_semantic,
     "curation_filter_report": curation_filter_report,
     "pii_redact": pii_redact,
     "text_repetition": text_repetition,
@@ -602,6 +753,7 @@ ORACLES = {
     "quality_gopher_rules": _GOPHER_SQL,
     "tombstone_cascade": _TOMBSTONE_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
+    "decontam_semantic": _decontam_sem_sql(),
     "curation_filter_report": _FILTER_REPORT_SQL,
     "pii_redact": _PII_SQL,
     "text_repetition": _REPETITION_SQL,

@@ -1094,8 +1094,11 @@ def link_predict_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LINK_PREDICT_SQL = f"""
-WITH su AS (
+# Shared oracle prelude: the slot-capped canonical edge set (ce), its
+# symmetric closure (sym), and per-vertex degrees (deg) — the DuckDB
+# twin of build_user_graph_capped + the sym/deg steps both link
+# predictors start from.
+_LP_PRELUDE = """su AS (
   SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
          count(*) AS n_ev
   FROM events
@@ -1117,7 +1120,11 @@ sym AS MATERIALIZED (
   SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce
 ),
 deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
-        FROM sym GROUP BY a),
+        FROM sym GROUP BY a)"""
+
+
+_LINK_PREDICT_SQL = f"""
+WITH {_LP_PRELUDE},
 cn AS (
   SELECT s1.a AS x, s2.a AS y, CAST(count(*) AS BIGINT) AS cn
   FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
@@ -1145,9 +1152,224 @@ FROM (
 """
 
 
+def link_predict_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou–Lü–Zhang 2009):
+    score a non-adjacent pair (x, y) by Σ_{{z ∈ CN(x,y)}} 1/deg(z) —
+    common neighbors weighted INVERSELY by their degree, so a hub
+    shared with everyone contributes almost nothing while a rare
+    mutual contact dominates. Same family as Adamic–Adar (1/ln deg)
+    and consistently at least as accurate in the link-prediction
+    literature; chosen over AA here because 1/deg is RATIONAL — the
+    per-neighbor term floors to an exact integer (1e6 div deg_z) in
+    both engines, whereas 1/ln(deg) would put a libm call into the
+    ranking key and doubles from different log implementations can
+    disagree in the last ulp. Complements ``link_predict_jaccard``
+    (which scores by neighborhood overlap ratio and cannot
+    distinguish WHICH neighbors are shared).
+
+    Same 100 TB shape as the Jaccard key: candidate generation is the
+    one wedge join on the slot-CAPPED graph (≤ n·cap² pairs, linear in
+    n); the only addition is carrying the wedge midpoint z to a
+    degree lookup BEFORE the (x, y) group-by, so the score is one
+    extra broadcast-sized join on the densest column, no new shuffle
+    key. Top-``_LP_TOPK`` per x, ranked by the exact integer score."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph_capped,
+    )
+
+    ce = build_user_graph_capped(spark, sf_dir).select("a", "b")
+    sym = ce.unionAll(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    dz = deg.select(F.col("v").alias("z"), F.col("deg").alias("d_z"))
+    cn = (
+        s1.join(s2, "z")
+        .where(F.col("x") < F.col("y"))
+        .join(dz, "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr("1000000 div d_z")).alias("ra_e6"),
+        )
+    )
+    cand = cn.join(
+        ce, (cn["x"] == ce["a"]) & (cn["y"] == ce["b"]), "left_anti"
+    )
+    w = Window.partitionBy("x").orderBy(
+        F.col("ra_e6").desc(), F.col("cn").desc(), "y"
+    )
+    return (
+        cand.withColumn("ra", F.col("ra_e6").cast("double") / F.lit(1e6))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _LP_TOPK)
+        .select("x", "y", "cn", "ra_e6", "ra", "rnk")
+    )
+
+
+_LINK_PREDICT_RA_SQL = f"""
+WITH {_LP_PRELUDE},
+cnz AS (
+  SELECT s1.a AS x, s2.a AS y, s1.b AS z
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+),
+cn AS (
+  SELECT c.x, c.y, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_e6
+  FROM cnz c JOIN deg d ON d.v = c.z
+  GROUP BY c.x, c.y
+),
+cand AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM ce WHERE ce.a = cn.x AND ce.b = cn.y)
+)
+SELECT x, y, cn, ra_e6, CAST(ra_e6 AS DOUBLE) / 1e6 AS ra,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY x ORDER BY ra_e6 DESC, cn DESC, y) AS rnk
+  FROM cand
+) WHERE rnk <= {_LP_TOPK}
+"""
+
+
+# ------------------------------------------- GNN neighborhood sampling
+
+_GNN_SEEDS = 10  # smallest vertex ids — deterministic seed batch
+_GNN_F1 = 4      # hop-1 fan-out
+_GNN_F2 = 3      # hop-2 fan-out
+
+
+def _edge_hash(src, dst):
+    """Deterministic per-edge sampling key: first 8 hex digits of
+    md5("src:dst") as a BIGINT — the same engine-portable hash recipe
+    as split_train_test's bucket (md5 prefix → integer), so the
+    sampled neighbor CHOICE is a pure function of the edge, stable
+    across runs, partitionings, and engines."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", src.cast("string"), dst.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _sql_edge_hash(src: str, dst: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({src} AS VARCHAR) || ':' || "
+        f"CAST({dst} AS VARCHAR)), 1, 8) AS BIGINT)"
+    )
+
+
+def gnn_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style fan-out neighborhood sampling — the extraction
+    step of every mini-batch GNN training pipeline: for each seed
+    vertex take ≤ ``_GNN_F1`` hop-1 neighbors, then ≤ ``_GNN_F2``
+    hop-2 neighbors of each sampled hop-1 vertex, emitting the sampled
+    TREE edges (seed, hop, src, dst). Neighbor choice is rank-by-
+    deterministic-hash (``_edge_hash``) within each parent — i.e.
+    uniform-without-replacement sampling whose randomness is a pure
+    function of the edge, so the same seed always draws the same
+    neighborhood (reproducible batches, engine-portable oracle).
+
+    100 TB shape: each hop is one equi-join of the (tiny, ≤ seeds·f1)
+    frontier against the hash-partitioned adjacency followed by one
+    window per parent — output is ≤ seeds·f1·(1+f2) rows regardless of
+    graph degree, because the rank caps fan-out BEFORE the next join.
+    The frontier side always broadcasts; the adjacency is never
+    re-shuffled (both hops join on its ``a`` column). On the slot-
+    capped user graph the per-parent window sorts ≤ cap rows. Seeds
+    here = the ``_GNN_SEEDS`` smallest vertex ids (a deterministic
+    stand-in for a training batch; production passes real batch ids)."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph_capped,
+    )
+
+    ce = build_user_graph_capped(spark, sf_dir).select("a", "b")
+    sym = ce.unionAll(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    seeds = (
+        sym.select(F.col("a").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(_GNN_SEEDS)
+    )
+    w1 = Window.partitionBy("seed").orderBy("hkey", "dst")
+    hop1 = (
+        sym.join(F.broadcast(seeds), sym["a"] == seeds["seed"])
+        .select(
+            "seed",
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            _edge_hash(F.col("a"), F.col("b")).alias("hkey"),
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= _GNN_F1)
+        .select("seed", "src", "dst")
+    )
+    frontier = hop1.select("seed", F.col("dst").alias("parent"))
+    # hop-2 parent == src after the join (sym.a = frontier.parent)
+    w2 = Window.partitionBy("seed", "src").orderBy("hkey", "dst")
+    hop2 = (
+        sym.join(F.broadcast(frontier), sym["a"] == frontier["parent"])
+        .select(
+            "seed",
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            _edge_hash(F.col("a"), F.col("b")).alias("hkey"),
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _GNN_F2)
+        .select("seed", "src", "dst")
+    )
+    return (
+        hop1.select("seed", F.lit(1).alias("hop"), "src", "dst")
+        .unionAll(hop2.select("seed", F.lit(2).alias("hop"), "src", "dst"))
+    )
+
+
+_GNN_SAMPLE_SQL = f"""
+WITH {_LP_PRELUDE},
+seeds AS (
+  SELECT DISTINCT a AS seed FROM sym ORDER BY seed LIMIT {_GNN_SEEDS}
+),
+hop1 AS MATERIALIZED (
+  SELECT seed, src, dst FROM (
+    SELECT s.seed, e.a AS src, e.b AS dst,
+           row_number() OVER (
+             PARTITION BY s.seed
+             ORDER BY {_sql_edge_hash('e.a', 'e.b')}, e.b) AS rn
+    FROM sym e JOIN seeds s ON e.a = s.seed
+  ) WHERE rn <= {_GNN_F1}
+),
+hop2 AS (
+  SELECT seed, src, dst FROM (
+    SELECT f.seed, e.a AS src, e.b AS dst,
+           row_number() OVER (
+             PARTITION BY f.seed, f.dst
+             ORDER BY {_sql_edge_hash('e.a', 'e.b')}, e.b) AS rn
+    FROM sym e JOIN hop1 f ON e.a = f.dst
+  ) WHERE rn <= {_GNN_F2}
+)
+SELECT seed, 1 AS hop, src, dst FROM hop1
+UNION ALL
+SELECT seed, 2 AS hop, src, dst FROM hop2
+"""
+
+
 QUERIES = {
     "pagerank_personalized": pagerank_personalized,
     "link_predict_jaccard": link_predict_jaccard,
+    "link_predict_resource_alloc": link_predict_resource_alloc,
+    "gnn_sample_fanout": gnn_sample_fanout,
     "sssp_pred_tree": sssp_pred_tree,
     "graph_activity_timeline": graph_activity_timeline,
     "topo_longest_path": topo_longest_path,
@@ -1162,6 +1384,8 @@ QUERIES = {
 
 ORACLES = {
     "link_predict_jaccard": _LINK_PREDICT_SQL,
+    "link_predict_resource_alloc": _LINK_PREDICT_RA_SQL,
+    "gnn_sample_fanout": _GNN_SAMPLE_SQL,
     "graph_eccentricity": _ECC_SQL,
     "path_shortest_bidirectional": _BIDIR_SQL,
     "graph_random_walks": _walks_sql(),

@@ -980,6 +980,58 @@ SELECT q_id, vec_id, label, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+_RANGE_COS = 0.20  # fixture-calibrated: ~25-30 hits per query at sf0.01
+
+
+def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) vector search: per query (vec_id < 5), ALL
+    candidates with cosine ≥ ``_RANGE_COS`` — the "everything similar
+    enough" query, complementary to top-k: retrieval uses top-k,
+    while dedup sweeps, recommendation backfills, and
+    contamination audits need every match above a floor (top-k
+    silently truncates dense neighborhoods and pads sparse ones).
+
+    Scale shape: identical to simsearch_topk's scan — broadcast the
+    tiny query side, one pass over the corpus, no window at all (the
+    radius predicate replaces the rank), so it's strictly cheaper
+    than top-k at the same candidate set. For high thresholds
+    (≥ ~0.9) the sign-LSH banding of dedup_embedding_cosine is the
+    candidate pruner; at a moderate radius like this, banding loses
+    recall and the honest plan IS the linear scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    return (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(_RANGE_COS))
+        .select("q_id", "vec_id", "cos")
+    )
+
+
+_SIMSEARCH_RANGE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+)
+SELECT q_id, vec_id, cos FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         {_sql_dot('q.embedding', 'c.embedding')}
+           / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+) WHERE cos >= {_RANGE_COS}
+"""
+
+
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: BucketedRandomProjectionLSH candidates -> exact
     re-rank top-10 per query by euclidean distance. Seeded;
@@ -3876,6 +3928,7 @@ QUERIES = {
     "corpus_training_manifest": corpus_training_manifest,
     "simsearch_topk": simsearch_topk,
     "simsearch_filtered_topk": simsearch_filtered_topk,
+    "simsearch_range": simsearch_range,
     "simsearch_hybrid_rrf": simsearch_hybrid_rrf,
     "simsearch_ivf": simsearch_ivf,
     "simsearch_ivf_filtered": simsearch_ivf_filtered,
@@ -3929,6 +3982,7 @@ ORACLES = {
     "corpus_training_manifest": _CORPUS_MANIFEST_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
     "simsearch_filtered_topk": _SIMSEARCH_FILTERED_SQL,
+    "simsearch_range": _SIMSEARCH_RANGE_SQL,
     "simsearch_hybrid_rrf": _HYBRID_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
     "simsearch_ivf_filtered": _IVF_FILTERED_SQL,

@@ -1,0 +1,136 @@
+"""Property pins for the late round-6 keys (beyond the oracle parity
+every SQL-hash key already gets in test_oracle_parity): structural
+invariants that hold at ANY scale, checked at sf0.001/sf0.01.
+
+- link_predict_resource_alloc: candidates are non-edges; the integer
+  score respects its per-term bound (each common neighbor contributes
+  at most 1e6/1 = 1e6, so ra_e6 <= cn * 1e6); top-k per x.
+- gnn_sample_fanout: output is bounded by seeds*f1*(1+f2) regardless
+  of graph degree (THE scale guarantee of fan-out sampling); hop-1
+  sources are seeds; hop-2 sources are sampled hop-1 destinations;
+  per-parent fan-out caps hold exactly; re-running yields the
+  identical sample (hash determinism).
+- simsearch_range: every returned pair clears the radius; the range
+  result contains every top-k hit whose cosine clears the same radius
+  (range search never misses what top-k found).
+- decontam_semantic: one row per eval-split vector, contaminated
+  <=> n_train_near > 0, max_cos present iff contaminated, and every
+  reported max_cos clears the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_akkatyped_spark.operators.curation import (
+    _DECONTAM_SEM_COS,
+    _VEC_BUCKET,
+    decontam_semantic,
+)
+from graph_database_akkatyped_spark.operators.graph_build import (
+    build_user_graph_capped,
+)
+from graph_database_akkatyped_spark.operators.graph_extras import (
+    _GNN_F1,
+    _GNN_F2,
+    _GNN_SEEDS,
+    _LP_TOPK,
+    gnn_sample_fanout,
+    link_predict_resource_alloc,
+)
+from graph_database_akkatyped_spark.operators.llm import (
+    _RANGE_COS,
+    simsearch_range,
+    simsearch_topk,
+)
+from graph_database_akkatyped_spark.catalog import load_table
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_link_predict_ra_invariants(spark):
+    out = link_predict_resource_alloc(spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows, "fixture graph should produce candidates"
+    for r in rows:
+        assert r.ra_e6 <= r.cn * 1_000_000
+        assert r.ra_e6 >= 1  # every common neighbor has deg >= 1 -> term >= 1e6/deg >= 1
+        assert 1 <= r.rnk <= _LP_TOPK
+        assert abs(r.ra - r.ra_e6 / 1e6) < 1e-12
+    # candidates must be NON-edges of the capped graph
+    ce = build_user_graph_capped(spark, SF_ORACLE).select("a", "b")
+    overlap = out.join(
+        ce, (out["x"] == ce["a"]) & (out["y"] == ce["b"]), "inner"
+    ).count()
+    assert overlap == 0
+    # per-x candidate count respects top-k
+    per_x = out.groupBy("x").count().agg(F.max("count")).first()[0]
+    assert per_x <= _LP_TOPK
+
+
+def test_gnn_sample_fanout_bounds_and_determinism(spark):
+    out = gnn_sample_fanout(spark, SF_ORACLE).collect()
+    assert len(out) <= _GNN_SEEDS * _GNN_F1 * (1 + _GNN_F2)
+    hop1 = [r for r in out if r.hop == 1]
+    hop2 = [r for r in out if r.hop == 2]
+    assert hop1, "seeds must have neighbors on the fixture graph"
+    # hop-1 edges start at their seed; hop-2 edges start at a sampled
+    # hop-1 destination of the SAME seed
+    h1_dst = {(r.seed, r.dst) for r in hop1}
+    for r in hop1:
+        assert r.src == r.seed
+    for r in hop2:
+        assert (r.seed, r.src) in h1_dst
+    # per-parent caps hold exactly
+    from collections import Counter
+
+    c1 = Counter(r.seed for r in hop1)
+    assert max(c1.values()) <= _GNN_F1
+    c2 = Counter((r.seed, r.src) for r in hop2)
+    if c2:
+        assert max(c2.values()) <= _GNN_F2
+    # deterministic: a second run samples the identical tree
+    again = gnn_sample_fanout(spark, SF_ORACLE).collect()
+    key = lambda r: (r.seed, r.hop, r.src, r.dst)
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_simsearch_range_contains_topk_hits_above_radius(spark):
+    rng = simsearch_range(spark, SF_ORACLE)
+    assert rng.where(F.col("cos") < _RANGE_COS).count() == 0
+    topk_above = (
+        simsearch_topk(spark, SF_ORACLE)
+        .where(F.col("cos") >= _RANGE_COS)
+        .select("q_id", "vec_id")
+    )
+    missed = topk_above.join(
+        rng.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti"
+    ).count()
+    assert missed == 0
+
+
+def test_decontam_semantic_row_shape(spark):
+    out = decontam_semantic(spark, SF_ORACLE)
+    n_eval = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .where(F.expr(_VEC_BUCKET) >= 8)
+        .count()
+    )
+    rows = out.collect()
+    assert len(rows) == n_eval
+    assert len({r.vec_id for r in rows}) == n_eval
+    assert any(r.contaminated for r in rows), "calibrated tau should fire"
+    for r in rows:
+        assert r.contaminated == (r.n_train_near > 0)
+        assert (r.max_cos is not None) == r.contaminated
+        if r.max_cos is not None:
+            assert r.max_cos >= _DECONTAM_SEM_COS
+
+
+def test_new_keys_run_at_smoke_scale(spark):
+    for fn in (
+        link_predict_resource_alloc,
+        gnn_sample_fanout,
+        simsearch_range,
+        decontam_semantic,
+    ):
+        fn(spark, SF_SMOKE).collect()  # must run clean on tiny fixtures
