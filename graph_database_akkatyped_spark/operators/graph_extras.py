@@ -1237,6 +1237,109 @@ FROM (
 """
 
 
+# --------------------------------------------------- Borůvka spanning forest
+
+_MST_MAX_ROUNDS = 16  # components at least halve per round -> 2^16 verts
+
+
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM-weight spanning forest of the slot-capped co-occurrence
+    graph via distributed Borůvka — THE parallel MST algorithm (each
+    round every component picks its best incident edge, picked edges
+    merge components, rounds = O(log V)). On a similarity-weighted
+    graph the max spanning forest is the single-linkage clustering
+    backbone (cutting its k−1 weakest edges = k-cluster single-link),
+    so this is the clustering-adjacent kernel, not a routing one.
+
+    Uniqueness/determinism: edges are ordered by the strict total
+    order (weight DESC, a ASC, b ASC) — equivalent to perturbing ties
+    into distinct weights — so the spanning forest is UNIQUE and both
+    Borůvka (per-component best pick) and Kruskal (global scan in that
+    order) produce the same edge set; tests/test_round6c.py pins this
+    against a Python union-find Kruskal on the collected sf0.01 graph.
+
+    Scale shape: per round, ONE equi-join pair labels every edge with
+    its endpoints' components (shuffle on the vertex key the rounds
+    reuse), one per-component window picks the best cross edge, and
+    the contraction runs :func:`cc_frame` (Pregel min-label) on the
+    COMPONENT graph — ≤ one edge per component, so the contraction
+    input at round r is ≤ V/2^r rows: geometrically shrinking, never
+    the full edge list. No driver-side state beyond the per-round
+    empty-check; the result is memoized like the other multi-round
+    kernels (betweenness/SCC/HITS).
+
+    No SQL oracle: Borůvka's round count is data-dependent, and an
+    unrolled recursive-CTE twin would need CC-inside-CC per round —
+    the driver's rows-only check applies; value determinism is pinned
+    by the Kruskal cross-check test instead."""
+    from graph_database_akkatyped_spark.operators.algos import cc_frame
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph_capped,
+    )
+
+    def build() -> DataFrame:
+        edges = cut(build_user_graph_capped(spark, sf_dir))
+        comp = (
+            edges.select(F.col("a").alias("v"))
+            .union(edges.select(F.col("b").alias("v")))
+            .distinct()
+            .select("v", F.col("v").alias("c"))
+        )
+        chosen: DataFrame | None = None
+        for rnd in range(_MST_MAX_ROUNDS):
+            ca = comp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+            cb = comp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+            xe = cut(
+                edges.join(ca, "a")
+                .join(cb, "b")
+                .where(F.col("ca") != F.col("cb"))
+            )
+            if xe.limit(1).count() == 0:
+                break
+            cand = xe.select(
+                F.col("ca").alias("comp"), F.col("cb").alias("oc"),
+                "a", "b", "weight",
+            ).unionByName(
+                xe.select(
+                    F.col("cb").alias("comp"), F.col("ca").alias("oc"),
+                    "a", "b", "weight",
+                )
+            )
+            w = Window.partitionBy("comp").orderBy(
+                F.col("weight").desc(), "a", "b"
+            )
+            sel = cut(
+                cand.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            picked = (
+                sel.select("a", "b", "weight")
+                .distinct()
+                .withColumn("round", F.lit(rnd + 1))
+            )
+            chosen = picked if chosen is None else chosen.unionByName(picked)
+            cverts = comp.select(F.col("c").alias("id")).distinct()
+            cg_sym = sel.select(
+                F.col("comp").alias("a"), F.col("oc").alias("b")
+            ).unionByName(
+                sel.select(F.col("oc").alias("a"), F.col("comp").alias("b"))
+            )
+            relabel = cc_frame(cverts, cg_sym).select(
+                F.col("id").alias("c"), F.col("component").alias("c_new")
+            )
+            comp = cut(
+                comp.join(relabel, "c").select("v", F.col("c_new").alias("c"))
+            )
+        if chosen is None:
+            return edges.select("a", "b", "weight").limit(0).withColumn(
+                "round", F.lit(0)
+            )
+        return chosen.select("a", "b", "weight", "round")
+
+    return _memoized(spark, "mst_boruvka", sf_dir, build)
+
+
 # ------------------------------------------- GNN neighborhood sampling
 
 _GNN_SEEDS = 10  # smallest vertex ids — deterministic seed batch
@@ -1370,6 +1473,7 @@ QUERIES = {
     "link_predict_jaccard": link_predict_jaccard,
     "link_predict_resource_alloc": link_predict_resource_alloc,
     "gnn_sample_fanout": gnn_sample_fanout,
+    "graph_mst_boruvka": graph_mst_boruvka,
     "sssp_pred_tree": sssp_pred_tree,
     "graph_activity_timeline": graph_activity_timeline,
     "topo_longest_path": topo_longest_path,

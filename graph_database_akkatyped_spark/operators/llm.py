@@ -2041,6 +2041,138 @@ SELECT lang, token, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_NQ = 3  # pseudo-query docs: the _BM25_NQ smallest doc_ids
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval — the canonical sparse scorer (Robertson
+    k1/b form, idf = ln((N − df + 0.5)/(df + 0.5) + 1)): for each
+    pseudo-query (the DISTINCT tokens of the ``_BM25_NQ`` smallest
+    docs, a deterministic stand-in for user queries), score candidate
+    docs that share ≥ 1 term and keep the top-``_BM25_TOPK``. This is
+    the text-side baseline simsearch_hybrid_rrf's rank fusion expects
+    from a production retrieval stack (its own sparse branch is plain
+    token overlap; BM25 is what real pipelines run there).
+
+    Determinism: the per-term partial score is a double (ln + division
+    chain — bit-identical across engines, same precedent as
+    text_tfidf's round-8 ln), but the per-(query, doc) SUM over terms
+    would be order-dependent in doubles — so each term is rounded to 8
+    decimals and scaled to an exact BIGINT (floor(x·1e8 + 0.5)) BEFORE
+    the sum: integer addition is order-free, making even the float
+    ``score`` column (score_e8 / 1e8) hash-exact.
+
+    100 TB shape: tf/df/dl are the linear token-explode aggregates the
+    tfidf key already runs; the query side is ≤ |query terms| rows —
+    broadcast; candidate generation is one equi-join on the token key
+    (inverted-index probe), never query × corpus. avgdl is a 1-row
+    broadcast. The window ranks ≤ candidates-per-query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tc"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qtoks = (
+        tf.where(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("q_doc"), "token")
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = idf * (
+        F.col("tc") * (_BM25_K1 + 1)
+    ) / (
+        F.col("tc")
+        + _BM25_K1
+        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    term_e8 = F.floor(F.round(term, 8) * F.lit(1e8) + F.lit(0.5)).cast(
+        "long"
+    )
+    scored = (
+        tf.join(F.broadcast(qtoks), "token")
+        .where(F.col("doc_id") != F.col("q_doc"))
+        .join(dl, "doc_id")
+        .join(df_, "token")
+        .crossJoin(F.broadcast(stats))
+        .select("q_doc", "doc_id", term_e8.alias("term_e8"))
+        .groupBy("q_doc", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_e8").alias("score_e8"),
+        )
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("score_e8").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("score", F.col("score_e8").cast("double") / 1e8)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BM25_TOPK)
+        .select("q_doc", "doc_id", "n_terms", "score_e8", "score", "rnk")
+    )
+
+
+_TEXT_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc
+       FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qtoks AS (
+  SELECT DISTINCT doc_id AS q_doc, token FROM tf WHERE doc_id < {_BM25_NQ}
+),
+terms AS (
+  -- every operand is forced to DOUBLE before arithmetic: DuckDB would
+  -- otherwise evaluate the 0.5/2.2/0.75 literals in DECIMAL (exact
+  -- rational) lanes, which can differ from Spark's all-double chain
+  -- by 1 ulp — enough to flip the e8 floor
+  SELECT q.q_doc, tf.doc_id,
+         CAST(floor(round(
+           ln((CAST(s.n - df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tc AS DOUBLE) * {_BM25_K1 + 1!r})
+           / (CAST(tf.tc AS DOUBLE) + {_BM25_K1!r}
+              * ({1 - _BM25_B!r}
+                 + {_BM25_B!r} * CAST(dl.dl AS DOUBLE) / s.avgdl)),
+           8) * 1e8 + 0.5) AS BIGINT) AS term_e8
+  FROM tf
+  JOIN qtoks q ON q.token = tf.token AND tf.doc_id <> q.q_doc
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.token = tf.token
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT q_doc, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(term_e8) AS BIGINT) AS score_e8
+  FROM terms GROUP BY 1, 2
+)
+SELECT q_doc, doc_id, n_terms, score_e8,
+       CAST(score_e8 AS DOUBLE) / 1e8 AS score,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_doc ORDER BY score_e8 DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_BM25_TOPK}
+"""
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per doc, in plain DataFrame math (tf =
     count/len, idf = ln(N/df)) — kept oracle-able instead of ml.IDF."""
@@ -3943,6 +4075,7 @@ QUERIES = {
     "simsearch_pairs_label": simsearch_pairs_label,
     "text_wordcount": text_wordcount,
     "text_tfidf": text_tfidf,
+    "text_bm25_topk": text_bm25_topk,
     "text_ngrams": text_ngrams,
     "text_lang_stats": text_lang_stats,
     "text_sentiment_lexicon": text_sentiment_lexicon,
@@ -3997,6 +4130,7 @@ ORACLES = {
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,
     "text_wordcount": _TEXT_WORDCOUNT_SQL,
     "text_tfidf": _TEXT_TFIDF_SQL,
+    "text_bm25_topk": _TEXT_BM25_SQL,
     "text_ngrams": _TEXT_NGRAMS_SQL,
     "text_lang_stats": _TEXT_LANG_STATS_SQL,
     "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,

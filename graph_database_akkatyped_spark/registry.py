@@ -43,10 +43,11 @@ _MODULES = (
 # keys, then RE-confirmation of the oldest evidence.
 _SWEEP_ORDER = (
     # -- block 1 (round-6 rotation, exactly 50 keys = the driver's
-    # per-round budget): the 19 new round-6 keys (the last 4 —
+    # per-round budget): the 21 new round-6 keys (the last 6 —
     # link_predict_resource_alloc, gnn_sample_fanout, simsearch_range,
-    # decontam_semantic — landed late and displaced the 4 window_*
-    # re-confirmation keys to the block-2 head), the 1 key whose
+    # decontam_semantic, text_bm25_topk, graph_mst_boruvka — landed
+    # late and displaced 6 re-confirmation keys (4 window_* +
+    # grouping_sets + window_rank) to the block-2 head), the 1 key whose
     # implementation changed this round (stream_sink_idempotent:
     # memoized + resource release), then 30 of the 50 keys whose ONLY
     # driver sample is still round 1 (relational core + section 2-B
@@ -56,7 +57,8 @@ _SWEEP_ORDER = (
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
     "link_predict_resource_alloc", "gnn_sample_fanout",
-    "simsearch_range", "decontam_semantic",
+    "simsearch_range", "decontam_semantic", "text_bm25_topk",
+    "graph_mst_boruvka",
     "community_louvain_multi", "simsearch_ivf_append", "cc_incremental",
     "link_predict_jaccard", "merge_scd2", "timeseries_interpolate",
     "sketch_countmin_heavy", "simsearch_ivf_partitioned", "stream_scd2",
@@ -70,17 +72,19 @@ _SWEEP_ORDER = (
     "join_broadcast", "join_left", "join_full", "join_semi", "join_anti",
     "join_theta_range", "join_cross_small", "join_asof_nearest",
     "agg_distinct", "agg_minmax_by", "agg_mode", "agg_listagg",
-    "grouping_rollup", "grouping_cube", "grouping_sets", "window_rank",
-    # -- block 2 head: the 20 remaining r1-only keys that did not fit
+    "grouping_rollup", "grouping_cube",
+    # -- block 2 head: the 22 remaining r1-only keys that did not fit
     # the 50-key budget (named so coverage accounting stays honest —
     # they are expected to MISS round 6 and lead round 7's rotation):
-    # window_running + window_lead_lag + window_range_frame +
-    # window_first_last (displaced by the 4 late round-6 keys above) +
+    # grouping_sets + window_rank + window_running + window_lead_lag +
+    # window_range_frame + window_first_last (displaced by the 6 late
+    # round-6 keys above) +
     # window_ntile + sort_limit_topk + set_union + set_intersect +
     # set_except + pivot_segment + unpivot_melt + subquery_in +
     # subquery_scalar (displaced by the late round-6 additions),
     # flagship, agg_hash, agg_moments, agg_percentiles,
     # agg_approx_distinct (rows-only), join_salted_skew, table_profile
+    "grouping_sets", "window_rank",
     "window_running", "window_lead_lag", "window_range_frame",
     "window_first_last",
     "window_ntile", "sort_limit_topk", "set_union", "set_intersect",

@@ -126,11 +126,73 @@ def test_decontam_semantic_row_shape(spark):
             assert r.max_cos >= _DECONTAM_SEM_COS
 
 
+def test_mst_boruvka_matches_kruskal(spark):
+    """The distributed Borůvka forest must equal the unique maximum
+    spanning forest under the strict order (weight DESC, a, b) — which
+    a serial Kruskal union-find computes directly."""
+    edges = build_user_graph_capped(spark, SF_ORACLE).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    expected = set()
+    for r in sorted(edges, key=lambda r: (-r.weight, r.a, r.b)):
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[ra] = rb
+            expected.add((r.a, r.b, r.weight))
+
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        graph_mst_boruvka,
+    )
+
+    got = {
+        (r.a, r.b, r.weight)
+        for r in graph_mst_boruvka(spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+    # forest size sanity: |V| - #components
+    verts = {r.a for r in edges} | {r.b for r in edges}
+    roots = {find(v) for v in verts}
+    assert len(got) == len(verts) - len(roots)
+
+
+def test_bm25_invariants(spark):
+    from graph_database_akkatyped_spark.operators.llm import (
+        _BM25_NQ,
+        _BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    rows = text_bm25_topk(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.q_doc < _BM25_NQ
+        assert r.doc_id != r.q_doc
+        assert 1 <= r.rnk <= _BM25_TOPK
+        assert r.n_terms >= 1
+        # idf > 0 by the +1 inside the log, so every matched term
+        # contributes positively
+        assert r.score_e8 > 0
+        assert abs(r.score - r.score_e8 / 1e8) < 1e-12
+
+
 def test_new_keys_run_at_smoke_scale(spark):
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        graph_mst_boruvka,
+    )
+    from graph_database_akkatyped_spark.operators.llm import text_bm25_topk
+
     for fn in (
         link_predict_resource_alloc,
         gnn_sample_fanout,
         simsearch_range,
         decontam_semantic,
+        text_bm25_topk,
+        graph_mst_boruvka,
     ):
         fn(spark, SF_SMOKE).collect()  # must run clean on tiny fixtures

@@ -1,0 +1,122 @@
+"""Scale-up sanity for the last four round-6 keys: replicate the
+fixtures Nx with key-disjoint copies and time 1x vs Nx.
+
+Replication recipes are round6b_scale_check's (events get a per-copy
+ts shift so hour slots stay disjoint; embeddings get a per-copy vector
+ROTATION so 10x data is 10x distinct vectors).
+
+What each key should show:
+- link_predict_resource_alloc: same capped wedge join as the jaccard
+  twin (<= n*cap^2, linear in n); the z-degree join adds one
+  broadcast-sized lookup, no new super-linear term.
+- gnn_sample_fanout: output bounded by seeds*f1*(1+f2) at ANY corpus
+  size — cost is the two frontier joins against the (10x bigger)
+  adjacency, so near-linear in the edge build with a CONSTANT sample.
+- simsearch_range: broadcast-queries linear scan — queries stay the
+  fixture 5 (vec_id < 5 lives in copy 0), corpus grows 10x, so time
+  should be ~linear in corpus size like simsearch_topk.
+- decontam_semantic: banded bipartite train x eval equi-join — both
+  splits grow 10x, rotated copies land in disjoint (band, key)
+  buckets, so candidates grow ~10x, never 100x.
+
+Usage: python tools/round6c_scale_check.py [N]   (default 10)
+Results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graph_database_akkatyped_spark.caching import clear_frame_cache
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.operators import curation, graph_extras, llm
+from graph_database_akkatyped_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ID_STRIDE = 10**9
+
+QUERIES = {
+    "link_predict_resource_alloc": graph_extras.QUERIES[
+        "link_predict_resource_alloc"
+    ],
+    "gnn_sample_fanout": graph_extras.QUERIES["gnn_sample_fanout"],
+    "simsearch_range": llm.QUERIES["simsearch_range"],
+    "decontam_semantic": curation.QUERIES["decontam_semantic"],
+}
+
+
+def replicate(spark, n: int) -> str:
+    out = tempfile.mkdtemp(prefix=f"r6c_scale{n}_")
+    copies = spark.range(n).select(F.col("id").alias("_copy"))
+
+    def shift(df, cols):
+        for c in cols:
+            df = df.withColumn(c, F.col(c) + F.col("_copy") * ID_STRIDE)
+        return df.drop("_copy")
+
+    shift(
+        load_table(spark, SF_DIR, "events")
+        .crossJoin(copies)
+        .withColumn("ts", F.expr("timestampadd(HOUR, _copy * 100000, ts)")),
+        ["event_id", "user_id"],
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    emb = load_table(spark, SF_DIR, "embeddings").crossJoin(copies)
+    rot = F.when(
+        F.col("_copy") == 0, F.col("embedding")
+    ).otherwise(
+        F.concat(
+            F.slice(
+                F.col("embedding"),
+                (F.col("_copy") % 64 + 1).cast("int"),
+                (F.lit(64) - F.col("_copy") % 64).cast("int"),
+            ),
+            F.slice(
+                F.col("embedding"), 1, (F.col("_copy") % 64).cast("int")
+            ),
+        )
+    )
+    shift(
+        emb.withColumn("embedding", rot), ["vec_id"]
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    res = {}
+    for op, fn in QUERIES.items():
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        clear_frame_cache()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        res[op] = (round(time.perf_counter() - t0, 2), df.count())
+    return res
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="round6c_scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = run(spark, SF_DIR)
+    big_dir = replicate(spark, n)
+    big = run(spark, big_dir)
+    print(f"\n== {n}x scale check (1x = {SF_DIR}) ==")
+    print(f"{'op':<30} {'1x sec':>8} {f'{n}x sec':>8} {'ratio':>6} "
+          f"{'1x rows':>10} {f'{n}x rows':>10}")
+    for op in QUERIES:
+        t1, r1 = base[op]
+        tn, rn = big[op]
+        ratio = tn / t1 if t1 > 0 else float("inf")
+        print(f"{op:<30} {t1:>8.2f} {tn:>8.2f} {ratio:>6.1f} "
+              f"{r1:>10,} {rn:>10,}")
+
+
+if __name__ == "__main__":
+    main()
