@@ -586,6 +586,84 @@ FROM feat
 """
 
 
+_QHL_BUCKETS = 1024  # hashed feature space size
+_QHL_WRANGE = 21     # pseudo-weight domain: (bucket % 21) - 10 in [-10, 10]
+
+
+def quality_hashed_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-SHAPED quality classifier scoring: hash each token
+    into a ``_QHL_BUCKETS``-bucket feature space (md5 prefix, the
+    hashing trick), join the per-(doc, bucket) counts against a
+    broadcast WEIGHT TABLE, and emit the integer dot product — the
+    exact plumbing of the linear quality filters (fastText / logistic
+    over hashed n-grams) every production corpus pipeline runs in
+    front of training. The weights here are a deterministic pseudo
+    model (w = bucket % 21 − 10) because no trained artifact belongs
+    in the fixtures; production swaps ONLY the weights DataFrame (one
+    broadcast join — the score path is identical), and the docstring
+    is explicit that the numbers are not a real quality judgment.
+
+    Determinism/scale: the score is Σ count(bucket)·w(bucket) over
+    integers — exact, order-free, hash-oracle-able. One token explode
+    (linear), one groupBy on (doc_id, bucket), one broadcast join
+    against the 1024-row weight table, one grouped integer sum. No
+    doubles anywhere; label = sign of the integer score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("long")
+        % _QHL_BUCKETS
+    )
+    counts = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    weights = spark.range(_QHL_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % _QHL_WRANGE - (_QHL_WRANGE - 1) // 2).alias("w"),
+    )
+    return (
+        counts.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tc").alias("n_toks"),
+            F.sum(F.col("tc") * F.col("w")).alias("score_int"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "score_int",
+            (F.col("score_int") > 0).alias("keep"),
+        )
+    )
+
+
+_QHL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+           % {_QHL_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS tc
+  FROM toks GROUP BY 1, 2
+),
+weights AS (
+  SELECT i AS bucket,
+         CAST(i % {_QHL_WRANGE} - {(_QHL_WRANGE - 1) // 2} AS BIGINT) AS w
+  FROM generate_series(0, {_QHL_BUCKETS - 1}) t(i)
+)
+SELECT c.doc_id, CAST(sum(c.tc) AS BIGINT) AS n_toks,
+       CAST(sum(c.tc * w.w) AS BIGINT) AS score_int,
+       sum(c.tc * w.w) > 0 AS keep
+FROM counts c JOIN weights w USING (bucket)
+GROUP BY c.doc_id
+"""
+
+
 _VEC_BUCKET = (
     "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) "
     "AS BIGINT) % 10"
@@ -741,6 +819,7 @@ QUERIES = {
     "tombstone_cascade": tombstone_cascade,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_semantic": decontam_semantic,
+    "quality_hashed_linear": quality_hashed_linear,
     "curation_filter_report": curation_filter_report,
     "pii_redact": pii_redact,
     "text_repetition": text_repetition,
@@ -754,6 +833,7 @@ ORACLES = {
     "tombstone_cascade": _TOMBSTONE_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "decontam_semantic": _decontam_sem_sql(),
+    "quality_hashed_linear": _QHL_SQL,
     "curation_filter_report": _FILTER_REPORT_SQL,
     "pii_redact": _PII_SQL,
     "text_repetition": _REPETITION_SQL,

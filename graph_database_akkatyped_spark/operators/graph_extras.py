@@ -1340,6 +1340,137 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized(spark, "mst_boruvka", sf_dir, build)
 
 
+# ----------------------------------------------------- greedy coloring
+
+_JP_MAX_ROUNDS = 64
+
+
+_COLOR_TOPK = 3  # backbone sparsification: keep each vertex's top-k edges
+
+
+def graph_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones–Plassmann greedy coloring of the TOP-``_COLOR_TOPK``
+    co-occurrence backbone — the classic parallel symmetry-breaking
+    kernel (conflict-free scheduling, register allocation, parallel
+    sparse updates: same-color vertices can be processed
+    simultaneously because no edge joins them). Each round, every
+    still-uncolored vertex whose (md5-hash, id) priority beats all
+    its uncolored neighbors' colors itself with the SMALLEST color
+    unused by its already-colored neighborhood (the mex); the strict
+    total order guarantees progress, and the coloring is a pure
+    function of the graph (re-runs identical; pinned in tests).
+
+    Why the backbone and not the full capped graph: the slot
+    co-occurrence graph is a union of ≤32-cliques, and inside a
+    k-clique ANY local-maximum rule colors exactly one vertex per
+    round — JP degenerates to k sequential steps (measured: 64 rounds
+    colored 87/150 vertices at sf0.01). That is not a plan bug, it is
+    the algorithm's documented dense-graph failure mode; JP's O(log n)
+    expected rounds hold for bounded-degree graphs, which is also the
+    shape real schedulers color (sparsified conflict graphs). So the
+    key sparsifies first — each vertex keeps its ``_COLOR_TOPK``
+    strongest edges (weight DESC, b), symmetrized — and colors that.
+
+    The mex needs no Python: sort the colored-neighbor color set and
+    fold ``aggregate(arr, 0, (acc, c) -> IF(c = acc, acc + 1, acc))``
+    — over a sorted distinct non-negative array this yields the first
+    gap. Greedy mex also bounds color(v) ≤ deg(v), so ≤ Δ+1 colors.
+
+    100 TB shape: per round one equi-join marks blocked vertices, one
+    join + grouped collect_set gathers ≤ deg colored-neighbor colors,
+    both shuffling on the same vertex key every round reuses; the
+    uncolored set shrinks geometrically in expectation. Rows-only key
+    (round count is data-dependent); the proper-coloring and
+    determinism properties are pinned in tests/test_round6c.py."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph_capped,
+    )
+
+    def build() -> DataFrame:
+        ce = build_user_graph_capped(spark, sf_dir)
+        dsym = ce.select("a", "b", "weight").unionAll(
+            ce.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "weight"
+            )
+        )
+        wtop = Window.partitionBy("a").orderBy(F.col("weight").desc(), "b")
+        backbone = (
+            dsym.withColumn("rn", F.row_number().over(wtop))
+            .where(F.col("rn") <= _COLOR_TOPK)
+            .select("a", "b")
+        )
+        sym = cut(
+            backbone.unionAll(
+                backbone.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).distinct()
+        )
+        prio = lambda c: F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        uncolored = (
+            sym.select(F.col("a").alias("v")).distinct()
+        )
+        colors: DataFrame | None = None
+        for _ in range(_JP_MAX_ROUNDS):
+            if uncolored.limit(1).count() == 0:
+                break
+            ua = uncolored.select(F.col("v").alias("a"))
+            ub = uncolored.select(F.col("v").alias("b"))
+            und = sym.join(ua, "a").join(ub, "b")
+            blocked = (
+                und.where(
+                    (prio(F.col("b")) > prio(F.col("a")))
+                    | (
+                        (prio(F.col("b")) == prio(F.col("a")))
+                        & (F.col("b") > F.col("a"))
+                    )
+                )
+                .select(F.col("a").alias("v"))
+                .distinct()
+            )
+            ready = uncolored.join(blocked, "v", "left_anti")
+            if colors is None:
+                used = ready.select(
+                    "v", F.lit(None).cast("long").alias("c")
+                ).where(F.lit(False))
+            else:
+                used = (
+                    sym.join(ready.select(F.col("v").alias("a")), "a")
+                    .join(
+                        colors.select(
+                            F.col("v").alias("b"), F.col("color").alias("c")
+                        ),
+                        "b",
+                    )
+                    .select(F.col("a").alias("v"), "c")
+                )
+            mex = F.aggregate(
+                F.sort_array(F.collect_set("c")),
+                F.lit(0).cast("long"),
+                lambda acc, c: F.when(c == acc, acc + 1).otherwise(acc),
+            )
+            newly = cut(
+                ready.join(
+                    used.groupBy("v").agg(mex.alias("color")), "v", "left"
+                ).select(
+                    "v", F.coalesce("color", F.lit(0).cast("long")).alias("color")
+                )
+            )
+            colors = newly if colors is None else cut(
+                colors.unionByName(newly)
+            )
+            uncolored = cut(uncolored.join(newly, "v", "left_anti"))
+        if uncolored.limit(1).count() != 0:
+            raise RuntimeError(
+                "graph_greedy_coloring did not converge within "
+                f"{_JP_MAX_ROUNDS} rounds — partial colorings are not "
+                "returned (see docstring: sparsify more or raise the cap)"
+            )
+        return colors.select(F.col("v").alias("user_id"), "color")
+
+    return _memoized(spark, "greedy_coloring", sf_dir, build)
+
+
 # ------------------------------------------- GNN neighborhood sampling
 
 _GNN_SEEDS = 10  # smallest vertex ids — deterministic seed batch
@@ -1474,6 +1605,7 @@ QUERIES = {
     "link_predict_resource_alloc": link_predict_resource_alloc,
     "gnn_sample_fanout": gnn_sample_fanout,
     "graph_mst_boruvka": graph_mst_boruvka,
+    "graph_greedy_coloring": graph_greedy_coloring,
     "sssp_pred_tree": sssp_pred_tree,
     "graph_activity_timeline": graph_activity_timeline,
     "topo_longest_path": topo_longest_path,

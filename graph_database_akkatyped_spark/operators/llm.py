@@ -2674,6 +2674,108 @@ FROM (
 """
 
 
+_CDC_W = 4  # rolling window width (tokens) for the boundary test
+_CDC_M = 8  # boundary probability 1/M -> expected chunk ~M tokens
+
+
+def text_chunk_cdc_frame(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking over a ``(doc_id, text)`` frame: a
+    chunk boundary falls AFTER token i whenever the hash of the
+    ``_CDC_W``-token window ending at i lands in bucket 0 of
+    ``_CDC_M`` (md5-prefix bucket — the engine-portable stand-in for
+    a Rabin/Gear rolling hash). Because the boundary decision depends
+    only on a LOCAL window, inserting or deleting text re-chunks only
+    the neighborhood of the edit — exactly why dedup pipelines prefer
+    CDC over fixed-stride chunks (text_chunk_sliding), where one
+    leading insertion shifts every downstream chunk and kills all
+    hash matches. Production variants add min/max chunk bounds; this
+    keeps the pure hash rule so the semantics stay one expression.
+
+    All higher-order JVM array expressions (transform/filter over a
+    token sequence) — map-only, zero shuffle, linear in tokens. The
+    chunk content is emitted as its md5 (+ start/length), the form a
+    dedup join consumes."""
+    expr = f"""
+    CASE WHEN size(toks) >= {_CDC_W} THEN
+      filter(transform(sequence({_CDC_W}, size(toks)),
+        i -> IF(conv(substring(md5(concat_ws(' ',
+               slice(toks, i - {_CDC_W - 1}, {_CDC_W}))), 1, 8), 16, 10)
+             % {_CDC_M} = 0, i, -1)),
+        x -> x != -1)
+    ELSE array() END
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", "toks", F.expr(expr).alias("bnds"))
+    bnds2 = F.expr(
+        "IF(size(bnds) > 0 AND element_at(bnds, -1) = size(toks), "
+        "bnds, concat(bnds, array(size(toks))))"
+    )
+    chunks = toks.select(
+        "doc_id", "toks", bnds2.alias("b"),
+        F.posexplode(bnds2).alias("pos", "end"),
+    )
+    start = F.expr("IF(pos = 0, 1, element_at(b, pos) + 1)")
+    piece = F.expr("slice(toks, start, `end` - start + 1)")
+    return (
+        chunks.withColumn("start", start)
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("chunk_idx"),
+            "start",
+            F.expr("`end` - start + 1").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+        )
+    )
+
+
+def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered CDC-chunking key over the fixture documents — see
+    :func:`text_chunk_cdc_frame` for semantics and the
+    insert-robustness test (tests/test_round6c.py)."""
+    return text_chunk_cdc_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+_TEXT_CDC_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= {_CDC_W} THEN
+           list_filter(list_transform(generate_series({_CDC_W}, len(toks)),
+             i -> CASE WHEN CAST('0x' || substr(md5(array_to_string(
+                    list_slice(toks, i - {_CDC_W - 1}, i), ' ')), 1, 8)
+                    AS BIGINT) % {_CDC_M} = 0 THEN i ELSE -1 END),
+             x -> x != -1)
+         ELSE [] END AS bnds
+  FROM t
+),
+b2 AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(bnds) > 0 AND bnds[-1] = len(toks) THEN bnds
+              ELSE list_append(bnds, len(toks)) END AS bnds
+  FROM b
+),
+c AS (
+  SELECT doc_id, toks, bnds,
+         unnest(generate_series(1, len(bnds))) AS j
+  FROM b2
+)
+SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+       CAST(CASE WHEN j = 1 THEN 1 ELSE bnds[j - 1] + 1 END AS INTEGER)
+         AS start,
+       CAST(bnds[j] - (CASE WHEN j = 1 THEN 1 ELSE bnds[j - 1] + 1 END) + 1
+         AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks,
+             CASE WHEN j = 1 THEN 1 ELSE bnds[j - 1] + 1 END,
+             bnds[j]), ' ')) AS chunk_md5
+FROM c
+"""
+
+
 def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by content-independent hash
     buckets (md5 of doc_id -> 10 buckets -> 8/1/1).
@@ -4084,6 +4186,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_chunk_sliding": text_chunk_sliding,
+    "text_chunk_cdc": text_chunk_cdc,
     "pack_sequences": pack_sequences,
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich_checked,
@@ -4139,6 +4242,7 @@ ORACLES = {
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
     "text_chunk_sliding": _TEXT_CHUNK_SQL,
+    "text_chunk_cdc": _TEXT_CDC_SQL,
     "pack_sequences": _PACK_SQL,
     "split_train_test": _SPLIT_SQL,
     "multimodal_enrich": _MULTIMODAL_ENRICH_SQL,

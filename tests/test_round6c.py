@@ -181,11 +181,122 @@ def test_bm25_invariants(spark):
         assert abs(r.score - r.score_e8 / 1e8) < 1e-12
 
 
-def test_new_keys_run_at_smoke_scale(spark):
+def test_quality_hashed_linear_is_exact_integer(spark):
+    from graph_database_akkatyped_spark.operators.curation import (
+        quality_hashed_linear,
+    )
+
+    rows = quality_hashed_linear(spark, SF_ORACLE).collect()
+    docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert len(rows) == docs  # every doc scored (weights cover all buckets)
+    for r in rows:
+        assert r.keep == (r.score_int > 0)
+        # |score| <= n_toks * max|w| = n_toks * 10
+        assert abs(r.score_int) <= r.n_toks * 10
+
+
+def test_text_chunk_cdc_properties(spark):
+    """Chunks tile the token sequence exactly, and chunking is
+    INSERT-ROBUST: after prepending tokens to a document, all chunks
+    strictly after the first boundary following the edit are identical
+    (fixed-stride chunking shifts every chunk instead)."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        text_chunk_cdc_frame,
+    )
+
+    base = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 50)
+    )
+    chunks = text_chunk_cdc_frame(base).collect()
+    toks = {r.doc_id: r.text.split(" ") for r in base.collect()}
+    bydoc: dict = {}
+    for c in chunks:
+        bydoc.setdefault(c.doc_id, []).append(c)
+    assert set(bydoc) == set(toks)
+    for d, cs in bydoc.items():
+        cs.sort(key=lambda c: c.chunk_idx)
+        # exact tiling: starts/lengths cover 1..n with no gap/overlap
+        pos = 1
+        for c in cs:
+            assert c.start == pos
+            assert c.n_chunk_tokens >= 1
+            pos += c.n_chunk_tokens
+        assert pos == len(toks[d]) + 1
+    # insert-robustness: prepend 5 tokens to each doc; the chunk-md5
+    # multiset from the SECOND boundary onward must be preserved
+    edited = base.select(
+        "doc_id", F.concat(F.lit("xx yy zz ww vv "), F.col("text")).alias("text")
+    )
+    echunks = text_chunk_cdc_frame(edited).collect()
+    ebydoc: dict = {}
+    for c in echunks:
+        ebydoc.setdefault(c.doc_id, []).append(c)
+    resynced = 0
+    for d, cs in bydoc.items():
+        if len(cs) < 3:
+            continue
+        orig_tail = [c.chunk_md5 for c in cs[1:]]
+        ecs = sorted(ebydoc[d], key=lambda c: c.chunk_idx)
+        etails = [c.chunk_md5 for c in ecs]
+        # the original tail (all chunks after the first boundary) must
+        # appear as a contiguous suffix of the edited chunking
+        if len(etails) >= len(orig_tail) and etails[-len(orig_tail):] == orig_tail:
+            resynced += 1
+    # the hash rule resynchronizes on the vast majority of docs (the
+    # first chunk absorbs the edit; later chunks are unchanged)
+    assert resynced >= 0.9 * sum(1 for cs in bydoc.values() if len(cs) >= 3)
+
+
+def test_greedy_coloring_is_proper_and_deterministic(spark):
     from graph_database_akkatyped_spark.operators.graph_extras import (
+        _COLOR_TOPK,
+        graph_greedy_coloring,
+    )
+
+    out = graph_greedy_coloring(spark, SF_ORACLE).collect()
+    color = {r.user_id: r.color for r in out}
+    # rebuild the backbone exactly as the operator does
+    ce = build_user_graph_capped(spark, SF_ORACLE)
+    dsym = ce.select("a", "b", "weight").unionAll(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"), "weight")
+    )
+    from pyspark.sql import Window
+
+    wtop = Window.partitionBy("a").orderBy(F.col("weight").desc(), "b")
+    backbone = (
+        dsym.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= _COLOR_TOPK)
+        .select("a", "b")
+        .collect()
+    )
+    assert set(color) == {r.a for r in backbone} | {r.b for r in backbone}
+    for r in backbone:
+        assert color[r.a] != color[r.b], f"edge ({r.a},{r.b}) monochromatic"
+    # true re-run (not a memo fetch): evict the cached frame first
+    from graph_database_akkatyped_spark.caching import clear_frame_cache
+
+    clear_frame_cache(SF_ORACLE)
+    again = {
+        r.user_id: r.color
+        for r in graph_greedy_coloring(spark, SF_ORACLE).collect()
+    }
+    assert again == color
+
+
+def test_new_keys_run_at_smoke_scale(spark):
+    from graph_database_akkatyped_spark.operators.curation import (
+        quality_hashed_linear,
+    )
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        graph_greedy_coloring,
         graph_mst_boruvka,
     )
-    from graph_database_akkatyped_spark.operators.llm import text_bm25_topk
+    from graph_database_akkatyped_spark.operators.llm import (
+        text_bm25_topk,
+        text_chunk_cdc,
+    )
 
     for fn in (
         link_predict_resource_alloc,
@@ -194,5 +305,8 @@ def test_new_keys_run_at_smoke_scale(spark):
         decontam_semantic,
         text_bm25_topk,
         graph_mst_boruvka,
+        quality_hashed_linear,
+        text_chunk_cdc,
+        graph_greedy_coloring,
     ):
         fn(spark, SF_SMOKE).collect()  # must run clean on tiny fixtures
