@@ -273,6 +273,78 @@ WHERE c.event_type = 'click'
 """
 
 
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the user's earliest
+    purchase at-or-after — the time-to-conversion query (how long
+    from click to purchase), the direction ``join_asof_nearest``
+    (backward, latest-at-or-before) doesn't cover. Same scalable
+    recipe mirrored in time: union both sides with a tag, one window
+    pass with ``first(ignorenulls)`` over the FOLLOWING frame —
+    O(n log n) shuffle on user_id, no per-row subquery. Ties at the
+    same timestamp sort the click FIRST (is_click DESC), so an
+    equal-ts purchase falls inside the click's following frame —
+    matching the SQL twin's ``>=``. The gap is emitted as exact
+    integer seconds, flooring EACH side to whole seconds before
+    subtracting (Spark unix_timestamp truncates per-value; the twin
+    mirrors with floor(epoch(..)) per side — subtracting fractional
+    epochs first would disagree whenever the sub-second parts
+    straddle a whole second)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.col("ts").alias("p_ts"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn(
+            "purchase_ts", F.first("p_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_ts",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("ts")
+            ).alias("secs_to_purchase"),
+        )
+    )
+
+
+_JOIN_ASOF_FWD_SQL = """
+SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+       CAST(p_ts AS TIMESTAMP) AS purchase_ts,
+       CAST(floor(epoch(p_ts)) AS BIGINT)
+         - CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT)
+         AS secs_to_purchase
+FROM (
+  SELECT c.event_id, c.user_id, c.ts,
+         (SELECT min(p.ts) FROM events p
+          WHERE p.event_type = 'purchase'
+            AND p.user_id = c.user_id
+            AND p.ts >= c.ts) AS p_ts
+  FROM events c
+  WHERE c.event_type = 'click'
+) c
+"""
+
+
 # ------------------------------------------------------------ aggregation
 
 
@@ -1058,6 +1130,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_theta_range": join_theta_range,
     "join_asof_nearest": join_asof_nearest,
+    "join_asof_forward": join_asof_forward,
     "join_salted_skew": join_salted_skew,
     "table_profile": table_profile,
     "agg_mode": agg_mode,
@@ -1122,6 +1195,7 @@ ORACLES = {
     ),
     "join_theta_range": _JOIN_THETA_RANGE_SQL,
     "join_asof_nearest": _JOIN_ASOF_SQL,
+    "join_asof_forward": _JOIN_ASOF_FWD_SQL,
     "join_salted_skew": _JOIN_SALTED_SQL,
     "table_profile": _TABLE_PROFILE_SQL,
     "agg_mode": _AGG_MODE_SQL,

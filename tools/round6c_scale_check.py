@@ -18,6 +18,16 @@ What each key should show:
 - decontam_semantic: banded bipartite train x eval equi-join — both
   splits grow 10x, rotated copies land in disjoint (band, key)
   buckets, so candidates grow ~10x, never 100x.
+- text_bm25_topk: tf/df/dl explodes are linear; candidates are the
+  inverted-index probe on the (fixed) query term set.
+- quality_hashed_linear: token explode + 1024-row broadcast join —
+  linear, no doubles anywhere.
+- text_chunk_cdc: map-only higher-order array expressions — linear
+  in tokens, zero shuffle.
+- graph_mst_boruvka: per-round edge labeling is linear; contraction
+  runs on the geometrically shrinking component graph.
+- graph_greedy_coloring: backbone is <= 2*topk*n directed edges; JP
+  rounds grow ~log n on the bounded-degree backbone.
 
 Usage: python tools/round6c_scale_check.py [N]   (default 10)
 Results recorded in BASELINE.md.
@@ -49,6 +59,11 @@ QUERIES = {
     "gnn_sample_fanout": graph_extras.QUERIES["gnn_sample_fanout"],
     "simsearch_range": llm.QUERIES["simsearch_range"],
     "decontam_semantic": curation.QUERIES["decontam_semantic"],
+    "text_bm25_topk": llm.QUERIES["text_bm25_topk"],
+    "quality_hashed_linear": curation.QUERIES["quality_hashed_linear"],
+    "text_chunk_cdc": llm.QUERIES["text_chunk_cdc"],
+    "graph_mst_boruvka": graph_extras.QUERIES["graph_mst_boruvka"],
+    "graph_greedy_coloring": graph_extras.QUERIES["graph_greedy_coloring"],
 }
 
 
@@ -85,6 +100,13 @@ def replicate(spark, n: int) -> str:
     shift(
         emb.withColumn("embedding", rot), ["vec_id"]
     ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    # documents: id-shifted copies; text is left as-is (identical texts
+    # only grow df/candidate counts linearly, which is the shape under
+    # test — bm25 queries stay the 3 copy-0 docs, like the emb queries)
+    shift(
+        load_table(spark, SF_DIR, "documents").crossJoin(copies),
+        ["doc_id"],
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     return out
 
 
