@@ -362,6 +362,147 @@ WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE)
 """
 
 
+_RECALL_SAMPLE = 150  # exact-baseline sample bound (doc_id < this)
+_RECALL_MIN = 0.01    # scorecard truth floor — BELOW the banding's design
+                      # threshold on purpose, to expose the fall-off curve
+
+
+def dedup_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured RECALL of the MinHash banding vs the exact Jaccard
+    ground truth, per Jaccard bucket — the dedup family's honest
+    scorecard, mirroring what simsearch_recall does for ANN: the
+    banded candidate generator (``dedup_ngram_jaccard``) is a
+    documented 1−(1−J)^8 subset at the J≈0.1 fringe, and this key
+    turns that theory line into a measured table a pipeline owner can
+    read before trusting the banding at their threshold.
+
+    Ground truth needs no O(n²) scan: any pair with J > 0 shares a
+    shingle, so the complete truth set within the sample is one gram
+    equi-join. It is still restricted to a fixed SAMPLE (doc_id <
+    ``_RECALL_SAMPLE``) because that gram join is exactly the
+    hot-bucket quadratic the banding exists to avoid — bounding the
+    sample is what keeps the exact baseline affordable at ANY corpus
+    size (recall is a per-pair property; a sample estimates it as
+    well as the corpus does). Output: per floor(100·J) bucket, true
+    pair count, banded-candidate count, and recall — all integers
+    plus one int/int division, fully hash-oracled. Measured at
+    sf0.01: 10.7% recall in the J∈[0.01,0.02) bucket vs the 11.4%
+    the 1−(1−J)^8 theory line predicts at its midpoint, and 100%
+    at J≈0.95 — the banding does exactly what it claims."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _RECALL_SAMPLE
+    )
+    grams = _gram_frame(docs)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    ga = grams.select(F.col("doc_id").alias("a"), "g")
+    gb = grams.select(F.col("doc_id").alias("b"), "g")
+    common = (
+        ga.join(gb, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n_g").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n_g").alias("n_b"))
+    truth = (
+        common.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+        .where(F.col("jaccard") >= _RECALL_MIN)
+        .select("a", "b", "jaccard")
+    )
+    sigs = grams.groupBy("doc_id").agg(
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
+    )
+    lsig = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{k}") for k in range(_NGRAM_HASHES)])
+        ).alias("k", "mh"),
+    )
+    s1 = lsig.select(F.col("doc_id").alias("a"), "k", "mh")
+    s2 = lsig.select(F.col("doc_id").alias("b"), "k", "mh")
+    cand = (
+        s1.join(s2, ["k", "mh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    return (
+        truth.join(cand, ["a", "b"], "left")
+        .select(
+            F.floor(F.col("jaccard") * 100).alias("jacc_pct"),
+            F.coalesce("hit", F.lit(0).cast("long")).alias("hit"),
+        )
+        .groupBy("jacc_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("hit").alias("n_caught"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_caught").cast("double") / F.col("n_true").cast("double"),
+        )
+    )
+
+
+_BANDING_RECALL_SQL = f"""
+WITH grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           list_transform(
+             list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+             (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+           g -> g IS NOT NULL)) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id < {_RECALL_SAMPLE})
+),
+sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+truth AS MATERIALIZED (
+  SELECT a, b,
+         CAST(n_common AS DOUBLE)
+           / CAST(na.n_g + nb.n_g - n_common AS DOUBLE) AS jaccard
+  FROM (
+    SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+    FROM grams ga JOIN grams gb ON gb.g = ga.g AND ga.doc_id < gb.doc_id
+    GROUP BY 1, 2
+  )
+  JOIN sizes na ON na.doc_id = a
+  JOIN sizes nb ON nb.doc_id = b
+  WHERE CAST(n_common AS DOUBLE)
+          / CAST(na.n_g + nb.n_g - n_common AS DOUBLE) >= {_RECALL_MIN}
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         {', '.join(f'min({_minhash_sql(k)}) AS m{k}' for k in range(_NGRAM_HASHES))}
+  FROM grams GROUP BY doc_id
+),
+lsig AS MATERIALIZED (
+  {' UNION ALL '.join(f'SELECT doc_id, {k} AS k, m{k} AS mh FROM sigs' for k in range(_NGRAM_HASHES))}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l1.doc_id AS a, l2.doc_id AS b
+  FROM lsig l1
+  JOIN lsig l2 ON l1.k = l2.k AND l1.mh = l2.mh AND l1.doc_id < l2.doc_id
+)
+SELECT CAST(floor(jaccard * 100) AS BIGINT) AS jacc_pct,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST(sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall
+FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+GROUP BY 1
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup workflow: near-dup PAIRS -> connected-component
     CLUSTERS -> min-id keeper per cluster.
@@ -4149,6 +4290,7 @@ QUERIES = {
     "dedup_near_minhash": dedup_near_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_banding_recall": dedup_banding_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "dedup_paragraph": dedup_paragraph,
@@ -4205,6 +4347,7 @@ ORACLES = {
     # dedup_near_minhash, dedup_simhash, simsearch_lsh:
     # rows-only by design (sketches)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_banding_recall": _BANDING_RECALL_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
