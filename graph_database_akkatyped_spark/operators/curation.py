@@ -664,6 +664,128 @@ GROUP BY c.doc_id
 """
 
 
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one funnel: how many documents
+    survive each stage of the standard pretraining-corpus sequence —
+    quality rules → exact dedup → near dedup → decontamination — with
+    per-stage in/out/dropped counts. This is the report a pipeline
+    owner actually reads (each stage exists as its own audited key;
+    this key is their composition, sharing the memoized near-dup pair
+    frame with dedup_clusters/corpus_dedup_report).
+
+    Stage flags are GLOBAL per-document verdicts (gopher keep, exact
+    min-id keeper, near-dup cluster keeper, not-contaminated), applied
+    as a sequential conjunction — i.e. the funnel reports how the
+    standard order thins the corpus, not a re-clustering of each
+    stage's survivors (re-clustering survivors-only would change
+    keeper choices mid-funnel and make the stages non-auditable
+    against their standalone keys). Decontamination only ever drops
+    TRAIN-split documents (the rule's scope); val/test pass through.
+
+    One scan per flag source, joins on doc_id (the natural hash key),
+    final aggregate is five integer sums on one row — linear, and the
+    expensive near-dup stage is the already-memoized pair frame."""
+    from graph_database_akkatyped_spark.operators.llm import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    from pyspark.sql import Window
+
+    wmin = Window.partitionBy("text_hash")
+    e = (
+        docs.select("doc_id", h.alias("text_hash"))
+        .withColumn("e_keep", F.col("doc_id") == F.min("doc_id").over(wmin))
+        .select("doc_id", "e_keep")
+    )
+    n = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("is_keeper").alias("n_keep")
+    )
+    c = decontam_ngram_overlap(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(e, "doc_id")
+        .join(n, "doc_id")
+        .join(c, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("keep").alias("f1"),
+            (F.col("keep") & F.col("e_keep")).alias("f2"),
+            (F.col("keep") & F.col("e_keep") & F.col("n_keep")).alias("f3"),
+            (
+                F.col("keep")
+                & F.col("e_keep")
+                & F.col("n_keep")
+                & ~F.coalesce("contaminated", F.lit(False))
+            ).alias("f4"),
+        )
+    )
+    totals = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("f1").cast("long")).alias("n1"),
+        F.sum(F.col("f2").cast("long")).alias("n2"),
+        F.sum(F.col("f3").cast("long")).alias("n3"),
+        F.sum(F.col("f4").cast("long")).alias("n4"),
+    )
+    return totals.selectExpr(
+        "stack(4, "
+        "1, 'quality_rules', n0, n1, "
+        "2, 'exact_dedup',   n1, n2, "
+        "3, 'near_dedup',    n2, n3, "
+        "4, 'decontam',      n3, n4"
+        ") AS (stage_idx, stage, n_in, n_out)"
+    ).withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
+
+
+def _funnel_sql() -> str:
+    from graph_database_akkatyped_spark.operators.llm import (
+        _DEDUP_CLUSTERS_SQL,
+    )
+
+    return f"""
+WITH g AS MATERIALIZED ({_GOPHER_SQL}),
+e AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (
+           PARTITION BY sha256(lower(trim(text)))) AS e_keep
+  FROM documents
+),
+n AS MATERIALIZED (SELECT doc_id, is_keeper FROM ({_DEDUP_CLUSTERS_SQL})),
+c AS MATERIALIZED ({_DECONTAM_SQL}),
+flags AS (
+  SELECT d.doc_id, g.keep AS f1,
+         g.keep AND e.e_keep AS f2,
+         g.keep AND e.e_keep AND n.is_keeper AS f3,
+         g.keep AND e.e_keep AND n.is_keeper
+           AND NOT COALESCE(c.contaminated, FALSE) AS f4
+  FROM documents d
+  JOIN g ON g.doc_id = d.doc_id
+  JOIN e ON e.doc_id = d.doc_id
+  JOIN n ON n.doc_id = d.doc_id
+  LEFT JOIN c ON c.doc_id = d.doc_id
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flags
+)
+SELECT 1 AS stage_idx, 'quality_rules' AS stage, n0 AS n_in, n1 AS n_out,
+       n0 - n1 AS n_dropped FROM t
+UNION ALL
+SELECT 2, 'exact_dedup', n1, n2, n1 - n2 FROM t
+UNION ALL
+SELECT 3, 'near_dedup', n2, n3, n2 - n3 FROM t
+UNION ALL
+SELECT 4, 'decontam', n3, n4, n3 - n4 FROM t
+"""
+
+
 _VEC_BUCKET = (
     "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) "
     "AS BIGINT) % 10"
@@ -820,6 +942,7 @@ QUERIES = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_semantic": decontam_semantic,
     "quality_hashed_linear": quality_hashed_linear,
+    "corpus_pipeline_funnel": corpus_pipeline_funnel,
     "curation_filter_report": curation_filter_report,
     "pii_redact": pii_redact,
     "text_repetition": text_repetition,
@@ -834,6 +957,7 @@ ORACLES = {
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "decontam_semantic": _decontam_sem_sql(),
     "quality_hashed_linear": _QHL_SQL,
+    "corpus_pipeline_funnel": _funnel_sql(),
     "curation_filter_report": _FILTER_REPORT_SQL,
     "pii_redact": _PII_SQL,
     "text_repetition": _REPETITION_SQL,
