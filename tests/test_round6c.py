@@ -287,6 +287,7 @@ def test_greedy_coloring_is_proper_and_deterministic(spark):
 
 def test_new_keys_run_at_smoke_scale(spark):
     from graph_database_akkatyped_spark.operators.curation import (
+        corpus_pipeline_funnel,
         quality_hashed_linear,
     )
     from graph_database_akkatyped_spark.operators.graph_extras import (
@@ -294,8 +295,12 @@ def test_new_keys_run_at_smoke_scale(spark):
         graph_mst_boruvka,
     )
     from graph_database_akkatyped_spark.operators.llm import (
+        dedup_banding_recall,
         text_bm25_topk,
         text_chunk_cdc,
+    )
+    from graph_database_akkatyped_spark.operators.relational import (
+        join_asof_forward,
     )
 
     for fn in (
@@ -308,5 +313,8 @@ def test_new_keys_run_at_smoke_scale(spark):
         quality_hashed_linear,
         text_chunk_cdc,
         graph_greedy_coloring,
+        join_asof_forward,
+        dedup_banding_recall,
+        corpus_pipeline_funnel,
     ):
         fn(spark, SF_SMOKE).collect()  # must run clean on tiny fixtures
