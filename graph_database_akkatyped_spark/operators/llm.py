@@ -1328,6 +1328,133 @@ SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+_KNN_K = 5
+
+
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the k-NN GRAPH over the embedding corpus — every vector
+    gets its top-``_KNN_K`` cosine neighbors via the IVF path (assign
+    → probe top-2 cells → exact re-rank inside probed cells only).
+    This is the bridge between the repo's two pillars: vectors in,
+    GRAPH out — the edge list that semantic clustering (Louvain/CC on
+    semantic edges), graph-based re-ranking, and diversity sampling
+    consume, and the single-layer core of every graph-ANN index
+    build (HNSW's layer-0 construction is exactly repeated
+    probe-and-re-rank).
+
+    Same determinism recipe as simsearch_ivf (label cells,
+    floor-scaled integer centroid means, fully tie-broken ranks), so
+    the whole edge list value-hashes against the oracle. 100 TB
+    shape: queries here are ALL n vectors, but each scores only
+    O(cells) centroids (broadcast) plus its 2 probed cells' members —
+    n·(cells + 2·cell_size) work, the linear ANN-build bound, never
+    n². With the table laid out by cell (simsearch_ivf_partitioned)
+    the probe side is partition-pruned per cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cdims = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1e8).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1e8)
+        ).alias("cval")
+    )
+    centroids = cdims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("centroid")
+    )
+    cnorm = _dot(F.col("centroid"), F.col("centroid"))
+    cells = centroids.select(
+        F.col("label").alias("cell"), "centroid", cnorm.alias("cnrm")
+    )
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    queries = base.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c_cos = _dot(F.col("q_emb"), F.col("centroid")) / (
+        F.sqrt("q_nrm") * F.sqrt("cnrm")
+    )
+    wc = Window.partitionBy("src").orderBy(F.col("c_cos").desc(), "cell")
+    probed = (
+        queries.crossJoin(F.broadcast(cells))
+        .withColumn("c_cos", c_cos)
+        .withColumn("cell_rnk", F.row_number().over(wc))
+        .where(F.col("cell_rnk") <= 2)
+        .select("src", "q_emb", "q_nrm", "cell")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        probed.join(
+            base,
+            (base["label"] == probed["cell"])
+            & (base["vec_id"] != probed["src"]),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _KNN_K)
+        .select("src", F.col("vec_id").alias("dst"), "cos", "rnk")
+    )
+
+
+_KNN_GRAPH_SQL = f"""
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cdims AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM dims GROUP BY label, pos
+),
+cells AS (
+  SELECT label AS cell, list(cval ORDER BY pos) AS centroid
+  FROM cdims GROUP BY label
+),
+cells_n AS (
+  SELECT cell, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm
+  FROM cells
+),
+base AS MATERIALIZED (
+  SELECT vec_id, label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+probed AS MATERIALIZED (
+  SELECT src, q_emb, q_nrm, cell FROM (
+    SELECT q.vec_id AS src, q.embedding AS q_emb, q.nrm AS q_nrm, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'c.centroid')}
+                       / (sqrt(q.nrm) * sqrt(c.cnrm)) DESC, c.cell) AS cell_rnk
+    FROM base q CROSS JOIN cells_n c
+  ) WHERE cell_rnk <= 2
+)
+SELECT src, dst, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT p.src, b.vec_id AS dst,
+         {_sql_dot('p.q_emb', 'b.embedding')}
+           / (sqrt(p.q_nrm) * sqrt(b.nrm)) AS cos,
+         row_number() OVER (
+           PARTITION BY p.src
+           ORDER BY {_sql_dot('p.q_emb', 'b.embedding')}
+                     / (sqrt(p.q_nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rnk
+  FROM probed p JOIN base b ON b.label = p.cell AND b.vec_id <> p.src
+) WHERE rnk <= {_KNN_K}
+"""
+
+
 def _recall_vs_truth(truth: DataFrame, cand: DataFrame) -> DataFrame:
     """recall@k of a candidate set against exact ground truth: per-query
     hit counts via a left join on (q_id, vec_id), then ONE exact integer
@@ -4307,6 +4434,7 @@ QUERIES = {
     "simsearch_range": simsearch_range,
     "simsearch_hybrid_rrf": simsearch_hybrid_rrf,
     "simsearch_ivf": simsearch_ivf,
+    "knn_graph_build": knn_graph_build,
     "simsearch_ivf_filtered": simsearch_ivf_filtered,
     "simsearch_recall_filtered": simsearch_recall_filtered,
     "simsearch_ivf_append": simsearch_ivf_append,
@@ -4364,6 +4492,7 @@ ORACLES = {
     "simsearch_range": _SIMSEARCH_RANGE_SQL,
     "simsearch_hybrid_rrf": _HYBRID_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
+    "knn_graph_build": _KNN_GRAPH_SQL,
     "simsearch_ivf_filtered": _IVF_FILTERED_SQL,
     "simsearch_recall_filtered": _RECALL_FILTERED_SQL,
     "simsearch_ivf_append": _IVF_APPEND_SQL,
