@@ -1455,6 +1455,71 @@ SELECT src, dst, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+_SEMCLUSTER_COS = 0.35  # edge floor: mutual-ish semantic similarity
+
+
+def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-based semantic clustering: connected components over the
+    k-NN graph's strong edges (cos ≥ ``_SEMCLUSTER_COS``) — the
+    graph-side complement of ``dedup_semantic``'s kmeans route, and
+    the standard second stage after an ANN-graph build (cluster =
+    mutually-reachable semantic neighborhood, no k to choose). Output:
+    one row per vector with its cluster id (min vec_id in the
+    component) and the cluster size.
+
+    Pipeline composition story: embeddings → ``knn_graph_build`` (IVF
+    probe, linear) → threshold to strong edges → Pregel CC (the same
+    kernel every graph key uses) → grouped size. Every stage is an
+    audited standalone key; nothing here is new machinery. Scale:
+    the edge list is ≤ k·n rows by construction, so the CC runs on a
+    bounded-degree graph whatever the corpus size."""
+    from graph_database_akkatyped_spark.operators.algos import cc_frame
+
+    edges = knn_graph_build(spark, sf_dir).where(
+        F.col("cos") >= F.lit(_SEMCLUSTER_COS)
+    ).select("src", "dst")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id")
+    )
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    comp = cc_frame(emb, sym)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("component").alias("cluster"),
+            "cluster_size",
+        )
+    )
+
+
+_SEMCLUSTER_SQL = f"""
+WITH RECURSIVE knn AS MATERIALIZED (
+  SELECT src, dst FROM ({_KNN_GRAPH_SQL}) WHERE cos >= {_SEMCLUSTER_COS}
+),
+sym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM knn
+  UNION ALL SELECT dst AS a, src AS b FROM knn
+),
+verts AS (SELECT vec_id AS v FROM embeddings),
+reach(s, d) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN sym e ON e.a = r.d
+),
+comp AS (SELECT s AS vec_id, min(d) AS cluster FROM reach GROUP BY s)
+SELECT c.vec_id, c.cluster, CAST(n.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT cluster, count(*) AS cluster_size
+      FROM comp GROUP BY cluster) n USING (cluster)
+"""
+
+
 def _recall_vs_truth(truth: DataFrame, cand: DataFrame) -> DataFrame:
     """recall@k of a candidate set against exact ground truth: per-query
     hit counts via a left join on (q_id, vec_id), then ONE exact integer
@@ -4435,6 +4500,7 @@ QUERIES = {
     "simsearch_hybrid_rrf": simsearch_hybrid_rrf,
     "simsearch_ivf": simsearch_ivf,
     "knn_graph_build": knn_graph_build,
+    "semantic_clusters": semantic_clusters,
     "simsearch_ivf_filtered": simsearch_ivf_filtered,
     "simsearch_recall_filtered": simsearch_recall_filtered,
     "simsearch_ivf_append": simsearch_ivf_append,
@@ -4493,6 +4559,7 @@ ORACLES = {
     "simsearch_hybrid_rrf": _HYBRID_SQL,
     "simsearch_ivf": _SIMSEARCH_IVF_SQL,
     "knn_graph_build": _KNN_GRAPH_SQL,
+    "semantic_clusters": _SEMCLUSTER_SQL,
     "simsearch_ivf_filtered": _IVF_FILTERED_SQL,
     "simsearch_recall_filtered": _RECALL_FILTERED_SQL,
     "simsearch_ivf_append": _IVF_APPEND_SQL,
