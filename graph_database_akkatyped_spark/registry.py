@@ -54,7 +54,7 @@ _SWEEP_ORDER = (
     # agg_distinct + join_asof_nearest + join_cross_small) to the
     # block-2 head), the 1 key whose
     # implementation changed this round (stream_sink_idempotent:
-    # memoized + resource release), then 30 of the 50 keys whose ONLY
+    # memoized + resource release), then 20 of the 50 keys whose ONLY
     # driver sample is still round 1 (relational core + section 2-B
     # builders, cheapest first) — re-confirmation pressure goes to the
     # oldest evidence. RULE: any NEW key must be added to block 1
