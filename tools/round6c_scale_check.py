@@ -28,9 +28,20 @@ What each key should show:
   runs on the geometrically shrinking component graph.
 - graph_greedy_coloring: backbone is <= 2*topk*n directed edges; JP
   rounds grow ~log n on the bounded-degree backbone.
+- knn_graph_build / semantic_clusters: labels are SHIFTED per copy
+  (label + 10*copy) so the IVF cell count grows with the corpus like
+  a production quantizer (cells ~ sqrt(n)); work stays
+  n * (cells + 2*cell_size). Without the shift 10x data would pack
+  into the same 10 cells and the probe would look quadratic — an
+  artifact of the replication, not of the operator.
+- join_asof_forward: one window pass over the union — linear.
+- dedup_banding_recall: the exact-truth join is SAMPLE-BOUNDED by
+  design (doc_id < 150 regardless of corpus size), so near-flat.
+- corpus_pipeline_funnel: composition of linear stages; the near-dup
+  stage is the memoized banded pair frame.
 
-Usage: python tools/round6c_scale_check.py [N]   (default 10)
-Results recorded in BASELINE.md.
+Usage: python tools/round6c_scale_check.py [N] [key1,key2,...]
+(default 10, all keys). Results recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -46,7 +57,12 @@ from pyspark.sql import functions as F
 
 from graph_database_akkatyped_spark.caching import clear_frame_cache
 from graph_database_akkatyped_spark.catalog import load_table
-from graph_database_akkatyped_spark.operators import curation, graph_extras, llm
+from graph_database_akkatyped_spark.operators import (
+    curation,
+    graph_extras,
+    llm,
+    relational,
+)
 from graph_database_akkatyped_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,6 +80,11 @@ QUERIES = {
     "text_chunk_cdc": llm.QUERIES["text_chunk_cdc"],
     "graph_mst_boruvka": graph_extras.QUERIES["graph_mst_boruvka"],
     "graph_greedy_coloring": graph_extras.QUERIES["graph_greedy_coloring"],
+    "knn_graph_build": llm.QUERIES["knn_graph_build"],
+    "semantic_clusters": llm.QUERIES["semantic_clusters"],
+    "join_asof_forward": relational.QUERIES["join_asof_forward"],
+    "dedup_banding_recall": llm.QUERIES["dedup_banding_recall"],
+    "corpus_pipeline_funnel": curation.QUERIES["corpus_pipeline_funnel"],
 }
 
 
@@ -82,7 +103,13 @@ def replicate(spark, n: int) -> str:
         .withColumn("ts", F.expr("timestampadd(HOUR, _copy * 100000, ts)")),
         ["event_id", "user_id"],
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
-    emb = load_table(spark, SF_DIR, "embeddings").crossJoin(copies)
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .crossJoin(copies)
+        # labels shift per copy so the IVF cell count scales with the
+        # corpus (see module docstring) — cells stay key-disjoint
+        .withColumn("label", F.col("label") + (F.col("_copy") * 10).cast("int"))
+    )
     rot = F.when(
         F.col("_copy") == 0, F.col("embedding")
     ).otherwise(
@@ -124,6 +151,13 @@ def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:  # optional comma-separated key filter
+        keep = set(sys.argv[2].split(","))
+        unknown = keep - set(QUERIES)
+        assert not unknown, f"unknown keys: {sorted(unknown)}"
+        for k in list(QUERIES):
+            if k not in keep:
+                del QUERIES[k]
     spark = get_spark(app_name="round6c_scale_check")
     spark.sparkContext.setLogLevel("ERROR")
     base = run(spark, SF_DIR)
