@@ -1472,30 +1472,38 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel every graph key uses) → grouped size. Every stage is an
     audited standalone key; nothing here is new machinery. Scale:
     the edge list is ≤ k·n rows by construction, so the CC runs on a
-    bounded-degree graph whatever the corpus size."""
+    bounded-degree graph whatever the corpus size. The result is
+    memoized (like SCC/HITS/betweenness/MST): the min-label CC runs
+    ~diameter Pregel rounds on the chain-heavy knn graph — ~100 s at
+    sf0.1 — and every repeat consumer should pay a memo fetch."""
     from graph_database_akkatyped_spark.operators.algos import cc_frame
 
-    edges = knn_graph_build(spark, sf_dir).where(
-        F.col("cos") >= F.lit(_SEMCLUSTER_COS)
-    ).select("src", "dst")
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id")
-    )
-    sym = edges.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-    comp = cc_frame(emb, sym)
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        comp.join(sizes, "component")
-        .select(
-            F.col("id").alias("vec_id"),
-            F.col("component").alias("cluster"),
-            "cluster_size",
+    def build() -> DataFrame:
+        edges = knn_graph_build(spark, sf_dir).where(
+            F.col("cos") >= F.lit(_SEMCLUSTER_COS)
+        ).select("src", "dst")
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id")
         )
-    )
+        sym = edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).unionAll(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        comp = cc_frame(emb, sym)
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return (
+            comp.join(sizes, "component")
+            .select(
+                F.col("id").alias("vec_id"),
+                F.col("component").alias("cluster"),
+                "cluster_size",
+            )
+        )
+
+    return memoized_checkpoint(spark, "semantic_clusters", sf_dir, build)
 
 
 _SEMCLUSTER_SQL = f"""

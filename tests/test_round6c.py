@@ -285,6 +285,44 @@ def test_greedy_coloring_is_proper_and_deterministic(spark):
     assert again == color
 
 
+def test_knn_graph_and_semantic_clusters_structure(spark):
+    from graph_database_akkatyped_spark.operators.llm import (
+        _KNN_K,
+        _SEMCLUSTER_COS,
+        knn_graph_build,
+        semantic_clusters,
+    )
+
+    edges = knn_graph_build(spark, SF_ORACLE).collect()
+    n_vecs = load_table(spark, SF_ORACLE, "embeddings").count()
+    from collections import Counter
+
+    per_src = Counter(e.src for e in edges)
+    assert len(per_src) == n_vecs  # every vector got neighbors
+    assert max(per_src.values()) <= _KNN_K
+    for e in edges:
+        assert e.src != e.dst
+        assert 1 <= e.rnk <= _KNN_K
+        assert -1.0 <= e.cos <= 1.0
+    clusters = semantic_clusters(spark, SF_ORACLE).collect()
+    assert len(clusters) == n_vecs
+    byc: dict = {}
+    for r in clusters:
+        byc.setdefault(r.cluster, []).append(r.vec_id)
+    for cid, members in byc.items():
+        assert cid == min(members)  # cluster id = min member id
+        assert all(
+            r.cluster_size == len(members)
+            for r in clusters
+            if r.cluster == cid
+        )
+    # every strong knn edge stays within one cluster (CC soundness)
+    cl = {r.vec_id: r.cluster for r in clusters}
+    for e in edges:
+        if e.cos >= _SEMCLUSTER_COS:
+            assert cl[e.src] == cl[e.dst]
+
+
 def test_new_keys_run_at_smoke_scale(spark):
     from graph_database_akkatyped_spark.operators.curation import (
         corpus_pipeline_funnel,
