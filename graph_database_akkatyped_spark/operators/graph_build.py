@@ -283,19 +283,31 @@ def build_user_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = # shared capped slots. At sf0.1 most slots are under the
     cap so the graphs nearly coincide; at 100 TB this is the variant a
     production pipeline registers, because its worst-case output per
-    slot is a constant."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
-    )
-    top = slot_capped_users(e)
-    a = top.select(F.col("user_id").alias("a"), "event_type", "hour")
-    b = top.select(F.col("user_id").alias("b"), "event_type", "hour")
-    return (
-        a.join(b, ["event_type", "hour"])
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("weight"))
-    )
+    slot is a constant.
+
+    MEMOIZED: this edge list is the adjacency that both link
+    predictors, the GNN sampler, the spanning-forest and coloring
+    kernels all start from — exactly the table a production pipeline
+    materializes ONCE and reuses, so the repo builds it once per
+    (session, sf_dir) too. Scale tools clear the frame cache, so the
+    build cost stays measured there."""
+    from graph_database_akkatyped_spark.caching import memoized_checkpoint
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        top = slot_capped_users(e)
+        a = top.select(F.col("user_id").alias("a"), "event_type", "hour")
+        b = top.select(F.col("user_id").alias("b"), "event_type", "hour")
+        return (
+            a.join(b, ["event_type", "hour"])
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("weight"))
+        )
+
+    return memoized_checkpoint(spark, "user_graph_capped", sf_dir, build)
 
 
 _BUILD_USER_GRAPH_CAPPED_SQL = f"""

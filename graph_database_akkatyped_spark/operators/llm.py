@@ -1349,7 +1349,16 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(cells) centroids (broadcast) plus its 2 probed cells' members —
     n·(cells + 2·cell_size) work, the linear ANN-build bound, never
     n². With the table laid out by cell (simsearch_ivf_partitioned)
-    the probe side is partition-pruned per cell."""
+    the probe side is partition-pruned per cell. MEMOIZED: an index
+    build runs once and is then consumed (semantic_clusters, graph
+    re-ranking); the scale tools clear the cache, so the true build
+    cost stays measured there."""
+    return memoized_checkpoint(
+        spark, "knn_graph", sf_dir, lambda: _knn_graph_build(spark, sf_dir)
+    )
+
+
+def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "val")

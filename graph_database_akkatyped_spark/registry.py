@@ -54,7 +54,10 @@ _SWEEP_ORDER = (
     # agg_distinct + join_asof_nearest + join_cross_small) to the
     # block-2 head), the 1 key whose
     # implementation changed this round (stream_sink_idempotent:
-    # memoized + resource release), then 20 of the 50 keys whose ONLY
+    # memoized + resource release) plus build_user_graph_capped (now
+    # memoized — the shared adjacency materialized once per session,
+    # moved up from the block-2 tail for re-confirmation, displacing
+    # join_theta_range), then 19 of the 50 keys whose ONLY
     # driver sample is still round 1 (relational core + section 2-B
     # builders, cheapest first) — re-confirmation pressure goes to the
     # oldest evidence. RULE: any NEW key must be added to block 1
@@ -71,17 +74,17 @@ _SWEEP_ORDER = (
     "sketch_countmin_heavy", "simsearch_ivf_partitioned", "stream_scd2",
     "simsearch_ivf_filtered", "simsearch_recall_filtered",
     "dedup_semantic", "stream_graph_degree", "community_louvain_l1",
-    "multimodal_decode", "stream_sink_idempotent", "scan_parquet",
+    "multimodal_decode", "stream_sink_idempotent",
+    "build_user_graph_capped", "scan_parquet",
     "scan_pruned", "sink_parquet", "sink_csv_roundtrip",
     "sink_json_roundtrip", "filter_project", "build_vertices",
     "build_edges", "vertex_lookup", "neighbors_out", "degree_out",
     "degree_in", "degree_distribution", "join_inner_hash",
     "join_broadcast", "join_left", "join_full", "join_semi", "join_anti",
-    "join_theta_range",
-    # -- block 2 head: the 30 remaining r1-only keys that did not fit
+    # -- block 2 head: the 31 remaining r1-only keys that did not fit
     # the 50-key budget (named so coverage accounting stays honest —
     # they are expected to MISS round 6 and lead round 7's rotation):
-    # join_cross_small + join_asof_nearest + agg_distinct + agg_minmax_by + agg_mode +
+    # join_theta_range + join_cross_small + join_asof_nearest + agg_distinct + agg_minmax_by + agg_mode +
     # agg_listagg + grouping_rollup + grouping_cube + grouping_sets +
     # window_rank + window_running + window_lead_lag +
     # window_range_frame +
@@ -91,7 +94,7 @@ _SWEEP_ORDER = (
     # subquery_scalar (displaced by the late round-6 additions),
     # flagship, agg_hash, agg_moments, agg_percentiles,
     # agg_approx_distinct (rows-only), join_salted_skew, table_profile
-    "join_cross_small", "join_asof_nearest",
+    "join_theta_range", "join_cross_small", "join_asof_nearest",
     "agg_distinct", "agg_minmax_by", "agg_mode", "agg_listagg",
     "grouping_rollup", "grouping_cube",
     "grouping_sets", "window_rank",
@@ -103,7 +106,7 @@ _SWEEP_ORDER = (
     "flagship", "agg_hash", "agg_moments", "agg_percentiles",
     "agg_approx_distinct", "join_salted_skew", "table_profile",
     # -- block 2 tail: driver-green keys, prior order preserved
-    "build_user_graph_capped", "dedup_keep_best",
+    "dedup_keep_best",
     "corpus_token_budget_sample", "triangle_count_approx",
     "dedup_paragraph", "betweenness_sampled", "corpus_dedup_report",
     "simsearch_filtered_topk", "motif_find_cosupplied",
