@@ -1364,6 +1364,230 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized(spark, "mst_boruvka", sf_dir, build)
 
 
+# ------------------------------------------------- node2vec biased walks
+
+_N2V_STEPS = 6
+_N2V_WALKS = 2   # walks per seed
+_N2V_TOPK = 3    # backbone sparsification (same as coloring)
+# p = 1, q = 0.5: returning to prev and staying near it weigh 1 ticket,
+# exploring AWAY from prev weighs 1/q = 2 tickets (integer!) — the
+# DFS-leaning node2vec regime, chosen because 1/q must be an integer
+# for the exact ticket lottery below.
+
+
+def _n2v_hash(step: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat_ws(':', CAST(seed AS STRING), "
+        f"CAST(walk_no AS STRING), CAST({step} AS STRING), "
+        f"CAST(x AS STRING), CAST(tick AS STRING))), 1, 12), 16, 10) "
+        f"AS BIGINT)"
+    )
+
+
+def _n2v_hash_sql(step: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || "
+        f"CAST(walk_no AS VARCHAR) || ':' || CAST({step} AS VARCHAR) || "
+        f"':' || CAST(x AS VARCHAR) || ':' || CAST(tick AS VARCHAR)), "
+        f"1, 12) AS BIGINT)"
+    )
+
+
+def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec SECOND-ORDER biased walks (Grover–Leskovec) with an
+    EXACT deterministic lottery: from state (prev t, cur v), each
+    neighbor x of v gets an integer TICKET count — 1 if x == t
+    (return, weight 1/p with p=1), 1 if x is adjacent to t (BFS-side,
+    weight 1), 2 otherwise (exploration, weight 1/q with q=0.5) — and
+    the next hop is the ticket with the maximum per-(walk, step,
+    candidate, ticket) hash. By symmetry of iid hashes, P(pick x) =
+    tickets(x)/Σtickets EXACTLY, so this is true weighted sampling
+    whose outcome is a pure function of the graph — re-running a lost
+    executor (or the DuckDB oracle) reproduces the same corpus
+    bit-for-bit, which a seeded RNG across distributed workers cannot
+    promise. First hop: prev = cur, so every neighbor is
+    prev-adjacent and the draw is uniform — the node2vec convention.
+
+    Runs on the top-``_N2V_TOPK`` backbone (same sparsification as
+    the coloring key) because second-order bias NEEDS the
+    per-candidate adjacency test against t — O(degree) per step, the
+    documented cost the uniform-walk key's O(1) array index cannot
+    pay; bounding degree makes each step |walks|·O(topk) rows with
+    ≤ 2 tickets each. Walk corpus generation is the input stage of
+    DeepWalk/node2vec embedding training. Dangling vertices hold
+    position (lazy self-loop), one row per (seed, walk, step)."""
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph_capped,
+    )
+
+    ce = build_user_graph_capped(spark, sf_dir)
+    dsym = ce.select("a", "b", "weight").unionAll(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"), "weight")
+    )
+    wtop = Window.partitionBy("a").orderBy(F.col("weight").desc(), "b")
+    backbone = (
+        dsym.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= _N2V_TOPK)
+        .select("a", "b")
+    )
+    bsym = cut(
+        backbone.unionAll(
+            backbone.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+    )
+    eset = bsym.select(
+        F.least("a", "b").alias("ex"), F.greatest("a", "b").alias("ey")
+    ).distinct()
+    state = (
+        bsym.select(F.col("a").alias("seed"))
+        .distinct()
+        .crossJoin(
+            spark.range(_N2V_WALKS).select(
+                F.col("id").cast("int").alias("walk_no")
+            )
+        )
+        .select(
+            "seed", "walk_no",
+            F.col("seed").alias("prev"), F.col("seed").alias("cur"),
+        )
+    )
+    steps = [
+        state.select(
+            "seed", "walk_no", F.lit(0).alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for k in range(1, _N2V_STEPS + 1):
+        cand = (
+            state.join(
+                bsym.select(F.col("a").alias("cur"), F.col("b").alias("x")),
+                "cur",
+                "left",
+            )
+            .join(
+                eset.withColumn("adj", F.lit(1)),
+                (F.least("prev", "x") == F.col("ex"))
+                & (F.greatest("prev", "x") == F.col("ey")),
+                "left",
+            )
+            .select(
+                "seed", "walk_no", "prev", "cur", "x",
+                F.when(F.col("x").isNull(), F.lit(1))
+                .when(F.col("x") == F.col("prev"), F.lit(1))
+                .when(F.col("adj").isNotNull(), F.lit(1))
+                .otherwise(F.lit(2))
+                .alias("tickets"),
+            )
+        )
+        lottery = cand.select(
+            "seed", "walk_no", "cur", "x",
+            F.explode(F.expr("sequence(1, tickets)")).alias("tick"),
+        ).withColumn("hkey", F.expr(_n2v_hash(k)))
+        wpick = Window.partitionBy("seed", "walk_no").orderBy(
+            F.col("hkey").desc(), F.col("x").asc_nulls_last()
+        )
+        state = cut(
+            lottery.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select(
+                "seed", "walk_no",
+                F.col("cur").alias("prev"),
+                F.coalesce("x", "cur").alias("cur"),
+            )
+        )
+        steps.append(
+            state.select(
+                "seed", "walk_no", F.lit(k).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _n2v_sql() -> str:
+    walks_vals = ", ".join(f"({i})" for i in range(_N2V_WALKS))
+    # _LP_PRELUDE's ce is the DISTINCT pair set; the backbone needs
+    # edge WEIGHTS, so the capped slots are rebuilt here with a count
+    ctes = [
+        f"""cew AS MATERIALIZED (
+  SELECT t1.user_id AS a, t2.user_id AS b, CAST(count(*) AS BIGINT) AS w
+  FROM ({_TOP_SLOTS_SQL}) t1
+  JOIN ({_TOP_SLOTS_SQL}) t2
+    ON t1.event_type = t2.event_type AND t1.hr = t2.hr
+   AND t1.user_id < t2.user_id
+  GROUP BY 1, 2
+),
+dsym AS (
+  SELECT a, b, w FROM cew UNION ALL SELECT b AS a, a AS b, w FROM cew
+),
+backbone AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (
+      PARTITION BY a ORDER BY w DESC, b) AS rn
+    FROM dsym
+  ) WHERE rn <= {_N2V_TOPK}
+),
+bsym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM backbone UNION ALL SELECT b AS a, a AS b FROM backbone
+  )
+),
+eset AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS ex, greatest(a, b) AS ey FROM bsym
+),
+w0 AS (
+  SELECT seed, CAST(t.w AS INT) AS walk_no, seed AS prev, seed AS cur
+  FROM (SELECT DISTINCT a AS seed FROM bsym) s, (VALUES {walks_vals}) t(w)
+)"""
+    ]
+    for k in range(1, _N2V_STEPS + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+  SELECT seed, walk_no, cur, x,
+         unnest(generate_series(1, tickets)) AS tick
+  FROM (
+    SELECT c.seed, c.walk_no, c.prev, c.cur, n.b AS x,
+           CASE WHEN n.b IS NULL THEN 1
+                WHEN n.b = c.prev THEN 1
+                WHEN EXISTS (SELECT 1 FROM eset e
+                             WHERE e.ex = least(c.prev, n.b)
+                               AND e.ey = greatest(c.prev, n.b)) THEN 1
+                ELSE 2 END AS tickets
+    FROM w{k - 1} c LEFT JOIN bsym n ON n.a = c.cur
+  )
+),
+w{k} AS MATERIALIZED (
+  SELECT seed, walk_no, cur AS prev, COALESCE(x, cur) AS cur FROM (
+    SELECT seed, walk_no, cur, x,
+           row_number() OVER (
+             PARTITION BY seed, walk_no
+             ORDER BY {_n2v_hash_sql(k)} DESC, x ASC NULLS LAST) AS rn
+    FROM l{k}
+  ) WHERE rn = 1
+)""")
+    selects = [
+        f"SELECT seed, walk_no, CAST({k} AS INT) AS step, cur AS node "
+        f"FROM w{k}"
+        for k in range(_N2V_STEPS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_TOP_SLOTS_SQL = """
+  SELECT event_type, hr, user_id FROM (
+    SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
+           count(*) AS n_ev
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts), user_id
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY event_type, hr
+    ORDER BY n_ev DESC, user_id ASC) <= 32
+"""
+
+
 # ----------------------------------------------------- greedy coloring
 
 _JP_MAX_ROUNDS = 64
@@ -1636,6 +1860,7 @@ QUERIES = {
     "edge_jaccard": edge_jaccard,
     "bipartite_copurchase": bipartite_copurchase,
     "graph_random_walks": graph_random_walks,
+    "graph_node2vec_walks": graph_node2vec_walks,
     "scc_strongly_connected": scc_strongly_connected,
     "katz_centrality": katz_centrality,
     "graph_eccentricity": graph_eccentricity,
@@ -1649,6 +1874,7 @@ ORACLES = {
     "graph_eccentricity": _ECC_SQL,
     "path_shortest_bidirectional": _BIDIR_SQL,
     "graph_random_walks": _walks_sql(),
+    "graph_node2vec_walks": _n2v_sql(),
     "scc_strongly_connected": _SCC_SQL,
     "katz_centrality": _katz_sql(),
     "pagerank_personalized": _ppr_sql(),

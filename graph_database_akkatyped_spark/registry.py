@@ -43,21 +43,22 @@ _MODULES = (
 # keys, then RE-confirmation of the oldest evidence.
 _SWEEP_ORDER = (
     # -- block 1 (round-6 rotation, exactly 50 keys = the driver's
-    # per-round budget): the 29 new round-6 keys (the last 14 —
+    # per-round budget): the 30 new round-6 keys (the last 15 —
     # link_predict_resource_alloc, gnn_sample_fanout, simsearch_range,
     # decontam_semantic, text_bm25_topk, graph_mst_boruvka,
     # quality_hashed_linear, text_chunk_cdc, graph_greedy_coloring,
     # join_asof_forward, dedup_banding_recall, corpus_pipeline_funnel,
-    # knn_graph_build, semantic_clusters — landed late and displaced
-    # 14 re-confirmation keys (4 window_* + grouping_rollup/cube/sets
-    # + window_rank + agg_listagg + agg_mode + agg_minmax_by +
-    # agg_distinct + join_asof_nearest + join_cross_small) to the
-    # block-2 head), the 1 key whose
+    # knn_graph_build, semantic_clusters, graph_node2vec_walks —
+    # landed late and displaced 15 re-confirmation keys (4 window_* +
+    # grouping_rollup/cube/sets + window_rank + agg_listagg +
+    # agg_mode + agg_minmax_by + agg_distinct + join_asof_nearest +
+    # join_cross_small + join_anti) to the block-2 head), the 1 key
+    # whose
     # implementation changed this round (stream_sink_idempotent:
     # memoized + resource release) plus build_user_graph_capped (now
     # memoized — the shared adjacency materialized once per session,
     # moved up from the block-2 tail for re-confirmation, displacing
-    # join_theta_range), then 19 of the 50 keys whose ONLY
+    # join_theta_range), then 18 of the 50 keys whose ONLY
     # driver sample is still round 1 (relational core + section 2-B
     # builders, cheapest first) — re-confirmation pressure goes to the
     # oldest evidence. RULE: any NEW key must be added to block 1
@@ -69,6 +70,7 @@ _SWEEP_ORDER = (
     "graph_mst_boruvka", "quality_hashed_linear", "text_chunk_cdc",
     "graph_greedy_coloring", "join_asof_forward", "dedup_banding_recall",
     "corpus_pipeline_funnel", "knn_graph_build", "semantic_clusters",
+    "graph_node2vec_walks",
     "community_louvain_multi", "simsearch_ivf_append", "cc_incremental",
     "link_predict_jaccard", "merge_scd2", "timeseries_interpolate",
     "sketch_countmin_heavy", "simsearch_ivf_partitioned", "stream_scd2",
@@ -80,21 +82,21 @@ _SWEEP_ORDER = (
     "sink_json_roundtrip", "filter_project", "build_vertices",
     "build_edges", "vertex_lookup", "neighbors_out", "degree_out",
     "degree_in", "degree_distribution", "join_inner_hash",
-    "join_broadcast", "join_left", "join_full", "join_semi", "join_anti",
-    # -- block 2 head: the 31 remaining r1-only keys that did not fit
+    "join_broadcast", "join_left", "join_full", "join_semi",
+    # -- block 2 head: the 32 remaining r1-only keys that did not fit
     # the 50-key budget (named so coverage accounting stays honest —
     # they are expected to MISS round 6 and lead round 7's rotation):
-    # join_theta_range + join_cross_small + join_asof_nearest + agg_distinct + agg_minmax_by + agg_mode +
+    # join_anti + join_theta_range + join_cross_small + join_asof_nearest + agg_distinct + agg_minmax_by + agg_mode +
     # agg_listagg + grouping_rollup + grouping_cube + grouping_sets +
     # window_rank + window_running + window_lead_lag +
     # window_range_frame +
-    # window_first_last (displaced by the 14 late round-6 keys above) +
+    # window_first_last (displaced by the 15 late round-6 keys above) +
     # window_ntile + sort_limit_topk + set_union + set_intersect +
     # set_except + pivot_segment + unpivot_melt + subquery_in +
     # subquery_scalar (displaced by the late round-6 additions),
     # flagship, agg_hash, agg_moments, agg_percentiles,
     # agg_approx_distinct (rows-only), join_salted_skew, table_profile
-    "join_theta_range", "join_cross_small", "join_asof_nearest",
+    "join_anti", "join_theta_range", "join_cross_small", "join_asof_nearest",
     "agg_distinct", "agg_minmax_by", "agg_mode", "agg_listagg",
     "grouping_rollup", "grouping_cube",
     "grouping_sets", "window_rank",

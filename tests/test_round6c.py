@@ -323,6 +323,48 @@ def test_knn_graph_and_semantic_clusters_structure(spark):
             assert cl[e.src] == cl[e.dst]
 
 
+def test_node2vec_walk_continuity(spark):
+    """Every walk starts at its seed and every hop is either a
+    backbone edge or a dangling hold; the corpus is re-run-identical
+    (pure function of the graph)."""
+    from pyspark.sql import Window
+
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        _N2V_STEPS,
+        _N2V_TOPK,
+        _N2V_WALKS,
+        graph_node2vec_walks,
+    )
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        build_user_graph_capped,
+    )
+
+    rows = graph_node2vec_walks(spark, SF_ORACLE).collect()
+    ce = build_user_graph_capped(spark, SF_ORACLE)
+    dsym = ce.select("a", "b", "weight").unionAll(
+        ce.select(F.col("b").alias("a"), F.col("a").alias("b"), "weight")
+    )
+    wtop = Window.partitionBy("a").orderBy(F.col("weight").desc(), "b")
+    backbone = (
+        dsym.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= _N2V_TOPK)
+        .select("a", "b")
+        .collect()
+    )
+    edges = {(r.a, r.b) for r in backbone} | {(r.b, r.a) for r in backbone}
+    verts = {a for a, _ in edges}
+    walks: dict = {}
+    for r in rows:
+        walks.setdefault((r.seed, r.walk_no), {})[r.step] = r.node
+    assert len(walks) == len(verts) * _N2V_WALKS
+    for (seed, _w), path in walks.items():
+        assert len(path) == _N2V_STEPS + 1
+        assert path[0] == seed
+        for k in range(1, _N2V_STEPS + 1):
+            a, b = path[k - 1], path[k]
+            assert a == b or (a, b) in edges, f"bad hop {a}->{b}"
+
+
 def test_new_keys_run_at_smoke_scale(spark):
     from graph_database_akkatyped_spark.operators.curation import (
         corpus_pipeline_funnel,
