@@ -1,0 +1,249 @@
+"""Behavioral event-stream analytics over the ``events`` journal.
+
+Sequence models (Markov transition matrix), market-style time-series
+downsampling (OHLC bars), and rolling-baseline burst detection — the
+read-side analytics a journal-sourced store serves once events are
+replayed into a table (the reference's journal is the system of record
+[R]; these are the batch twins of its projection queries).
+
+All three are window/agg shapes: one shuffle on the partition key,
+linear in |events|, no self-joins — the only shapes that survive a
+100 TB journal. Determinism notes per operator; every key is
+SQL-hash-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.numerics import dec2double
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for each ordered pair (prev_type, next_type), the
+    transition count and probability.
+
+    Shape: one ``lag`` window partitioned by user (the journal's
+    natural key — at 100 TB the events table is already bucketed by
+    user for replay, so the window induces no extra shuffle), then a
+    small groupBy on the ~|types|² pairs. The per-source totals come
+    from a window over the pair aggregate (cardinality |types|², tiny)
+    rather than a second scan of the journal.
+
+    Determinism: counts are exact integers; ``p`` is a single division
+    of two BIGINTs — one IEEE op, bit-identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    wtot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_pair",
+        F.sum("n_pair").over(wtot).alias("n_from"),
+        (F.col("n_pair") / F.sum("n_pair").over(wtot)).alias("p"),
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, next_type, count(*) AS n_pair
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_pair,
+       CAST(sum(n_pair) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+       CAST(n_pair AS DOUBLE)
+         / CAST(sum(n_pair) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM pairs
+"""
+
+
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event journal into daily OHLC bars per event
+    type: open/close = first/last ``value`` by (ts, event_id), high/low
+    = max/min, volume = row count, plus the exact-decimal value sum.
+
+    open/close are selected via row_number in BOTH directions inside
+    the (type, day) partition — deterministic under ties because the
+    order key (ts, event_id) is unique — then folded in the same
+    aggregate as min/max/count (one window pass + one groupBy, a single
+    shuffle on (type, day)). At 100 TB with date-partitioned storage
+    the day column is the partition key, so the shuffle is local to
+    each date partition and bars parallelize perfectly across days.
+
+    Determinism: open/close/high/low are stored doubles (no float
+    arithmetic at all); the sum is exact DECIMAL before the final
+    string-mediated double cast (numerics.dec2double).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.date_trunc("day", F.col("ts"))
+    )
+    w_asc = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "d",
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "d").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        dec2double(F.sum(F.col("value").cast("decimal(30,6)"))).alias(
+            "sum_value"
+        ),
+    )
+
+
+_OHLC_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         value,
+         row_number() OVER (PARTITION BY event_type,
+                              date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                              date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, d,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS volume,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM ranked
+GROUP BY event_type, d
+"""
+
+
+def events_burst_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-baseline burst detection: each (event_type, hour) bucket
+    is z-scored against the TRAILING 24 hours of the same type (RANGE
+    frame on epoch seconds, current hour excluded) — the streaming-shaped
+    twin of ``events_anomaly_hours``'s global baseline, catching bursts
+    a whole-history mean would absorb.
+
+    The RANGE frame runs over the hourly AGGREGATE (|types| × |hours|
+    rows), not the raw journal — so the expensive pass is one
+    groupBy(type, hour) count, linear and pre-aggregated map-side; the
+    window is over a tiny frame. Missing hours contribute nothing
+    (RANGE, not ROWS, so gaps don't stretch the baseline); buckets with
+    under 12 trailing hours emit NULL z (cold start).
+
+    Determinism: counts are exact integers; variance via the integer
+    identity k·Σn² − (Σn)², then one double division, one sqrt, one
+    rounded division — the same fixed IEEE op sequence on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("ep", F.unix_timestamp("hr"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rangeBetween(-86400, -3600)
+    )
+    k = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w)
+    ss = F.sum(F.col("n") * F.col("n")).over(w)
+    scored = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        k.alias("k"),
+        s.alias("s"),
+        ss.alias("ss"),
+    )
+    mean = F.col("s") / F.col("k")
+    var = (F.col("k") * F.col("ss") - F.col("s") * F.col("s")) / (
+        F.col("k") * (F.col("k") - 1)
+    )
+    z = F.when(
+        (F.col("k") >= 12) & (F.col("k") * F.col("ss") > F.col("s") * F.col("s")),
+        F.round((F.col("n") - mean) / F.sqrt(var), 4),
+    )
+    return scored.select(
+        "event_type",
+        "hr",
+        "n",
+        F.col("k").alias("trail_hours"),
+        z.alias("z"),
+        F.coalesce(z > 3, F.lit(False)).alias("is_burst"),
+    )
+
+
+_BURST_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+framed AS (
+  SELECT event_type, hr, n,
+         count(*) OVER w AS k,
+         sum(n) OVER w AS s,
+         sum(n * n) OVER w AS ss
+  FROM (SELECT *, CAST(epoch(hr) AS BIGINT) AS ep FROM hourly)
+  WINDOW w AS (PARTITION BY event_type ORDER BY ep
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+)
+SELECT event_type, hr, n, k AS trail_hours,
+       CASE WHEN k >= 12 AND k * ss > s * s THEN
+         round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+               / sqrt((CAST(k AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1))), 4)
+       END AS z,
+       coalesce(CASE WHEN k >= 12 AND k * ss > s * s THEN
+         round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+               / sqrt((CAST(k AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1))), 4)
+         > 3 END, FALSE) AS is_burst
+FROM framed
+"""
+
+
+QUERIES = {
+    "events_markov_transitions": events_markov_transitions,
+    "timeseries_ohlc": timeseries_ohlc,
+    "events_burst_zscore": events_burst_zscore,
+}
+
+ORACLES = {
+    "events_markov_transitions": _MARKOV_SQL,
+    "timeseries_ohlc": _OHLC_SQL,
+    "events_burst_zscore": _BURST_SQL,
+}

@@ -27,6 +27,7 @@ _MODULES = (
     "graph_database_akkatyped_spark.operators.graph_extras",
     "graph_database_akkatyped_spark.operators.relational_extras",
     "graph_database_akkatyped_spark.operators.sampling",
+    "graph_database_akkatyped_spark.operators.behavior",
     "graph_database_akkatyped_spark.operators.layout",
     "graph_database_akkatyped_spark.operators.motif",
     "graph_database_akkatyped_spark.operators.centrality",
@@ -65,6 +66,10 @@ _SWEEP_ORDER = (
     # explicitly — an unranked key sorts first (rank -1), which is
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
+    # round-6 continuation keys (second session) — newest first; each
+    # addition here displaces one more re-confirmation key off the
+    # 50-key budget tail into block 2's head:
+    "events_markov_transitions", "timeseries_ohlc", "events_burst_zscore",
     "link_predict_resource_alloc", "gnn_sample_fanout",
     "simsearch_range", "decontam_semantic", "text_bm25_topk",
     "graph_mst_boruvka", "quality_hashed_linear", "text_chunk_cdc",

@@ -1,0 +1,81 @@
+"""Property pins for the behavioral event-stream keys (operators/
+behavior.py), beyond the SQL-hash oracle parity every key gets in
+test_oracle_parity: structural invariants that hold at ANY scale.
+
+- events_markov_transitions: probabilities sum to 1 per source type,
+  pair counts sum to |events| - |users-with-events| (one lost pair per
+  user sequence head), and n_from is consistent with the pair counts.
+- timeseries_ohlc: low <= open/close <= high per bar, volume totals
+  the journal row count, and a single-row day pins open == close.
+- events_burst_zscore: cold-start rows (trail_hours < 12) have NULL z,
+  is_burst is never NULL and implies z > 3, and the row set is exactly
+  the distinct (type, hour) buckets of the journal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_database_akkatyped_spark.catalog import load_table
+from graph_database_akkatyped_spark.operators.behavior import (
+    events_burst_zscore,
+    events_markov_transitions,
+    timeseries_ohlc,
+)
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_markov_probabilities_normalize(spark):
+    out = events_markov_transitions(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "fixture journal should yield transitions"
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.prev_type, []).append(r)
+    for src, grp in by_src.items():
+        total = sum(g.n_pair for g in grp)
+        assert all(g.n_from == total for g in grp)
+        assert abs(sum(g.p for g in grp) - 1.0) < 1e-9
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_pair for r in rows) == n_events - n_users
+
+
+def test_ohlc_bar_invariants(spark):
+    out = timeseries_ohlc(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.high
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.volume >= 1
+        if r.volume == 1:
+            assert r.open == r.close == r.high == r.low
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r.volume for r in rows) == ev.count()
+    # bar key is unique
+    keys = [(r.event_type, r.d) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_burst_zscore_cold_start_and_coverage(spark):
+    out = events_burst_zscore(spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.is_burst is not None
+        if r.trail_hours < 12:
+            assert r.z is None, "cold-start buckets must not be scored"
+        if r.is_burst:
+            assert r.z is not None and r.z > 3
+        if r.z is not None and r.z <= 3:
+            assert not r.is_burst
+    ev = load_table(spark, SF_ORACLE, "events")
+    n_buckets = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_buckets
