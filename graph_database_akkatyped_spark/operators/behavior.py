@@ -236,14 +236,98 @@ FROM framed
 """
 
 
+_EWMA_LAGS = 8  # trailing window depth (current bucket + 7 lags)
+
+
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume per
+    type, half-life one bucket: weight 2^-k on the k-th most recent of
+    the last 8 OBSERVED buckets, normalized by the weights actually
+    present (leading edge uses fewer lags, never zero-padded).
+
+    Shape: one groupBy(type, hour) pre-aggregate (map-side partial,
+    linear in the journal), then a lag chain over the tiny hourly frame
+    — the same two-tier layout as ``events_burst_zscore``, so at 100 TB
+    the expensive pass parallelizes per date partition and the window
+    runs on |types| x |hours| rows.
+
+    Determinism: counts are integers and every weight is a power of
+    two, so each product is EXACT in binary floating point and the
+    8-term sum stays within 53 bits (counts < 2^45) — the numerator and
+    denominator are exact dyadic rationals on both engines in ANY
+    summation order, and the final value is one IEEE division. No
+    decimal detour needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, _EWMA_LAGS)],
+    )
+    num = F.col("n").cast("double")
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_LAGS):
+        wt = 2.0 ** -k
+        num = num + F.coalesce(
+            F.col(f"l{k}").cast("double") * F.lit(wt), F.lit(0.0)
+        )
+        den = den + F.when(
+            F.col(f"l{k}").isNotNull(), F.lit(wt)
+        ).otherwise(F.lit(0.0))
+    return lagged.select(
+        "event_type", "hr", "n", (num / den).alias("ewma")
+    )
+
+
+_EWMA_NUM = " + ".join(
+    ["CAST(n AS DOUBLE)"]
+    + [
+        f"coalesce(CAST(l{k} AS DOUBLE) * CAST({2.0 ** -k} AS DOUBLE), "
+        f"CAST(0 AS DOUBLE))"
+        for k in range(1, _EWMA_LAGS)
+    ]
+)
+_EWMA_DEN = " + ".join(
+    ["CAST(1 AS DOUBLE)"]
+    + [
+        f"CASE WHEN l{k} IS NOT NULL THEN CAST({2.0 ** -k} AS DOUBLE) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+        for k in range(1, _EWMA_LAGS)
+    ]
+)
+_EWMA_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, hr, n,
+         {', '.join(f'lag(n, {k}) OVER w AS l{k}' for k in range(1, _EWMA_LAGS))}
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+)
+SELECT event_type, hr, n, ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+FROM lagged
+"""
+
+
 QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "timeseries_ohlc": timeseries_ohlc,
     "events_burst_zscore": events_burst_zscore,
+    "timeseries_ewma": timeseries_ewma,
 }
 
 ORACLES = {
     "events_markov_transitions": _MARKOV_SQL,
     "timeseries_ohlc": _OHLC_SQL,
     "events_burst_zscore": _BURST_SQL,
+    "timeseries_ewma": _EWMA_SQL,
 }

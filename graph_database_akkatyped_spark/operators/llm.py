@@ -362,6 +362,124 @@ WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE)
 """
 
 
+_CONTAIN_MIN = 0.5  # report pairs where either direction's containment clears this
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: word-3-gram containment
+    C(A in B) = |A∩B| / |A| in both directions, for candidate pairs
+    where either direction clears 0.5 — the quote/excerpt/boilerplate
+    case Jaccard misses (a 10-line snippet fully contained in a
+    10-page doc has J ≈ 0.01 but C ≈ 1.0).
+
+    Candidates come from the SAME memoized minhash bands as
+    ``dedup_ngram_jaccard`` (shared ``ngram_grams`` frame, linear
+    explode + equi-join, never all-pairs), then only candidates get the
+    exact intersection count. Honest recall note: minhash banding
+    recalls by JACCARD, so a tiny doc inside a huge one can be missed
+    at the fringe — the standard scale fix is banding on the SMALL
+    side's shingles only (sample each doc's first s shingles), which
+    this key's candidate generator would swap in at corpus scale; at
+    fixture scale the shared bands already surface every planted
+    containment (tests/test_dedup_synthetic.py pins one).
+
+    Determinism: counts are exact integers; each containment is a
+    single BIGINT/BIGINT IEEE division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = memoized_checkpoint(
+        spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    sigs = grams.groupBy("doc_id").agg(
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
+    )
+    lsig = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{k}") for k in range(_NGRAM_HASHES)])
+        ).alias("k", "mh"),
+    )
+    cand = (
+        lsig.select(F.col("doc_id").alias("a"), "k", "mh")
+        .join(lsig.select(F.col("doc_id").alias("b"), "k", "mh"), ["k", "mh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    common = (
+        cand.join(grams.select(F.col("doc_id").alias("a"), "g"), "a")
+        .join(grams.select(F.col("doc_id").alias("b"), "g"), ["b", "g"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_g").alias("n_a")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_g").alias("n_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .where(
+            (F.col("contain_a_in_b") >= _CONTAIN_MIN)
+            | (F.col("contain_b_in_a") >= _CONTAIN_MIN)
+        )
+    )
+
+
+_DEDUP_CONTAIN_SQL = f"""
+WITH grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           list_transform(
+             list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+             (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+           g -> g IS NOT NULL)) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         {', '.join(f'min({_minhash_sql(k)}) AS m{k}' for k in range(_NGRAM_HASHES))}
+  FROM grams GROUP BY doc_id
+),
+lsig AS MATERIALIZED (
+  {' UNION ALL '.join(f'SELECT doc_id, {k} AS k, m{k} AS mh FROM sigs' for k in range(_NGRAM_HASHES))}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l1.doc_id AS a, l2.doc_id AS b
+  FROM lsig l1
+  JOIN lsig l2 ON l1.k = l2.k AND l1.mh = l2.mh AND l1.doc_id < l2.doc_id
+),
+common AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+)
+SELECT a, b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(na.n_g AS DOUBLE) AS contain_a_in_b,
+       CAST(n_common AS DOUBLE) / CAST(nb.n_g AS DOUBLE) AS contain_b_in_a
+FROM common
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g AS DOUBLE) >= {_CONTAIN_MIN}
+   OR CAST(n_common AS DOUBLE) / CAST(nb.n_g AS DOUBLE) >= {_CONTAIN_MIN}
+"""
+
+
 _RECALL_SAMPLE = 150  # exact-baseline sample bound (doc_id < this)
 _RECALL_MIN = 0.01    # scorecard truth floor — BELOW the banding's design
                       # threshold on purpose, to expose the fall-off curve
@@ -4499,6 +4617,7 @@ QUERIES = {
     "dedup_near_minhash": dedup_near_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_banding_recall": dedup_banding_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
@@ -4558,6 +4677,7 @@ ORACLES = {
     # dedup_near_minhash, dedup_simhash, simsearch_lsh:
     # rows-only by design (sketches)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_containment": _DEDUP_CONTAIN_SQL,
     "dedup_banding_recall": _BANDING_RECALL_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,

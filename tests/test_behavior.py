@@ -79,3 +79,39 @@ def test_burst_zscore_cold_start_and_coverage(spark):
         .count()
     )
     assert len(rows) == n_buckets
+
+
+def test_ewma_exact_recompute_and_coverage(spark):
+    """timeseries_ewma pins: the row set is exactly the distinct
+    (type, hour) buckets, and every ewma equals an independent Python
+    recompute over the trailing <=8 OBSERVED buckets. Weights are
+    powers of two and counts are integers, so both computations are
+    exact dyadic rationals and the equality is ==, not approx."""
+    from graph_database_akkatyped_spark.operators.behavior import (
+        _EWMA_LAGS,
+        timeseries_ewma,
+    )
+
+    out = timeseries_ewma(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_buckets = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_buckets
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        grp.sort(key=lambda r: r.hr)
+        for i, r in enumerate(grp):
+            trail = [g.n for g in grp[max(0, i - _EWMA_LAGS + 1) : i + 1]]
+            trail.reverse()  # index 0 = current bucket
+            num = sum(n * 2.0**-k for k, n in enumerate(trail))
+            den = sum(2.0**-k for k in range(len(trail)))
+            assert r.ewma == num / den, (r.event_type, r.hr)
+        # leading edge: first observed bucket's ewma is its own count
+        assert grp[0].ewma == float(grp[0].n)

@@ -272,3 +272,54 @@ def test_semantic_dedup_planted_duplicates(spark):
     assert out[3]["keep"] and out[9]["keep"]
     # prune accounting: id 5 has dups 0 and 4 earlier in its cluster
     assert out[5]["n_dup_earlier"] == 2 and out[4]["n_dup_earlier"] == 1
+
+
+_EXCERPT = (
+    "governing board approved the coastal survey plan after reviewing "
+    "tide gauge records"
+)
+_HOST = (
+    _EXCERPT
+    + " and the committee then scheduled seventeen additional public "
+    "hearings across four counties to gather comment on dredging "
+    "permits wetland buffers ferry schedules and the proposed "
+    "breakwater maintenance fund for next fiscal year"
+)
+
+
+@pytest.fixture(scope="module")
+def contain_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("contain_docs")
+    docs = [
+        (0, _EXCERPT),  # small doc, fully contained in doc 1
+        (1, _HOST),     # host: excerpt is a prefix
+        (2, "entirely unrelated memorandum about orchestra rehearsal "
+            "schedules and the brass section's travel reimbursements"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_containment_finds_planted_excerpt(spark, contain_dir):
+    """dedup_containment semantics on a planted excerpt: doc 0 is a
+    contiguous prefix of doc 1, so every 3-gram of doc 0 appears in
+    doc 1 — containment(0 in 1) is exactly 1.0 even though Jaccard is
+    well under the symmetric threshold. The unrelated doc 2 pairs with
+    nothing. Also pins Spark<->DuckDB hash parity on non-empty output."""
+    out = llm.dedup_containment(spark, contain_dir).toPandas()
+    pairs = {(int(r.a), int(r.b)): r for r in out.itertuples()}
+    assert (0, 1) in pairs, "planted excerpt pair must be recalled"
+    r = pairs[(0, 1)]
+    assert r.contain_a_in_b == 1.0
+    assert r.contain_b_in_a < 0.5
+    assert all(2 not in k for k in pairs)
+    con = _duck_for(contain_dir, "documents")
+    oracle_pd = con.execute(llm._DEDUP_CONTAIN_SQL).fetchdf()
+    assert not compare(out, oracle_pd)
