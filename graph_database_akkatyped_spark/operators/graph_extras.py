@@ -1847,7 +1847,134 @@ SELECT seed, 2 AS hop, src, dst FROM hop2
 """
 
 
+# ------------------------------------------------ Luby maximal independent set
+
+_MIS_ROUNDS = 8  # sf0.1 converges in 6; +2 margin (empty rounds are no-ops)
+
+
+def _mis_prio(c, r: int):
+    """Per-round 60-bit priority: md5("<id>:<round>") prefix as BIGINT —
+    fresh symmetry-breaking randomness every round (true Luby), engine-
+    portable byte-for-byte (same recipe as ``_edge_hash``)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", c.cast("string"), F.lit(str(r)))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set of the strong user graph via Luby's
+    algorithm — THE textbook parallel symmetry-breaking kernel (the
+    dual of ``graph_greedy_coloring``'s Jones–Plassmann: MIS members
+    are a conflict-free batch that can be processed simultaneously).
+    Each round every still-active vertex whose per-round (md5, id)
+    priority beats ALL its active neighbors joins the set; winners and
+    their neighborhoods deactivate. Vertices with no strong edge are
+    trivially independent and win round 1.
+
+    Unlike coloring, density HELPS here: a k-clique resolves in ONE
+    round (its minimum wins, the rest deactivate), so the key runs on
+    the full strong graph, no backbone sparsification — sf0.1's
+    137k-edge graph converges in 6 rounds, and the active set shrinks
+    geometrically in expectation on any graph (Luby 1986). Fixed
+    ``_MIS_ROUNDS`` horizon keeps the oracle unrollable; a non-empty
+    active set after the horizon raises rather than returning a
+    non-maximal answer.
+
+    100 TB shape: per round two equi-joins on the vertex key (blocked
+    mark + neighborhood deactivation), both reusing the same shuffle
+    partitioning; no per-vertex collect, no global sort. Independence
+    and maximality are pinned in tests/test_round6c.py; the result is
+    a pure function of the graph (deterministic hashes), SQL-hash
+    checked against the unrolled-round DuckDB twin.
+    """
+    def build() -> DataFrame:
+        ce = _canonical_edges(spark, sf_dir)
+        sym = ce.unionByName(
+            ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        active = user_vertices(spark, sf_dir).select(F.col("id").alias("v"))
+        mis: DataFrame | None = None
+        for r in range(1, _MIS_ROUNDS + 1):
+            ha, hb = _mis_prio(F.col("a"), r), _mis_prio(F.col("b"), r)
+            und = (
+                sym.join(active.select(F.col("v").alias("a")), "a")
+                .join(active.select(F.col("v").alias("b")), "b")
+            )
+            blocked = (
+                und.where((hb < ha) | ((hb == ha) & (F.col("b") < F.col("a"))))
+                .select(F.col("a").alias("v"))
+                .distinct()
+            )
+            winners = cut(active.join(blocked, "v", "left_anti"))
+            mis = winners if mis is None else cut(mis.unionByName(winners))
+            nbrs = (
+                sym.join(winners.select(F.col("v").alias("a")), "a")
+                .select(F.col("b").alias("v"))
+                .distinct()
+            )
+            active = cut(
+                active.join(
+                    winners.unionByName(nbrs).distinct(), "v", "left_anti"
+                )
+            )
+            if active.limit(1).count() == 0:
+                break
+        if active.limit(1).count() != 0:
+            raise RuntimeError(
+                f"graph_mis_luby did not converge within {_MIS_ROUNDS} "
+                "rounds — partial (non-maximal) sets are not returned"
+            )
+        return mis.select(F.col("v").alias("user_id"))
+
+    return _memoized(spark, "mis_luby", sf_dir, build)
+
+
+def _sql_mis_prio(col: str, r: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR) || ':{r}'), 1, 15) "
+        "AS BIGINT)"
+    )
+
+
+def _mis_sql(rounds: int = _MIS_ROUNDS) -> str:
+    # per-round CTEs are each referenced 2-3x downstream — MATERIALIZED
+    # or DuckDB re-inlines the chain exponentially (k-truss lesson)
+    ctes = [
+        "ssym AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce)",
+        "act0 AS MATERIALIZED (SELECT DISTINCT user_id AS v FROM events)",
+    ]
+    for i in range(1, rounds + 1):
+        ha, hb = _sql_mis_prio("e.a", i), _sql_mis_prio("e.b", i)
+        ctes.append(
+            f"blk{i} AS MATERIALIZED (SELECT DISTINCT e.a AS v FROM ssym e "
+            f"JOIN act{i-1} x ON x.v = e.a JOIN act{i-1} y ON y.v = e.b "
+            f"WHERE ({hb} < {ha}) OR ({hb} = {ha} AND e.b < e.a))"
+        )
+        ctes.append(
+            f"win{i} AS MATERIALIZED (SELECT v FROM act{i-1} "
+            f"WHERE v NOT IN (SELECT v FROM blk{i}))"
+        )
+        ctes.append(
+            f"act{i} AS MATERIALIZED (SELECT v FROM act{i-1} "
+            f"WHERE v NOT IN (SELECT v FROM win{i}) "
+            f"AND v NOT IN (SELECT e.b FROM ssym e "
+            f"JOIN win{i} w ON w.v = e.a))"
+        )
+    final = " UNION ALL ".join(f"SELECT v FROM win{i}" for i in range(1, rounds + 1))
+    return (
+        _TRI_BASE.replace("WITH ce AS", "WITH ce AS MATERIALIZED")
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS user_id FROM ({final})"
+    )
+
+
 QUERIES = {
+    "graph_mis_luby": graph_mis_luby,
     "pagerank_personalized": pagerank_personalized,
     "link_predict_jaccard": link_predict_jaccard,
     "link_predict_resource_alloc": link_predict_resource_alloc,
@@ -1868,6 +1995,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_mis_luby": _mis_sql(),
     "link_predict_jaccard": _LINK_PREDICT_SQL,
     "link_predict_resource_alloc": _LINK_PREDICT_RA_SQL,
     "gnn_sample_fanout": _GNN_SAMPLE_SQL,

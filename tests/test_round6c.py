@@ -398,3 +398,33 @@ def test_new_keys_run_at_smoke_scale(spark):
         corpus_pipeline_funnel,
     ):
         fn(spark, SF_SMOKE).collect()  # must run clean on tiny fixtures
+
+
+def test_mis_luby_is_independent_and_maximal(spark):
+    from graph_database_akkatyped_spark.operators.algos import (
+        _canonical_edges,
+    )
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        user_vertices,
+    )
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        graph_mis_luby,
+    )
+
+    mis = {r.user_id for r in graph_mis_luby(spark, SF_ORACLE).collect()}
+    assert mis
+    edges = [(r.a, r.b) for r in _canonical_edges(spark, SF_ORACLE).collect()]
+    # independence: no strong edge joins two MIS members
+    for a, b in edges:
+        assert not (a in mis and b in mis), f"edge ({a},{b}) inside MIS"
+    # maximality: every non-member has a MIS neighbor (else it could join)
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    verts = {r.id for r in user_vertices(spark, SF_ORACLE).collect()}
+    for v in verts - mis:
+        assert nbr.get(v, set()) & mis, f"vertex {v} could join the MIS"
+    # isolated vertices (no strong edge) are always members
+    for v in verts - set(nbr):
+        assert v in mis
