@@ -2732,6 +2732,114 @@ SELECT lang, bigram, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+_COLLOC_MIN_PAIR = 5   # min bigram support — kills one-off pairings
+_COLLOC_TOPK = 50
+
+
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-``_COLLOC_TOPK`` adjacent token pairs by
+    LIFT — observed bigram probability over the independence
+    expectation, lift(a,b) = P(ab) / (P(a)·P(b)) = (c_ab·n_uni²) /
+    (n_big·c_a·c_b). Lift is the exponent-free twin of PMI (PMI =
+    log2(lift)): same ranking, but every factor is an exact corpus
+    COUNT, so no libm enters the ranking — the phrase-mining /
+    tokenizer-merge-candidate pass of a corpus pipeline.
+
+    Determinism: numerator and denominator are integer products
+    evaluated in doubles with a fixed association order; they are
+    EXACT while c_ab·n_uni² < 2⁵³ (≈9e15 — beyond that both engines
+    still agree bit-for-bit because the expression trees match, only
+    the exactness claim weakens). One IEEE division, ties broken by
+    (ta, tb).
+
+    100 TB shape: two linear explode+groupBy passes (unigrams,
+    bigrams); totals are 1-row broadcast attaches; the c_a/c_b joins
+    shuffle on the vocabulary key (zipf-bounded); the top-k is
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    single-task global window), with the rank column assigned by a
+    window over only the surviving ≤``_COLLOC_TOPK`` rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks_frame(docs)
+    uni = toks.select(F.explode("toks").alias("t"))
+    cuni = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c_t"))
+    n_uni = cuni.agg(F.sum("c_t").cast("long").alias("n_uni"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), "
+                "(x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("bg")
+    )
+    cpair = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("ta"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("tb"),
+            "c_ab",
+        )
+    )
+    n_big = cpair.agg(F.sum("c_ab").cast("long").alias("n_big"))
+    d = lambda c: F.col(c).cast("double")
+    lift = (
+        (d("c_ab") * d("n_uni")) * d("n_uni")
+        / ((d("n_big") * d("c_a")) * d("c_b"))
+    )
+    scored = (
+        cpair.where(F.col("c_ab") >= _COLLOC_MIN_PAIR)
+        .join(cuni.select(F.col("t").alias("ta"), F.col("c_t").alias("c_a")), "ta")
+        .join(cuni.select(F.col("t").alias("tb"), F.col("c_t").alias("c_b")), "tb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select("ta", "tb", "c_ab", lift.alias("lift"))
+    )
+    top = scored.orderBy(F.col("lift").desc(), "ta", "tb").limit(_COLLOC_TOPK)
+    w = Window.orderBy(F.col("lift").desc(), "ta", "tb")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+_COLLOC_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT string_split(text, ' ') AS toks FROM documents
+),
+cuni AS MATERIALIZED (
+  SELECT t, count(*) AS c_t
+  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t
+),
+tot_u AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_uni FROM cuni),
+cpair AS (
+  SELECT split_part(bg, ' ', 1) AS ta, split_part(bg, ' ', 2) AS tb,
+         count(*) AS c_ab
+  FROM (
+    SELECT unnest(list_transform(
+             list_slice(toks, 1, len(toks) - 1),
+             (x, i) -> x || ' ' || toks[i + 1])) AS bg
+    FROM toks
+  ) GROUP BY 1, 2
+),
+tot_b AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM cpair)
+SELECT ta, tb, c_ab, lift, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT ta, tb, c_ab,
+         (CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)) * CAST(n_uni AS DOUBLE)
+         / ((CAST(n_big AS DOUBLE) * CAST(c_a AS DOUBLE)) * CAST(c_b AS DOUBLE))
+           AS lift,
+         row_number() OVER (ORDER BY
+           (CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)) * CAST(n_uni AS DOUBLE)
+           / ((CAST(n_big AS DOUBLE) * CAST(c_a AS DOUBLE)) * CAST(c_b AS DOUBLE))
+           DESC, ta, tb) AS rnk
+  FROM (
+    SELECT p.ta, p.tb, p.c_ab, a.c_t AS c_a, b.c_t AS c_b
+    FROM cpair p
+    JOIN cuni a ON a.t = p.ta
+    JOIN cuni b ON b.t = p.tb
+    WHERE p.c_ab >= {_COLLOC_MIN_PAIR}
+  ), tot_u, tot_b
+) WHERE rnk <= {_COLLOC_TOPK}
+"""
+
+
 def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -4651,6 +4759,7 @@ QUERIES = {
     "text_tfidf": text_tfidf,
     "text_bm25_topk": text_bm25_topk,
     "text_ngrams": text_ngrams,
+    "text_collocation_lift": text_collocation_lift,
     "text_lang_stats": text_lang_stats,
     "text_sentiment_lexicon": text_sentiment_lexicon,
     "text_quality_score": text_quality_score,
@@ -4711,6 +4820,7 @@ ORACLES = {
     "text_tfidf": _TEXT_TFIDF_SQL,
     "text_bm25_topk": _TEXT_BM25_SQL,
     "text_ngrams": _TEXT_NGRAMS_SQL,
+    "text_collocation_lift": _COLLOC_SQL,
     "text_lang_stats": _TEXT_LANG_STATS_SQL,
     "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,

@@ -428,3 +428,47 @@ def test_mis_luby_is_independent_and_maximal(spark):
     # isolated vertices (no strong edge) are always members
     for v in verts - set(nbr):
         assert v in mis
+
+
+def test_collocation_lift_planted_phrase(spark, tmp_path):
+    """text_collocation_lift on a planted corpus: 'new york' always
+    co-occurs (each token appears ONLY in the phrase), filler tokens
+    pair freely — the phrase must rank first and its lift must equal
+    the closed-form N_uni^2 / (n_big * c_pair) exactly (all factors
+    stay well under 2^53)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators.llm import (
+        text_collocation_lift,
+    )
+
+    filler = ["alpha", "beta", "gamma", "delta"]
+    docs = []
+    for i in range(12):
+        words = [filler[(i + j) % 4] for j in range(10)]
+        words[3:3] = ["new", "york"]  # one phrase occurrence per doc
+        docs.append((i, " ".join(words)))
+    d = tmp_path / "colloc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = text_collocation_lift(spark, str(d)).collect()
+    assert out, "planted corpus must yield collocations"
+    top = out[0]
+    assert (top.ta, top.tb) == ("new", "york")
+    assert top.rnk == 1
+    n_uni = 12 * 12          # 12 docs x 12 tokens
+    n_big = 12 * 11          # 12 docs x 11 bigrams
+    c_pair = 12
+    expect = (float(c_pair) * n_uni) * n_uni / ((float(n_big) * c_pair) * c_pair)
+    assert top.c_ab == c_pair
+    assert top.lift == expect
