@@ -316,6 +316,85 @@ JOIN events p
 """
 
 
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its within-1-hour
+    purchase when one exists, else NULL-extended — the abandoned-cart
+    shape. The interesting semantics is WHEN the null side emits: an
+    unmatched click is held in the state store until the global
+    watermark (the MIN across both streams' watermark nodes, each
+    max-event-time − 1 h) passes the click's last possible match time
+    (click_ts + 1 h); only then does append mode release the null row.
+    Clicks newer than that stay buffered forever-pending and are NOT in
+    the output — the oracle encodes exactly this eviction rule as a
+    scalar-subquery watermark, so the key pins Spark's outer-join
+    watermark semantics, not just join correctness (boundary calibrated
+    empirically; equality at the ms edge is unexercised by the
+    microsecond fixtures).
+
+    The range condition must be plain timestamp arithmetic (ts <= ts +
+    INTERVAL) — an epoch_us() form defeats the analyzer's state-
+    watermark derivation and the join is rejected outright.
+
+    100 TB shape: state is bounded by the 1 h watermark on both sides
+    (eviction is what this key proves); the join shuffles on user_id
+    once per micro-batch.
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    name, _ = _run_to_memory(joined, "ss2_louter", "append")
+    return spark.table(name)
+
+
+_STREAM_STREAM_LEFT_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id,
+         CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(click_ts) FROM c),
+               (SELECT max(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w
+)
+SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+FROM c
+LEFT JOIN p
+  ON p.p_user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+WHERE p.purchase_id IS NOT NULL
+   OR c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+"""
+
+
 def run_streaming_twin(
     spark: SparkSession, sf_dir: str, which: str
 ) -> DataFrame:
@@ -873,6 +952,7 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_static_join": stream_static_join,
     "stream_stream_join": stream_stream_join,
+    "stream_stream_left_join": stream_stream_left_join,
 }
 
 ORACLES = {
@@ -892,4 +972,5 @@ ORACLES = {
     "stream_dedup": _DEDUP_SQL,
     "stream_static_join": _STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
+    "stream_stream_left_join": _STREAM_STREAM_LEFT_JOIN_SQL,
 }

@@ -697,3 +697,52 @@ def test_scd2_store_ledger_and_affected_key_scope(spark):
         rows.sort(key=lambda r: r[4])
         assert [r[4] for r in rows] == list(range(1, len(rows) + 1))
         assert sum(1 for r in rows if r[5]) == 1
+
+
+def test_left_outer_join_null_emission_boundary(spark):
+    """stream_stream_left_join: matched rows equal the batch inner
+    join, and a null-extended click is emitted IFF the global watermark
+    (min of both sides' max-event-time - 1h) has passed its last
+    possible match time (click_ts + 1h) — Spark's outer-join state
+    eviction rule, pinned against a batch recompute."""
+    import datetime as dt
+
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.streaming.windows import (
+        stream_stream_left_join,
+    )
+
+    out = stream_stream_left_join(spark, SF_SMOKE).collect()
+    matched = {(r.click_id, r.purchase_id) for r in out if r.purchase_id is not None}
+    nulls = {r.click_id for r in out if r.purchase_id is None}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    inner = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).collect()
+    assert matched == {(r.click_id, r.purchase_id) for r in inner}
+
+    mc = c.agg(F.max("click_ts")).first()[0]
+    mp = p.agg(F.max("purchase_ts")).first()[0]
+    h = dt.timedelta(hours=1)
+    wm = min(mc, mp) - h if mc and mp else None
+    matched_clicks = {cid for cid, _ in matched}
+    expect_nulls = {
+        r.click_id
+        for r in c.collect()
+        if r.click_id not in matched_clicks
+        and wm is not None
+        and r.click_ts + h < wm
+    }
+    assert nulls == expect_nulls
