@@ -1179,6 +1179,170 @@ SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+_MMR_POOL = 25     # relevance-ranked candidate pool per query
+_MMR_K = 5         # results after diversity rerank
+_MMR_ROUNDS = _MMR_K - 1
+
+
+def simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: per query (vec_id < 5), take
+    the exact cosine top-``_MMR_POOL`` pool, then greedily select
+    ``_MMR_K`` results maximizing 0.7·rel(q,d) − 0.3·max_{s∈S} sim(d,s)
+    — the standard diversity rerank between retrieval and the LLM
+    context window (drop near-duplicate passages, keep coverage).
+
+    Greedy is inherently sequential in k, NOT in data: each of the 4
+    selection rounds is a join over the ≤ pool·|queries| candidate
+    frame — the corpus-sized work (pool construction) is the same
+    broadcast top-k scan as ``simsearch_topk``, and the pairwise
+    sim matrix is pool² per query, bounded at ANY corpus size.
+
+    Determinism: cosines are the strict left-to-right ``_dot`` chains
+    both engines share; the MMR score is (0.7·cos) − (0.3·maxsim) with
+    both literals cast to DOUBLE on the DuckDB side (its bare decimals
+    are exact rationals and would diverge by ulps); ties break by
+    vec_id. Oracle unrolls the 4 rounds as MATERIALIZED CTEs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    cand = cut(
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MMR_POOL)
+        .select("q_id", "vec_id", "cos", "embedding", "nrm")
+    )
+    pcos = _dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.sqrt("a_nrm") * F.sqrt("b_nrm")
+    )
+    pair = cut(
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("a"),
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+        .join(
+            cand.select(
+                "q_id",
+                F.col("vec_id").alias("b"),
+                F.col("embedding").alias("b_emb"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "q_id",
+        )
+        .where(F.col("a") != F.col("b"))
+        .select("q_id", "a", "b", pcos.alias("pcos"))
+    )
+    slim = cand.select("q_id", "vec_id", "cos")
+    w1 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    selected = (
+        slim.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("q_id", "vec_id", "cos", F.lit(1).cast("int").alias("rnk"))
+    )
+    for r in range(2, _MMR_K + 1):
+        rem = slim.join(selected.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti")
+        maxsim = (
+            rem.join(
+                pair.select("q_id", F.col("a").alias("vec_id"), "b", "pcos"),
+                ["q_id", "vec_id"],
+            )
+            .join(
+                selected.select("q_id", F.col("vec_id").alias("b")),
+                ["q_id", "b"],
+            )
+            .groupBy("q_id", "vec_id", "cos")
+            .agg(F.max("pcos").alias("maxsim"))
+        )
+        mmr = (F.lit(0.7) * F.col("cos")) - (F.lit(0.3) * F.col("maxsim"))
+        wr = Window.partitionBy("q_id").orderBy(mmr.desc(), "vec_id")
+        pick = (
+            maxsim.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1)
+            .select("q_id", "vec_id", "cos", F.lit(r).cast("int").alias("rnk"))
+        )
+        selected = cut(selected.unionByName(pick))
+    return selected.select("q_id", "vec_id", "cos", "rnk")
+
+
+def _mmr_sql(pool: int = _MMR_POOL, k: int = _MMR_K) -> str:
+    ctes = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id, embedding, {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+)""",
+        f"""cand AS MATERIALIZED (
+  SELECT q_id, vec_id, cos, embedding, nrm FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           {_sql_dot('q.embedding', 'c.embedding')}
+             / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos,
+           c.embedding, c.nrm,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot('q.embedding', 'c.embedding')}
+                       / (sqrt(q.nrm) * sqrt(c.nrm)) DESC, c.vec_id) AS rn
+    FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) WHERE rn <= {pool}
+)""",
+        f"""pair AS MATERIALIZED (
+  SELECT x.q_id, x.vec_id AS a, y.vec_id AS b,
+         {_sql_dot('x.embedding', 'y.embedding')}
+           / (sqrt(x.nrm) * sqrt(y.nrm)) AS pcos
+  FROM cand x JOIN cand y ON y.q_id = x.q_id AND y.vec_id <> x.vec_id
+)""",
+        """sel1 AS MATERIALIZED (
+  SELECT q_id, vec_id, cos, CAST(1 AS INTEGER) AS rnk FROM (
+    SELECT q_id, vec_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)""",
+        "s1 AS MATERIALIZED (SELECT q_id, vec_id FROM sel1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""scr{r} AS MATERIALIZED (
+  SELECT c.q_id, c.vec_id, c.cos,
+         (CAST(0.7 AS DOUBLE) * c.cos)
+           - (CAST(0.3 AS DOUBLE) * max(p.pcos)) AS mmr
+  FROM cand c
+  ANTI JOIN s{r-1} d ON d.q_id = c.q_id AND d.vec_id = c.vec_id
+  JOIN s{r-1} s ON s.q_id = c.q_id
+  JOIN pair p ON p.q_id = c.q_id AND p.a = c.vec_id AND p.b = s.vec_id
+  GROUP BY c.q_id, c.vec_id, c.cos
+)"""
+        )
+        ctes.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT q_id, vec_id, cos, CAST({r} AS INTEGER) AS rnk FROM (
+    SELECT q_id, vec_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+    FROM scr{r}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT q_id, vec_id FROM s{r-1} "
+            f"UNION ALL SELECT q_id, vec_id FROM sel{r})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT q_id, vec_id, cos, rnk FROM sel{r}" for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({final})"
+
+
 def simsearch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED vector search: per query (vec_id < 5), exact
     cosine top-5 among only the candidates sharing the query's
@@ -4739,6 +4903,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "corpus_training_manifest": corpus_training_manifest,
     "simsearch_topk": simsearch_topk,
+    "simsearch_mmr": simsearch_mmr,
     "simsearch_filtered_topk": simsearch_filtered_topk,
     "simsearch_range": simsearch_range,
     "simsearch_hybrid_rrf": simsearch_hybrid_rrf,
@@ -4800,6 +4965,7 @@ ORACLES = {
     "embedding_quantize": _EMB_QUANTIZE_SQL,
     "corpus_training_manifest": _CORPUS_MANIFEST_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
+    "simsearch_mmr": _mmr_sql(),
     "simsearch_filtered_topk": _SIMSEARCH_FILTERED_SQL,
     "simsearch_range": _SIMSEARCH_RANGE_SQL,
     "simsearch_hybrid_rrf": _HYBRID_SQL,

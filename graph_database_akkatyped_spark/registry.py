@@ -71,7 +71,7 @@ _SWEEP_ORDER = (
     # 50-key budget tail into block 2's head:
     "events_markov_transitions", "timeseries_ohlc", "events_burst_zscore",
     "timeseries_ewma", "dedup_containment", "graph_mis_luby",
-    "text_collocation_lift", "stream_stream_left_join",
+    "text_collocation_lift", "stream_stream_left_join", "simsearch_mmr",
     "link_predict_resource_alloc", "gnn_sample_fanout",
     "simsearch_range", "decontam_semantic", "text_bm25_topk",
     "graph_mst_boruvka", "quality_hashed_linear", "text_chunk_cdc",

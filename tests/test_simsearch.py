@@ -220,3 +220,45 @@ def test_ivf_append_assignment_invariants(spark):
         assert r["cell"] == best, (vid, r["cell"], best)
         assert r["drifted"] == (r["cell"] != lab)
         assert r["cell_n_base"] == fills[r["cell"]]
+
+
+def test_mmr_prefers_diverse_over_duplicate(spark, tmp_path):
+    """simsearch_mmr greedy semantics on planted vectors: query 0's
+    top relevance pick is A; round 2 must prefer the equally-relevant
+    but DIVERSE B over A's exact scaled duplicate (whose max-sim
+    penalty is a full 0.3); the duplicate only enters at rank 3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators.llm import simsearch_mmr
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # the query under test
+        (1, [1.0, 0.1, 0.0, 0.0]),    # A: cos(q,A) = 1/sqrt(1.01)
+        (2, [2.0, 0.2, 0.0, 0.0]),    # A-dup: scaled copy, cos(A,dup)=1
+        (3, [1.0, -0.1, 0.0, 0.0]),   # B: same relevance as A, diverse
+        (4, [0.0, 1.0, 0.0, 0.0]),    # 4th query slot, orthogonal
+    ] + [
+        # low-relevance fillers so the pool has depth
+        (5 + i, [0.05 * (i + 1), 0.0, 1.0, float(i)]) for i in range(8)
+    ]
+    d = tmp_path / "mmr"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+                "embedding": pa.array(
+                    [v for _, v in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(rows), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = simsearch_mmr(spark, str(d)).collect()
+    q0 = sorted((r for r in out if r.q_id == 0), key=lambda r: r.rnk)
+    picks = [r.vec_id for r in q0]
+    assert picks[0] == 1, "rank 1 is pure relevance: A"
+    assert picks[1] == 3, "rank 2 must be the diverse B, not A's duplicate"
+    assert picks[2] == 2, "the duplicate enters only at rank 3"
