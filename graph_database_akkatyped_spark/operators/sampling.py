@@ -235,14 +235,165 @@ FROM scored
 """
 
 
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring — the next rung above
+    ``quality_unigram_logprob`` on the CCNet ladder (their filter is a
+    KenLM n-gram model; a self-trained interpolated bigram is the
+    honest distributed analog). Token 1 of each doc scores by its
+    unigram probability; every later token by 0.7·p(tok|prev) +
+    0.3·p(tok) — corpus-trained, so every observed bigram has count
+    ≥ 1 and no zero branch exists. Per-language terciles as before.
+
+    Same cross-row float discipline as the unigram key: each token's
+    -ln p is floored into a 1e9-scaled BIGINT before the per-doc sum
+    (exact integer aggregate, partition-order-proof); both interp
+    literals are CAST to DOUBLE on the DuckDB side.
+
+    Scale: bigram + unigram count tables are vocabulary-sized
+    (broadcastable); the explodes are linear; the only window is
+    per-language ntile over docs — swap for sampled fixed thresholds
+    at 100 TB, as the unigram docstring already prescribes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select(
+        "doc_id", "lang", F.expr("split(text, ' ')").alias("toks")
+    )
+    toks = ta.select(
+        "doc_id", "lang", F.explode("toks").alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    total = toks.count()
+    bg = ta.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                "(x, i) -> concat(toks[i], ' ', x))"
+            )
+        ).alias("bg"),
+    )
+    bcount = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("bc"))
+    d = lambda c: F.col(c).cast("double")
+    # head token: pure unigram
+    head = (
+        ta.select(
+            "doc_id", "lang", F.element_at("toks", 1).alias("tok")
+        )
+        .join(F.broadcast(vocab), "tok")
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(-F.log(d("tc") / F.lit(float(total))) * 1e9)
+            .cast("long")
+            .alias("nll"),
+        )
+    )
+    # body tokens: 0.7 * p(tok|prev) + 0.3 * p(tok)
+    p_int = (F.lit(0.7) * (d("bc") / d("pc"))) + (
+        F.lit(0.3) * (d("tc") / F.lit(float(total)))
+    )
+    body = (
+        bg.join(F.broadcast(bcount), "bg")
+        .select(
+            "doc_id",
+            "lang",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("prev"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("tok"),
+            "bc",
+        )
+        .join(F.broadcast(vocab.select(F.col("tok").alias("prev"), F.col("tc").alias("pc"))), "prev")
+        .join(F.broadcast(vocab), "tok")
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(-F.log(p_int) * 1e9).cast("long").alias("nll"),
+        )
+    )
+    scored = (
+        head.unionByName(body)
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("nll").alias("nll_sum"), F.count(F.lit(1)).alias("n_toks"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("nll_sum").cast("double") / F.col("n_toks"), "doc_id"
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.col("nll_sum").cast("double") / (F.col("n_toks") * 1e9), 8
+        ).alias("logprob"),
+        F.ntile(3).over(w).alias("q_bucket"),
+    )
+
+
+_BIGRAM_SQL = """
+WITH ta AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(toks) AS tok FROM ta
+),
+vocab AS MATERIALIZED (
+  SELECT tok, count(*) AS tc FROM toks GROUP BY tok
+),
+total AS (SELECT count(*) AS n FROM toks),
+bg AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           list_slice(toks, 2, len(toks)),
+           (x, i) -> toks[i] || ' ' || x)) AS bg
+  FROM ta
+),
+bcount AS MATERIALIZED (
+  SELECT bg, count(*) AS bc FROM bg GROUP BY bg
+),
+head AS (
+  SELECT t.doc_id, t.lang,
+         CAST(floor(-ln(CAST(v.tc AS DOUBLE)
+                        / (SELECT CAST(n AS DOUBLE) FROM total)) * 1e9)
+              AS BIGINT) AS nll
+  FROM (SELECT doc_id, lang, toks[1] AS tok FROM ta) t
+  JOIN vocab v ON v.tok = t.tok
+),
+body AS (
+  SELECT g.doc_id, g.lang,
+         CAST(floor(-ln(
+           (CAST(0.7 AS DOUBLE) * (CAST(b.bc AS DOUBLE) / CAST(pv.tc AS DOUBLE)))
+           + (CAST(0.3 AS DOUBLE) * (CAST(v.tc AS DOUBLE)
+                / (SELECT CAST(n AS DOUBLE) FROM total)))
+         ) * 1e9) AS BIGINT) AS nll
+  FROM bg g
+  JOIN bcount b ON b.bg = g.bg
+  JOIN vocab pv ON pv.tok = split_part(g.bg, ' ', 1)
+  JOIN vocab v ON v.tok = split_part(g.bg, ' ', 2)
+),
+scored AS (
+  SELECT doc_id, lang, SUM(nll) AS nll_sum, count(*) AS n_toks
+  FROM (SELECT * FROM head UNION ALL SELECT * FROM body)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang,
+       round(CAST(nll_sum AS DOUBLE) / (n_toks * 1e9), 8) AS logprob,
+       CAST(ntile(3) OVER (
+         PARTITION BY lang
+         ORDER BY CAST(nll_sum AS DOUBLE) / n_toks, doc_id
+       ) AS INT) AS q_bucket
+FROM scored
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "corpus_sample_mixture": corpus_sample_mixture,
     "quality_unigram_logprob": quality_unigram_logprob,
+    "quality_bigram_logprob": quality_bigram_logprob,
 }
 
 ORACLES = {
     "sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "corpus_sample_mixture": _MIXTURE_SQL,
     "quality_unigram_logprob": _UNIGRAM_SQL,
+    "quality_bigram_logprob": _BIGRAM_SQL,
 }

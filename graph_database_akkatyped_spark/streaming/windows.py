@@ -38,12 +38,22 @@ _STREAM_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _stream_dir(sf_dir: str, name: str) -> str:
-    """Spark's file stream source wants a directory; each fixture is a
-    single file, so expose it through a cached temp-dir symlink."""
+    """Spark's file stream source wants a directory of FILES; each
+    driver fixture is a single file, so expose it through a cached
+    temp-dir symlink. A Spark-written fixture (scale-check replicas) is
+    a parquet DIRECTORY instead — the file source does not recurse into
+    a symlinked subdirectory (it silently lists zero files), so link
+    each part file individually."""
     key = (sf_dir, name)
     if key not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="spark_graft_stream_")
-        os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
+        src = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(src):
+            for i, f in enumerate(sorted(os.listdir(src))):
+                if f.endswith(".parquet"):
+                    os.symlink(f"{src}/{f}", f"{d}/{name}_{i}.parquet")
+        else:
+            os.symlink(src, f"{d}/{name}.parquet")
         _STREAM_DIRS[key] = d
     return _STREAM_DIRS[key]
 

@@ -60,3 +60,24 @@ def test_unigram_terciles_balanced_per_lang(spark):
         assert set(buckets) == {1, 2, 3}, (lang, buckets)
         # ntile guarantees sizes differ by at most 1
         assert max(buckets.values()) - min(buckets.values()) <= 1
+
+
+def test_bigram_logprob_structure(spark):
+    """quality_bigram_logprob invariants: one row per document, nll is
+    positive (corpus-trained probabilities are < 1), terciles are
+    within {1,2,3} per language, and the interpolated score is finite
+    everywhere (no zero branch exists for observed bigrams)."""
+    from graph_database_akkatyped_spark.operators.sampling import (
+        quality_bigram_logprob,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = quality_bigram_logprob(spark, SF_SMOKE).collect()
+    assert out
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(out) == n_docs
+    for r in out:
+        assert r.q_bucket in (1, 2, 3)
+        assert r.logprob > 0
