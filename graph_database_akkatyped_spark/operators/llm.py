@@ -3291,6 +3291,90 @@ def _pack_shard_count(spark: SparkSession, docs: DataFrame) -> int:
     )
 
 
+_LPT_SHARDS = 8
+
+
+def pack_lpt_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard assignment by SNAKE DRAFT over the length-sorted
+    corpus — the longest-processing-time flavor of shard packing: rank
+    docs by token count descending, deal rank blocks of ``_LPT_SHARDS``
+    alternately left-to-right and right-to-left (so the shard that got
+    this block's biggest doc gets the next block's smallest), and
+    report per-shard load. The static-scheduling step before a
+    fixed-worker training or tokenization run; per-shard doc counts
+    are equal to ±1 by construction and token loads are near-balanced
+    without any sequential bin state.
+
+    The global rank is NOT a single-task window: same two-pass
+    distributed pattern as ``pack_sequences`` — range-partition by
+    (n_tok DESC, doc_id), per-partition COUNT subtotals (an O(shards)
+    driver collect), offsets broadcast back, local row_number per
+    partition. Oracle uses the plain global window (DuckDB scale is
+    not under test).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    sized = (
+        docs.select("doc_id", n_tok.alias("n_tok"))
+        .repartitionByRange(16, F.col("n_tok").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .transform(cut)
+    )
+    counts = {
+        r["pid"]: r["c"]
+        for r in sized.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    running, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    off_df = spark.createDataFrame(list(offsets.items()), "pid int, off bigint")
+    w = Window.partitionBy("pid").orderBy(F.col("n_tok").desc(), "doc_id")
+    ranked = (
+        sized.join(F.broadcast(off_df), "pid")
+        .withColumn("r0", F.col("off") + F.row_number().over(w) - 1)
+    )
+    k = _LPT_SHARDS
+    pos = F.col("r0") % k
+    # `div` keeps the block index in exact integer arithmetic (the
+    # `/` operator is double division on longs)
+    shard = F.when(F.expr(f"r0 div {k}") % 2 == 0, pos).otherwise(k - 1 - pos)
+    return (
+        ranked.withColumn("shard", shard.cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )
+
+
+_PACK_LPT_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r0
+  FROM sized
+),
+asg AS (
+  SELECT doc_id, n_tok,
+         CAST(CASE WHEN (r0 // {_LPT_SHARDS}) % 2 = 0
+                   THEN r0 % {_LPT_SHARDS}
+                   ELSE {_LPT_SHARDS} - 1 - (r0 % {_LPT_SHARDS}) END
+              AS INTEGER) AS shard
+  FROM ranked
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       max(n_tok) AS max_tok
+FROM asg GROUP BY shard
+"""
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, n_shards: int | None = None
 ) -> DataFrame:
@@ -4934,6 +5018,7 @@ QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "text_chunk_cdc": text_chunk_cdc,
     "pack_sequences": pack_sequences,
+    "pack_lpt_shards": pack_lpt_shards,
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich_checked,
     "multimodal_decode": multimodal_decode,
@@ -4996,6 +5081,7 @@ ORACLES = {
     "text_chunk_sliding": _TEXT_CHUNK_SQL,
     "text_chunk_cdc": _TEXT_CDC_SQL,
     "pack_sequences": _PACK_SQL,
+    "pack_lpt_shards": _PACK_LPT_SQL,
     "split_train_test": _SPLIT_SQL,
     "multimodal_enrich": _MULTIMODAL_ENRICH_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,

@@ -49,3 +49,29 @@ def test_token_budget_sample_shard_invariant(spark):
         sets.append(sorted(map(tuple, out.collect())))
     assert sets[0] == sets[1] == sets[2]
     assert len(sets[0]) > 0
+
+
+def test_lpt_snake_balance_and_totals(spark):
+    """pack_lpt_shards invariants: doc counts equal +-1 by round-robin
+    construction, token totals cover the corpus exactly, and the snake
+    draft keeps the max-min token spread within the largest single
+    document (each K-block deals one doc per shard; alternation pairs
+    each block's big end with the next block's small end)."""
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.operators.llm import pack_lpt_shards
+    from tests.conftest import SF_ORACLE
+
+    out = pack_lpt_shards(spark, SF_ORACLE).collect()
+    assert {r.shard for r in out} == set(range(8))
+    counts = [r.n_docs for r in out]
+    assert max(counts) - min(counts) <= 1
+    docs = load_table(spark, SF_ORACLE, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("long"))
+    ).first()[0]
+    assert sum(r.tok_sum for r in out) == total
+    assert sum(counts) == docs.count()
+    spread = max(r.tok_sum for r in out) - min(r.tok_sum for r in out)
+    assert spread <= max(r.max_tok for r in out)
