@@ -4457,6 +4457,44 @@ _SEMDEDUP_COS = 0.30  # fixture-calibrated: the synthetic embeddings are
 # plants genuine 0.99-cosine duplicates and runs at 0.95).
 
 
+def _semantic_asg_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, cid) k-means assignment — the cluster scoping stage."""
+    assigned, _ = kmeans_assign(_xq_frame(emb))
+    return assigned.select("vec_id", "cid")
+
+
+def _semantic_cand_frame(
+    emb: DataFrame, asg: DataFrame | None = None
+) -> DataFrame:
+    """The SemDeDup CANDIDATE generator: sign-LSH banding within each
+    k-means cluster — distinct (a, b) pairs agreeing on (cid, band,
+    key). Shared by :func:`dedup_semantic_frame` (which exact-verifies
+    and prunes, passing its own assignment so Lloyd runs once) and
+    :func:`dedup_semantic_recall` (which measures this generator
+    against exact all-pairs truth on a bounded sample)."""
+    if asg is None:
+        asg = _semantic_asg_frame(emb)
+    banded = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[_sign_band_key(b) for b in range(_EMB_BANDS)])
+            ).alias("band", "key"),
+        )
+        .join(asg, "vec_id")
+    )
+    return (
+        banded.select(F.col("vec_id").alias("a"), "cid", "band", "key")
+        .join(
+            banded.select(F.col("vec_id").alias("b"), "cid", "band", "key"),
+            ["cid", "band", "key"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def dedup_semantic_frame(
     emb: DataFrame, tau: float = _SEMDEDUP_COS
 ) -> DataFrame:
@@ -4480,28 +4518,8 @@ def dedup_semantic_frame(
     key); the prune is one grouped count + left join. No stage holds a
     cluster² or corpus² term — tools/round6_scale_check.py measures
     the 10x ratio."""
-    xq = _xq_frame(emb)
-    assigned, _ = kmeans_assign(xq)
-    asg = assigned.select("vec_id", "cid")
-    banded = (
-        emb.select(
-            "vec_id",
-            F.posexplode(
-                F.array(*[_sign_band_key(b) for b in range(_EMB_BANDS)])
-            ).alias("band", "key"),
-        )
-        .join(asg, "vec_id")
-    )
-    cand = (
-        banded.select(F.col("vec_id").alias("a"), "cid", "band", "key")
-        .join(
-            banded.select(F.col("vec_id").alias("b"), "cid", "band", "key"),
-            ["cid", "band", "key"],
-        )
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    asg = _semantic_asg_frame(emb)
+    cand = _semantic_cand_frame(emb, asg)
     norm = _dot(F.col("embedding"), F.col("embedding"))
     e = emb.select("vec_id", "embedding", norm.alias("nrm"))
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
@@ -4549,6 +4567,122 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return dedup_semantic_frame(emb)
+
+
+_SEM_RECALL_MIN = 0.2   # truth floor — BELOW the 0.30 design threshold
+                        # on purpose, to expose the fall-off curve
+
+
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured RECALL of the SemDeDup candidate generator (k-means
+    scoping × sign-LSH banding) vs exact all-pairs cosine ground truth
+    on a bounded sample (vec_id < ``_RECALL_SAMPLE``) — the semantic
+    path's honest scorecard, completing the family
+    (``dedup_banding_recall`` for MinHash, ``simsearch_recall*`` for
+    ANN). A true pair can be missed two ways — the cluster boundary
+    splits it, or all 8 sign bands disagree — and this table shows the
+    combined effect per cosine bucket, including BELOW the 0.30
+    operating threshold so the fall-off is visible.
+
+    The exact truth is all-pairs only WITHIN the fixed sample (the
+    quadratic the pipeline exists to avoid — bounding it is what keeps
+    the baseline affordable at any corpus size); the candidate set is
+    the full-corpus generator as deployed, filtered to the sample.
+    Integers plus one int/int division per bucket; the bucket id is
+    floor(10·cos) on identical IEEE doubles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cand = _semantic_cand_frame(emb).where(
+        (F.col("a") < _RECALL_SAMPLE) & (F.col("b") < _RECALL_SAMPLE)
+    )
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    e = emb.where(F.col("vec_id") < _RECALL_SAMPLE).select(
+        "vec_id", "embedding", norm.alias("nrm")
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt("nrm_a") * F.sqrt("nrm_b")
+    )
+    truth = (
+        e.select(
+            F.col("vec_id").alias("a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            F.col("a") < F.col("b"),
+        )
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= _SEM_RECALL_MIN)
+        .select("a", "b", F.floor(F.col("cos") * 10).cast("int").alias("bucket"))
+    )
+    return (
+        truth.join(cand.withColumn("hit", F.lit(1)), ["a", "b"], "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_found"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_found").cast("double") / F.col("n_true").cast("double"),
+        )
+    )
+
+
+def _semantic_recall_sql(
+    floor_: float = _SEM_RECALL_MIN, sample: int = _RECALL_SAMPLE
+) -> str:
+    ctes = _kmeans_ctes(_KM_ITERS)
+    banded_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_sign_band_key_sql(b)} AS key "
+        f"FROM embeddings"
+        for b in range(_EMB_BANDS)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS MATERIALIZED (SELECT vec_id, cid FROM a{_KM_ITERS}),
+banded AS MATERIALIZED (
+  SELECT bb.vec_id, a.cid, bb.band, bb.key
+  FROM ({banded_union}) bb JOIN asg a USING (vec_id)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT b1.vec_id AS a, b2.vec_id AS b
+  FROM banded b1
+  JOIN banded b2 ON b1.cid = b2.cid AND b1.band = b2.band
+                AND b1.key = b2.key AND b1.vec_id < b2.vec_id
+  WHERE b1.vec_id < {sample} AND b2.vec_id < {sample}
+),
+e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings WHERE vec_id < {sample}
+),
+truth AS MATERIALIZED (
+  SELECT e1.vec_id AS a, e2.vec_id AS b,
+         CAST(floor(({_sql_dot('e1.embedding', 'e2.embedding')}
+           / (sqrt(e1.nrm) * sqrt(e2.nrm))) * 10) AS INTEGER) AS bucket
+  FROM e e1 JOIN e e2 ON e1.vec_id < e2.vec_id
+  WHERE {_sql_dot('e1.embedding', 'e2.embedding')}
+          / (sqrt(e1.nrm) * sqrt(e2.nrm)) >= {floor_}
+)
+SELECT bucket, count(*) AS n_true,
+       CAST(sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       CAST(sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS recall
+FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+GROUP BY bucket
+"""
+    )
 
 
 def _semantic_sql(tau: float = _SEMDEDUP_COS) -> str:
@@ -5028,6 +5162,7 @@ QUERIES = {
     "embedding_pca_power": embedding_pca_power,
     "embedding_kmeans_lloyd": embedding_kmeans_lloyd,
     "dedup_semantic": dedup_semantic,
+    "dedup_semantic_recall": dedup_semantic_recall,
     "langid_confusion": langid_confusion,
 }
 
@@ -5091,5 +5226,6 @@ ORACLES = {
     "embedding_pca_power": _pca_sql(),
     "embedding_kmeans_lloyd": _kmeans_sql(),
     "dedup_semantic": _semantic_sql(),
+    "dedup_semantic_recall": _semantic_recall_sql(),
     "langid_confusion": _LANGID_CONFUSION_SQL,
 }
