@@ -3788,6 +3788,199 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_BANDS = 4        # 4 x 16-bit bands over the 64-bit fingerprint
+_PHASH_MAX_HAMMING = 6  # near-dup verify threshold
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over the BINARY column — the
+    multimodal twin of ``dedup_simhash``: decode the ``IM01`` container
+    (Arrow-batched ``mapInPandas``, numpy-vectorized byte histogram),
+    compute a 64-cell aHash (bit j = cell-mean > whole-body mean, done
+    as the INTEGER cross-multiply cs[j]·total_cnt > total_sum·cc[j] —
+    no float mean enters the fingerprint), band the 64-bit hash into
+    4×16-bit bands for candidate pairs, verify by Hamming ≤
+    ``_PHASH_MAX_HAMMING``, and report per-doc near-dup degree. Swap
+    the byte histogram for a downsampled luma grid and this IS image
+    aHash dedup; banding + verify stay identical.
+
+    Oracle strategy (same as multimodal_decode): the body is the
+    text's UTF-8 and the fixture text is pure ASCII, so the SQL twin
+    recomputes every byte as ``ascii(substr(text, p, 1))`` without
+    touching the container — a wrong slice offset or cell boundary in
+    the decoder flips the hash. A real deployment hashes decoded
+    pixels, where no such text twin exists (the pinned synthetic test
+    plants byte-level near-identical payloads instead).
+
+    100 TB shape: decode+histogram is map-only (one Arrow pass, zero
+    shuffle); candidates are band equi-join buckets, never all-pairs;
+    the cross-multiply is exact while body_bytes·body_sum < 2⁶³
+    (≈ 2 GiB bodies) — beyond that, scale the comparison to means in
+    DECIMAL(38,0) like the PCA kernel does.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal_encode_frame(docs)
+
+    def hash_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                assert b[:4] == _MM_MAGIC, "bad container magic"
+                body = np.frombuffer(b[8:], dtype=np.uint8)
+                n = len(body)
+                if n:
+                    cell = (np.arange(n, dtype=np.int64) * 64) // n
+                    cc = np.bincount(cell, minlength=64)
+                    cs = np.bincount(
+                        cell, weights=body.astype(np.float64), minlength=64
+                    ).astype(np.int64)
+                else:
+                    cc = np.zeros(64, dtype=np.int64)
+                    cs = cc
+                rows.append((int(doc_id), cs.tolist(), cc.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "cell_sums", "cell_cnts"]
+            )
+
+    cells = payload.mapInPandas(
+        hash_batches,
+        schema="doc_id long, cell_sums array<long>, cell_cnts array<long>",
+    )
+    acc = lambda c: F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    hashed = cut(
+        cells.withColumn("tot", acc("cell_cnts"))
+        .withColumn("ts", acc("cell_sums"))
+        .withColumn(
+            "phash",
+            F.expr(
+                "array_join(transform(sequence(0, 63), j -> "
+                "IF(element_at(cell_sums, j + 1) * tot "
+                "> ts * element_at(cell_cnts, j + 1), '1', '0')), '')"
+            ),
+        )
+        .select("doc_id", "phash")
+    )
+    banded = hashed.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("phash", k * 16 + 1, 16)
+                    for k in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.select(F.col("doc_id").alias("a"), "band", "key")
+        .join(banded.select(F.col("doc_id").alias("b"), "band", "key"), ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(transform(sequence(1, 64), i -> "
+        "IF(substring(ah, i, 1) = substring(bh, i, 1), 0, 1)), "
+        "0, (s, x) -> s + x)"
+    )
+    pairs = (
+        cand.join(
+            hashed.select(F.col("doc_id").alias("a"), F.col("phash").alias("ah")),
+            "a",
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("b"), F.col("phash").alias("bh")),
+            "b",
+        )
+        .withColumn("ham", ham)
+        .where(F.col("ham") <= _PHASH_MAX_HAMMING)
+        .select("a", "b")
+    )
+    partners = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return hashed.join(partners, "doc_id", "left").select(
+        "doc_id",
+        "phash",
+        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+    )
+
+
+_PHASH_SQL = f"""
+WITH chars AS MATERIALIZED (
+  SELECT doc_id,
+         ((p - 1) * 64) // len AS cell,
+         ascii(substr(text, CAST(p AS INTEGER), 1)) AS v
+  FROM (
+    SELECT doc_id, text, length(text) AS len,
+           unnest(range(1, length(text) + 1)) AS p
+    FROM documents
+  )
+),
+cells AS MATERIALIZED (
+  SELECT doc_id, cell, CAST(sum(v) AS BIGINT) AS cs,
+         CAST(count(*) AS BIGINT) AS cc
+  FROM chars GROUP BY doc_id, cell
+),
+tots AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts,
+         CAST(sum(cc) AS BIGINT) AS tot
+  FROM cells GROUP BY doc_id
+),
+grid AS MATERIALIZED (
+  SELECT d.doc_id, g.j,
+         COALESCE(c.cs, 0) AS cs, COALESCE(c.cc, 0) AS cc,
+         COALESCE(t.ts, 0) AS ts, COALESCE(t.tot, 0) AS tot
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) g
+  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.cell = g.j
+  LEFT JOIN tots t ON t.doc_id = d.doc_id
+),
+hashed AS MATERIALIZED (
+  SELECT doc_id,
+         string_agg(CASE WHEN cs * tot > ts * cc THEN '1' ELSE '0' END,
+                    '' ORDER BY j) AS phash
+  FROM grid GROUP BY doc_id
+),
+banded AS MATERIALIZED (
+  {' UNION ALL '.join(f"SELECT doc_id, {k} AS band, substr(phash, {k * 16 + 1}, 16) AS key FROM hashed" for k in range(_PHASH_BANDS))}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM banded b1
+  JOIN banded b2 ON b1.band = b2.band AND b1.key = b2.key
+               AND b1.doc_id < b2.doc_id
+),
+pairs AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN hashed ha ON ha.doc_id = c.a
+  JOIN hashed hb ON hb.doc_id = c.b
+  WHERE list_sum(list_transform(range(1, 65), i ->
+          CASE WHEN substr(ha.phash, CAST(i AS INTEGER), 1)
+                  = substr(hb.phash, CAST(i AS INTEGER), 1)
+               THEN 0 ELSE 1 END)) <= {_PHASH_MAX_HAMMING}
+),
+partners AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+    SELECT a AS doc_id FROM pairs UNION ALL SELECT b AS doc_id FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT h.doc_id, h.phash, COALESCE(p.n_near, 0) AS n_near
+FROM hashed h LEFT JOIN partners p ON p.doc_id = h.doc_id
+"""
+
+
 _MULTIMODAL_DECODE_SQL = """
 SELECT doc_id,
        CAST(64 + (doc_id * 7) % 448 AS INTEGER) AS width,
@@ -5156,6 +5349,7 @@ QUERIES = {
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich_checked,
     "multimodal_decode": multimodal_decode,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_frame_sample": multimodal_frame_sample,
     "simsearch_hard_negatives": simsearch_hard_negatives,
     "dedup_substring_shingle": dedup_substring_shingle,
@@ -5220,6 +5414,7 @@ ORACLES = {
     "split_train_test": _SPLIT_SQL,
     "multimodal_enrich": _MULTIMODAL_ENRICH_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_phash_dedup": _PHASH_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "simsearch_hard_negatives": _HARD_NEG_SQL,
     "dedup_substring_shingle": _SUBSTRING_SHINGLE_SQL,

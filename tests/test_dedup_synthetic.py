@@ -323,3 +323,40 @@ def test_containment_finds_planted_excerpt(spark, contain_dir):
     con = _duck_for(contain_dir, "documents")
     oracle_pd = con.execute(llm._DEDUP_CONTAIN_SQL).fetchdf()
     assert not compare(out, oracle_pd)
+
+
+def test_phash_dedup_planted_near_identical_payloads(spark, tmp_path):
+    """multimodal_phash_dedup on planted binaries: two payloads whose
+    bodies differ in a handful of bytes land within the Hamming
+    threshold (near-dups), a structurally different payload pairs with
+    nothing, and the Spark result hash-matches the ascii()-twin oracle
+    on the same corpus."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        _PHASH_SQL,
+        multimodal_phash_dedup,
+    )
+
+    base = "abcdefgh" * 40
+    near = "x" + base[1:-1] + "y"          # 2 of 320 bytes changed
+    far = "a" * 160 + "z" * 160            # low half / high half
+    docs = [(0, base), (1, near), (2, far)]
+    d = tmp_path / "phash"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = {r.doc_id: r for r in multimodal_phash_dedup(spark, str(d)).collect()}
+    assert out[0].n_near >= 1 and out[1].n_near >= 1, "planted near-dup missed"
+    assert out[2].n_near == 0, "structurally different payload must not pair"
+    assert len(out[0].phash) == 64 and set(out[0].phash) <= {"0", "1"}
+    con = _duck_for(str(d), "documents")
+    oracle_pd = con.execute(_PHASH_SQL).fetchdf()
+    spark_pd = multimodal_phash_dedup(spark, str(d)).toPandas()
+    assert not compare(spark_pd, oracle_pd)
