@@ -2896,6 +2896,114 @@ SELECT lang, bigram, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+_ZIPF_HEAD = 1000  # fit the distribution head — Zipf's law holds there,
+                   # and top-k keeps the rank a TakeOrdered, not a sort
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Zipf diagnostics: least-squares slope of ln(freq) on
+    ln(rank) over the top-``_ZIPF_HEAD`` terms — the corpus-health
+    number (natural text ≈ −1; machine-generated or boilerplate-heavy
+    corpora drift off it) plus intercept and r². One row.
+
+    Numeric discipline: x = ln(rank) and y = ln(count) are floored
+    into 1e6-scaled BIGINTs per term (the unigram-logprob recipe), so
+    Σx, Σy, Σxy, Σx², Σy² are exact integers; the normal-equation
+    numerator/denominator are exact DECIMAL(38,0) products of those
+    sums, and slope/intercept/r² are final IEEE divisions on identical
+    operands in both engines.
+
+    Scale: the only order-dependent step is top-k by frequency —
+    orderBy+limit (per-partition heaps), never a full vocabulary sort;
+    the rank is then a window over ≤1000 rows. Everything before is
+    one explode + one groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_TOKS)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    head = vocab.orderBy(F.col("tc").desc(), "tok").limit(_ZIPF_HEAD)
+    w = Window.orderBy(F.col("tc").desc(), "tok")
+    pts = head.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("tc").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    dyy = dec("n") * dec("syy") - dec("sy") * dec("sy")
+    slope = num.cast("double") / den.cast("double")
+    return sums.select(
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(1e6))
+        ).alias("intercept"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * dyy.cast("double"))
+        ).alias("r2"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH vocab AS (
+  SELECT tok, count(*) AS tc
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+head AS (
+  SELECT tc, row_number() OVER (ORDER BY tc DESC, tok) AS rnk
+  FROM vocab ORDER BY tc DESC, tok LIMIT {_ZIPF_HEAD}
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(tc AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM head
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT n,
+       CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+            AS DOUBLE)
+         / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+                  AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                    AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(1e6 AS DOUBLE)) AS intercept,
+       (CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+             AS DOUBLE)
+        * CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+               AS DOUBLE))
+         / (CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                 AS DOUBLE)
+            * CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                   AS DOUBLE)) AS r2
+FROM sums
+"""
+
+
 _COLLOC_MIN_PAIR = 5   # min bigram support — kills one-off pairings
 _COLLOC_TOPK = 50
 
@@ -5336,6 +5444,7 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "text_ngrams": text_ngrams,
     "text_collocation_lift": text_collocation_lift,
+    "text_zipf_fit": text_zipf_fit,
     "text_lang_stats": text_lang_stats,
     "text_sentiment_lexicon": text_sentiment_lexicon,
     "text_quality_score": text_quality_score,
@@ -5401,6 +5510,7 @@ ORACLES = {
     "text_bm25_topk": _TEXT_BM25_SQL,
     "text_ngrams": _TEXT_NGRAMS_SQL,
     "text_collocation_lift": _COLLOC_SQL,
+    "text_zipf_fit": _ZIPF_SQL,
     "text_lang_stats": _TEXT_LANG_STATS_SQL,
     "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,

@@ -472,3 +472,43 @@ def test_collocation_lift_planted_phrase(spark, tmp_path):
     expect = (float(c_pair) * n_uni) * n_uni / ((float(n_big) * c_pair) * c_pair)
     assert top.c_ab == c_pair
     assert top.lift == expect
+
+
+def test_zipf_fit_exact_recompute(spark):
+    """text_zipf_fit equals an independent Python least-squares over
+    the same floored-log points (exact integer sums -> one IEEE
+    division), and the fit is sane: negative slope, r2 in (0, 1]."""
+    import math
+
+    from graph_database_akkatyped_spark.operators.llm import (
+        _ZIPF_HEAD,
+        text_zipf_fit,
+    )
+
+    row = text_zipf_fit(spark, SF_ORACLE).first()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = sorted(
+        ((r.tok, r.n) for r in toks.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("n")).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )[:_ZIPF_HEAD]
+    pts = [
+        (
+            math.floor(math.log(float(i + 1)) * 1e6),
+            math.floor(math.log(float(c)) * 1e6),
+        )
+        for i, (_, c) in enumerate(vocab)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num, den, dyy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert row.n == n
+    assert row.slope == float(num) / float(den)
+    assert row.slope < 0
+    assert 0 < row.r2 <= 1
+    assert row.r2 == (float(num) * float(num)) / (float(den) * float(dyy))

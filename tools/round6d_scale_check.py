@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 
 from graph_database_akkatyped_spark.caching import clear_frame_cache
 from graph_database_akkatyped_spark.catalog import load_table
-from graph_database_akkatyped_spark.operators import behavior, graph_extras, llm
+from graph_database_akkatyped_spark.operators import (
+    behavior,
+    graph_extras,
+    llm,
+    sampling,
+)
 from graph_database_akkatyped_spark.session import get_spark
 from graph_database_akkatyped_spark.streaming import windows
 
@@ -61,6 +66,12 @@ QUERIES = {
     "dedup_containment": llm.QUERIES["dedup_containment"],
     "text_collocation_lift": llm.QUERIES["text_collocation_lift"],
     "stream_stream_left_join": windows.QUERIES["stream_stream_left_join"],
+    # second batch (same session): retrieval/curation/packing/multimodal
+    "simsearch_mmr": llm.QUERIES["simsearch_mmr"],
+    "quality_bigram_logprob": sampling.QUERIES["quality_bigram_logprob"],
+    "pack_lpt_shards": llm.QUERIES["pack_lpt_shards"],
+    "dedup_semantic_recall": llm.QUERIES["dedup_semantic_recall"],
+    "multimodal_phash_dedup": llm.QUERIES["multimodal_phash_dedup"],
 }
 
 
@@ -83,6 +94,27 @@ def replicate(spark, n: int) -> str:
         load_table(spark, SF_DIR, "documents").crossJoin(copies),
         ["doc_id"],
     ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    # embeddings: per-copy vector rotation + label shift (round6c recipe)
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .crossJoin(copies)
+        .withColumn("label", F.col("label") + (F.col("_copy") * 10).cast("int"))
+    )
+    rot = F.when(
+        F.col("_copy") == 0, F.col("embedding")
+    ).otherwise(
+        F.concat(
+            F.slice(
+                F.col("embedding"),
+                (F.col("_copy") % 64 + 1).cast("int"),
+                (F.lit(64) - F.col("_copy") % 64).cast("int"),
+            ),
+            F.slice(F.col("embedding"), 1, (F.col("_copy") % 64).cast("int")),
+        )
+    )
+    shift(
+        emb.withColumn("embedding", rot), ["vec_id"]
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     return out
 
 
