@@ -323,3 +323,65 @@ def test_ivf_partitioned_probe_prunes_cells(spark):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, llm.simsearch_ivf(spark, SF_ORACLE).collect()))
     assert got == want
+
+
+def test_collocation_topk_is_take_ordered(spark):
+    """text_collocation_lift's corpus-sized top-k must plan as
+    TakeOrderedAndProject (per-partition heaps); the only Window runs
+    over the surviving <=50 rows, never the full pair set."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    df = llm.text_collocation_lift(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zipf_head_is_take_ordered(spark):
+    """text_zipf_fit must never sort the whole vocabulary — the head
+    selection is a top-k."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.text_zipf_fit(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lpt_rank_stays_distributed(spark):
+    """pack_lpt_shards' global rank is the two-pass pattern: no
+    SinglePartition exchange may feed its window."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.pack_lpt_shards(spark, SF_ORACLE))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_phash_candidates_no_cartesian(spark):
+    """multimodal_phash_dedup candidates must be the band equi-join —
+    never an all-pairs product over documents."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.multimodal_phash_dedup(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_containment_candidates_no_cartesian(spark):
+    """dedup_containment rides the shared minhash bands — no cartesian
+    anywhere in the plan."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.dedup_containment(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_pool_work_is_broadcast(spark):
+    """simsearch_mmr's corpus-sized stage is the broadcast top-k pool
+    scan; pairwise work happens after the pool cut."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.simsearch_mmr(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
