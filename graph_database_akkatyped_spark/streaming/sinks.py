@@ -408,6 +408,173 @@ GROUP BY user_id
 """
 
 
+class IncrementalCooccurStore:
+    """Incremental maintenance of the user co-occurrence GRAPH itself —
+    one step past ``IncrementalDegreeStore`` (which maintains a
+    per-vertex aggregate): per micro-batch, the genuinely-new
+    (slot, user) memberships join ONLY against their own slots'
+    current members to emit new canonical user-user edges, which merge
+    into the maintained pair set by anti-join. The full journal is
+    never rescanned; the final pair set provably equals the batch
+    builder's (the registered key runs fixed-iteration PageRank over
+    it and hash-matches the BATCH PageRank oracle end-to-end).
+
+    Per-batch cost is O(batch x slot-occupancy) — the same hot-slot
+    k² the batch builder has, bounded per batch by the ts slice; a
+    production run caps it exactly like ``build_user_graph_capped``
+    (slot_capped_users before the member join). Replay is free twice
+    over: the ledger skips known batch ids, and every merge is an
+    anti-join set union — naturally idempotent under at-least-once
+    delivery.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.applied: set[int] = set()
+        self.members: DataFrame | None = None   # (event_type, hour, user_id)
+        self.pairs: DataFrame | None = None     # canonical a<b user pairs
+        self._m_blocks: set[int] = set()
+        self._p_blocks: set[int] = set()
+
+    @staticmethod
+    def _batch_members(batch_df: DataFrame) -> DataFrame:
+        return batch_df.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "user_id",
+        ).distinct()
+
+    def apply(self, batch_members: DataFrame, batch_id: int) -> None:
+        from graph_database_akkatyped_spark.caching import cut_block_ids
+
+        key = ["event_type", "hour", "user_id"]
+        if self.members is None:
+            new = batch_members
+        else:
+            new = batch_members.join(self.members, key, "left_anti")
+        new = cut(new)
+        universe = (
+            new if self.members is None else self.members.unionByName(new)
+        )
+        fresh_pairs = (
+            new.select(
+                "event_type", "hour", F.col("user_id").alias("u")
+            )
+            .join(
+                universe.select(
+                    "event_type", "hour", F.col("user_id").alias("v")
+                ),
+                ["event_type", "hour"],
+            )
+            .where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("a"),
+                F.greatest("u", "v").alias("b"),
+            )
+            .distinct()
+        )
+        if self.pairs is not None:
+            fresh_pairs = fresh_pairs.join(self.pairs, ["a", "b"], "left_anti")
+        merged_pairs = (
+            fresh_pairs
+            if self.pairs is None
+            else self.pairs.unionByName(fresh_pairs)
+        )
+        members_cut = cut(universe)
+        pairs_cut = cut(merged_pairs)
+        _unpersist_ids(self.spark, self._m_blocks | self._p_blocks)
+        self.members, self._m_blocks = members_cut, cut_block_ids(members_cut)
+        self.pairs, self._p_blocks = pairs_cut, cut_block_ids(pairs_cut)
+        self.applied.add(batch_id)
+
+    def snapshot_rank(self) -> DataFrame:
+        """Fixed-10-iteration integer-µ-unit PageRank over the
+        MAINTAINED graph — uniform init, so the result is a pure
+        function of the final pair set and hash-matches the batch
+        PageRank oracle iff incremental maintenance converged to the
+        batch-built graph."""
+        from graph_database_akkatyped_spark.operators.algos import (
+            pagerank_frame,
+        )
+
+        assert self.pairs is not None, "no batch was ever applied"
+        verts = self.members.select(
+            F.col("user_id").alias("id")
+        ).distinct()
+        edges_sym = self.pairs.unionByName(
+            self.pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        return pagerank_frame(verts, edges_sym, 10).select(
+            F.col("id").alias("user_id"), "rank_e12", "rank"
+        )
+
+
+def run_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journal replayed as micro-batches through the co-occurrence
+    store, ledger-BYPASSED replay of the final batch (must be a no-op
+    purely via the anti-joins), then PageRank over the maintained
+    graph."""
+    split_dir = _split_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    store = IncrementalCooccurStore(spark)
+    last_members: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        members = cut(IncrementalCooccurStore._batch_members(batch_df))
+        last_members.append((members, batch_id))
+        store.apply(members, batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_pr_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(store.applied) >= 2
+    members, batch_id = last_members[-1]
+    store.apply(members, batch_id + 1000)  # bypassed replay: no-op
+    snap = store.snapshot_rank()
+    snap._pr_store = store
+    snap._pr_ckpt = ckpt
+    snap._pr_partials = last_members
+    return snap
+
+
+def stream_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental-PageRank key; memoized with the same leak
+    hygiene as ``stream_graph_degree``. The oracle is the BATCH
+    PageRank SQL (same graph definition, same 10 integer iterations) —
+    a hash match proves the incrementally maintained edge set equals
+    the batch-built one, edge for edge."""
+    from graph_database_akkatyped_spark.caching import cut_block_ids
+
+    holder: dict = {}
+
+    def build() -> DataFrame:
+        snap = run_graph_pagerank(spark, sf_dir)
+        holder["store"] = snap._pr_store
+        holder["ckpt"] = snap._pr_ckpt
+        holder["partials"] = snap._pr_partials
+        return snap
+
+    out = memoized_checkpoint(spark, "graph_pagerank_inc", sf_dir, build)
+    store = holder.get("store")
+    if store is not None:
+        stray = store._m_blocks | store._p_blocks
+        for members, _bid in holder["partials"]:
+            stray |= cut_block_ids(members)
+        _unpersist_ids(spark, stray)
+        shutil.rmtree(holder["ckpt"], ignore_errors=True)
+    return out
+
+
 # ------------------------------------------ incremental SCD2 maintenance
 
 
@@ -587,6 +754,7 @@ QUERIES = {
     "stream_sink_idempotent": stream_sink_idempotent,
     "stream_graph_degree": stream_graph_degree,
     "stream_scd2": stream_scd2,
+    "stream_graph_pagerank": stream_graph_pagerank,
 }
 
 ORACLES = {
@@ -604,3 +772,12 @@ def _scd2_oracle() -> str:
 
 
 ORACLES["stream_scd2"] = _scd2_oracle()
+
+
+def _pagerank_oracle() -> str:
+    from graph_database_akkatyped_spark.operators.algos import _pagerank_sql
+
+    return _pagerank_sql(10)
+
+
+ORACLES["stream_graph_pagerank"] = _pagerank_oracle()

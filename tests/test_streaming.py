@@ -746,3 +746,24 @@ def test_left_outer_join_null_emission_boundary(spark):
         and r.click_ts + h < wm
     }
     assert nulls == expect_nulls
+
+
+def test_incremental_pagerank_equals_batch(spark):
+    """stream_graph_pagerank: the incrementally maintained co-occurrence
+    graph must equal the batch-built one, proven end to end — the
+    fixed-iteration integer PageRank over the maintained pairs is
+    bit-identical to pagerank_fixed over the batch graph (any missing
+    or phantom edge shifts integer rank mass somewhere)."""
+    from graph_database_akkatyped_spark.operators.algos import pagerank_fixed
+    from graph_database_akkatyped_spark.streaming.sinks import (
+        stream_graph_pagerank,
+    )
+
+    inc = {
+        r.user_id: r.rank_e12
+        for r in stream_graph_pagerank(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r.user_id: r.rank_e12 for r in pagerank_fixed(spark, SF_SMOKE).collect()
+    }
+    assert inc == batch
