@@ -51,7 +51,7 @@ from graph_database_akkatyped_spark.operators import (
     sampling,
 )
 from graph_database_akkatyped_spark.session import get_spark
-from graph_database_akkatyped_spark.streaming import windows
+from graph_database_akkatyped_spark.streaming import sinks, windows
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ID_STRIDE = 10**9
@@ -72,6 +72,7 @@ QUERIES = {
     "pack_lpt_shards": llm.QUERIES["pack_lpt_shards"],
     "dedup_semantic_recall": llm.QUERIES["dedup_semantic_recall"],
     "multimodal_phash_dedup": llm.QUERIES["multimodal_phash_dedup"],
+    "stream_graph_pagerank": sinks.QUERIES["stream_graph_pagerank"],
 }
 
 
