@@ -480,6 +480,116 @@ WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g AS DOUBLE) >= {_CONTAIN_MIN}
 """
 
 
+_CONTAIN_SAMPLE_S = 4  # bottom-s gram sketch probed against the index
+
+
+def dedup_containment_smallside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale containment variant ``dedup_containment``'s
+    docstring names: sample each doc's bottom-``_CONTAIN_SAMPLE_S``
+    grams (smallest salted-md5 — a deterministic bottom-k sketch) and
+    probe them against the FULL gram inverted index. If doc A is fully
+    contained in doc B, every gram of A — in particular its sampled
+    ones — is a gram of B, so the candidate is recalled with
+    probability 1 (the minhash-banded generator recalls by JACCARD and
+    can miss a tiny excerpt inside a huge host); partial containment c
+    is missed with probability (1−c)^s. Cost: s probes per doc times
+    posting length — linear in the index, never all-pairs. Exact
+    verify and output schema are identical to ``dedup_containment``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = memoized_checkpoint(
+        spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    wg = Window.partitionBy("doc_id").orderBy(_minhash(0), "g")
+    sampled = (
+        grams.withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") <= _CONTAIN_SAMPLE_S)
+        .select("doc_id", "g")
+    )
+    cand = (
+        sampled.select(F.col("doc_id").alias("q"), "g")
+        .join(grams.select(F.col("doc_id").alias("t"), "g"), "g")
+        .where(F.col("q") != F.col("t"))
+        .select(
+            F.least("q", "t").alias("a"), F.greatest("q", "t").alias("b")
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(grams.select(F.col("doc_id").alias("a"), "g"), "a")
+        .join(grams.select(F.col("doc_id").alias("b"), "g"), ["b", "g"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_g").alias("n_a")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_g").alias("n_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .where(
+            (F.col("contain_a_in_b") >= _CONTAIN_MIN)
+            | (F.col("contain_b_in_a") >= _CONTAIN_MIN)
+        )
+    )
+
+
+_DEDUP_CONTAIN_SMALL_SQL = f"""
+WITH grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           list_transform(
+             list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+             (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+           g -> g IS NOT NULL)) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+sampled AS MATERIALIZED (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY {_minhash_sql(0)}, g) AS rn
+    FROM grams
+  ) WHERE rn <= {_CONTAIN_SAMPLE_S}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT least(s.doc_id, t.doc_id) AS a,
+         greatest(s.doc_id, t.doc_id) AS b
+  FROM sampled s
+  JOIN grams t ON t.g = s.g AND t.doc_id <> s.doc_id
+),
+common AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+)
+SELECT a, b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(na.n_g AS DOUBLE) AS contain_a_in_b,
+       CAST(n_common AS DOUBLE) / CAST(nb.n_g AS DOUBLE) AS contain_b_in_a
+FROM common
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g AS DOUBLE) >= {_CONTAIN_MIN}
+   OR CAST(n_common AS DOUBLE) / CAST(nb.n_g AS DOUBLE) >= {_CONTAIN_MIN}
+"""
+
+
 _RECALL_SAMPLE = 150  # exact-baseline sample bound (doc_id < this)
 _RECALL_MIN = 0.01    # scorecard truth floor — BELOW the banding's design
                       # threshold on purpose, to expose the fall-off curve
@@ -5409,6 +5519,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_containment_smallside": dedup_containment_smallside,
     "dedup_banding_recall": dedup_banding_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
@@ -5475,6 +5586,7 @@ ORACLES = {
     # rows-only by design (sketches)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_containment": _DEDUP_CONTAIN_SQL,
+    "dedup_containment_smallside": _DEDUP_CONTAIN_SMALL_SQL,
     "dedup_banding_recall": _BANDING_RECALL_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,

@@ -360,3 +360,19 @@ def test_phash_dedup_planted_near_identical_payloads(spark, tmp_path):
     oracle_pd = con.execute(_PHASH_SQL).fetchdf()
     spark_pd = multimodal_phash_dedup(spark, str(d)).toPandas()
     assert not compare(spark_pd, oracle_pd)
+
+
+def test_containment_smallside_guaranteed_recall(spark, contain_dir):
+    """dedup_containment_smallside: a FULLY contained doc is recalled
+    with probability 1 (its sampled grams are grams of the host by
+    definition), with the same verified values as the banded variant,
+    and the host/unrelated structure holds."""
+    out = llm.dedup_containment_smallside(spark, contain_dir).toPandas()
+    pairs = {(int(r.a), int(r.b)): r for r in out.itertuples()}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    assert r.contain_a_in_b == 1.0
+    assert all(2 not in k for k in pairs)
+    con = _duck_for(contain_dir, "documents")
+    oracle_pd = con.execute(llm._DEDUP_CONTAIN_SMALL_SQL).fetchdf()
+    assert not compare(out, oracle_pd)
