@@ -1959,6 +1959,89 @@ def _recall_vs_truth(truth: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+_MATRYOSHKA_DIMS = 32  # truncated prefix dimension (full vectors are 64)
+
+
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of HALF-DIMENSION retrieval vs the full-dimension
+    exact top-k — the Matryoshka trade-off scorecard: MRL-style models
+    put the most informative components first, so serving can run ANN
+    over a prefix slice (half the memory, half the FLOPs per dot
+    product) and re-rank the survivors at full width. This key measures
+    what the prefix costs on THIS corpus before a deployment flips that
+    switch (random fixture vectors are the worst case — no information
+    concentration — so the measured recall here is a floor).
+
+    Same broadcast top-k scan on both sides (the truncated side just
+    slices before the dot product); recall arithmetic is the shared
+    integer ``_recall_vs_truth`` fold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = simsearch_topk(spark, sf_dir).select("q_id", "vec_id")
+    sliced = emb.select(
+        "vec_id", F.slice("embedding", 1, _MATRYOSHKA_DIMS).alias("embedding")
+    )
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = sliced.select("vec_id", "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    cand = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "vec_id")
+    )
+    return _recall_vs_truth(truth, cand)
+
+
+def _matryoshka_sql(dims: int = _MATRYOSHKA_DIMS) -> str:
+    half_dot = lambda a, b: _sql_dot(  # noqa: E731
+        f"list_slice({a}, 1, {dims})", f"list_slice({b}, 1, {dims})"
+    )
+    return f"""
+WITH truth AS (
+  SELECT q_id, vec_id FROM ({_SIMSEARCH_TOPK_SQL})
+),
+eh AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {half_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+cand AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {half_dot('q.embedding', 'c.embedding')}
+                       / (sqrt(q.nrm) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk
+    FROM eh q JOIN eh c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= 10
+),
+per_q AS (
+  SELECT t.q_id, count(*) AS n_true,
+         CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN cand c
+    ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+  GROUP BY t.q_id
+)
+SELECT q_id, n_true, n_hit,
+       CAST(n_hit AS DOUBLE) / n_true AS recall_at_10,
+       CAST(sum(n_hit) OVER () AS DOUBLE) / sum(n_true) OVER ()
+         AS macro_recall
+FROM per_q
+"""
+
+
 def simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF ANN path vs exact brute-force ground truth
     (`simsearch_topk`) — the number that tells a curator what nprobe=2
@@ -5546,6 +5629,7 @@ QUERIES = {
     "simsearch_ivf_partitioned": simsearch_ivf_partitioned,
     "simsearch_lsh": simsearch_lsh,
     "simsearch_recall": simsearch_recall,
+    "embedding_matryoshka_recall": embedding_matryoshka_recall,
     "simsearch_recall_lsh": simsearch_recall_lsh,
     "simsearch_pq": simsearch_pq,
     "simsearch_recall_pq": simsearch_recall_pq,
@@ -5614,6 +5698,7 @@ ORACLES = {
     # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's
     # seeded internal RNG — not SQL-reproducible)
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,
+    "embedding_matryoshka_recall": _matryoshka_sql(),
     "simsearch_pq": _SIMSEARCH_PQ_SQL,
     "simsearch_recall_pq": _SIMSEARCH_RECALL_PQ_SQL,
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,

@@ -262,3 +262,43 @@ def test_mmr_prefers_diverse_over_duplicate(spark, tmp_path):
     assert picks[0] == 1, "rank 1 is pure relevance: A"
     assert picks[1] == 3, "rank 2 must be the diverse B, not A's duplicate"
     assert picks[2] == 2, "the duplicate enters only at rank 3"
+
+
+def test_matryoshka_recall_is_exact_when_prefix_complete(spark, tmp_path):
+    """embedding_matryoshka_recall == 1.0 exactly when all information
+    lives in the prefix (tail dims zero): truncated and full cosines
+    coincide, so the candidate sets are identical — the MRL ideal
+    case; random full-width vectors measure the floor instead."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators.llm import (
+        embedding_matryoshka_recall,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = np.zeros(64, dtype=np.float32)
+        v[:32] = rng.normal(size=32).astype(np.float32)
+        rows.append((i, v.tolist()))
+    d = tmp_path / "mrl"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+                "embedding": pa.array(
+                    [v for _, v in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(rows), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = embedding_matryoshka_recall(spark, str(d)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.recall_at_10 == 1.0
+        assert r.macro_recall == 1.0
