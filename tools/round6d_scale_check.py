@@ -73,6 +73,8 @@ QUERIES = {
     "dedup_semantic_recall": llm.QUERIES["dedup_semantic_recall"],
     "multimodal_phash_dedup": llm.QUERIES["multimodal_phash_dedup"],
     "stream_graph_pagerank": sinks.QUERIES["stream_graph_pagerank"],
+    "dedup_containment_smallside": llm.QUERIES["dedup_containment_smallside"],
+    "embedding_matryoshka_recall": llm.QUERIES["embedding_matryoshka_recall"],
 }
 
 
