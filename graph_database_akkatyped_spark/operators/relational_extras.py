@@ -955,7 +955,100 @@ WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, chg_seq)
 """
 
 
+_BASKET_MIN_PAIR = 3   # minimum co-occurrence support (absolute orders)
+_BASKET_TOPK = 50
+
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: for part
+    pairs co-purchased in ≥ ``_BASKET_MIN_PAIR`` orders, report
+    support, both directional confidences, and lift — the Apriori-2
+    output every recommender bootstrap starts from. All four measures
+    are single IEEE divisions of exact integer counts.
+
+    Scale shape: pairs are generated WITHIN each order (TPC-H orders
+    hold ≤ 7 items, this fixture ≤ 13 — the per-order C(k,2) fanout is
+    a constant, so the pair explode is linear in lineitems); item and
+    pair supports are two hash aggregates; n_orders is a 1-row
+    broadcast attach; top-k by lift is orderBy+limit
+    (TakeOrderedAndProject) with the rank window over only the
+    surviving ≤ ``_BASKET_TOPK`` rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_i"))
+    pairs = (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(
+            baskets.select("l_orderkey", F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _BASKET_MIN_PAIR)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        pairs.join(item.select(F.col("l_partkey").alias("a"), F.col("c_i").alias("c_a")), "a")
+        .join(item.select(F.col("l_partkey").alias("b"), F.col("c_i").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            (d("c_ab") / d("n_orders")).alias("support"),
+            (d("c_ab") / d("c_a")).alias("conf_a_b"),
+            (d("c_ab") / d("c_b")).alias("conf_b_a"),
+            ((d("c_ab") * d("n_orders")) / (d("c_a") * d("c_b"))).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.col("lift").desc(), "a", "b").limit(_BASKET_TOPK)
+    w = Window.orderBy(F.col("lift").desc(), "a", "b")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+_BASKET_SQL = f"""
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM baskets),
+item AS MATERIALIZED (
+  SELECT l_partkey, count(*) AS c_i FROM baskets GROUP BY l_partkey
+),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS c_ab
+  FROM baskets x JOIN baskets y
+    ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_PAIR}
+)
+SELECT a, b, c_ab, support, conf_a_b, conf_b_a, lift,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT p.a, p.b, p.c_ab,
+         CAST(p.c_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+         CAST(p.c_ab AS DOUBLE) / CAST(ia.c_i AS DOUBLE) AS conf_a_b,
+         CAST(p.c_ab AS DOUBLE) / CAST(ib.c_i AS DOUBLE) AS conf_b_a,
+         (CAST(p.c_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+           / (CAST(ia.c_i AS DOUBLE) * CAST(ib.c_i AS DOUBLE)) AS lift,
+         row_number() OVER (ORDER BY
+           (CAST(p.c_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+             / (CAST(ia.c_i AS DOUBLE) * CAST(ib.c_i AS DOUBLE)) DESC,
+           p.a, p.b) AS rnk
+  FROM pairs p
+  JOIN item ia ON ia.l_partkey = p.a
+  JOIN item ib ON ib.l_partkey = p.b, tot
+) WHERE rnk <= {_BASKET_TOPK}
+"""
+
+
 QUERIES = {
+    "basket_association_rules": basket_association_rules,
     "revenue_pareto": revenue_pareto,
     "merge_scd2": merge_scd2,
     "sketch_countmin_heavy": sketch_countmin_heavy,
@@ -976,6 +1069,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_association_rules": _BASKET_SQL,
     "revenue_pareto": _PARETO_SQL,
     "merge_scd2": _SCD2_SQL,
     "sketch_countmin_heavy": _COUNTMIN_SQL,

@@ -512,3 +512,42 @@ def test_zipf_fit_exact_recompute(spark):
     assert row.slope < 0
     assert 0 < row.r2 <= 1
     assert row.r2 == (float(num) * float(num)) / (float(den) * float(dyy))
+
+
+def test_basket_rules_exact_recompute(spark):
+    """basket_association_rules: the reported measures equal an
+    independent Python recompute from raw basket counts (single IEEE
+    divisions of exact integers), ranks are 1..k by lift, and every
+    rule clears the support floor."""
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        _BASKET_MIN_PAIR,
+        basket_association_rules,
+    )
+
+    out = basket_association_rules(spark, SF_ORACLE).collect()
+    assert out
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    baskets = {(r.l_orderkey, r.l_partkey) for r in li.select("l_orderkey", "l_partkey").distinct().collect()}
+    orders: dict = {}
+    item: dict = {}
+    for o, p in baskets:
+        orders.setdefault(o, set()).add(p)
+        item[p] = item.get(p, 0) + 1
+    n_orders = len(orders)
+    pair: dict = {}
+    for parts in orders.values():
+        sp = sorted(parts)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                pair[(sp[i], sp[j])] = pair.get((sp[i], sp[j]), 0) + 1
+    for k, r in enumerate(sorted(out, key=lambda x: x.rnk)):
+        assert r.rnk == k + 1
+        c_ab = pair[(r.a, r.b)]
+        assert c_ab >= _BASKET_MIN_PAIR
+        assert r.c_ab == c_ab
+        assert r.support == float(c_ab) / float(n_orders)
+        assert r.conf_a_b == float(c_ab) / float(item[r.a])
+        assert r.conf_b_a == float(c_ab) / float(item[r.b])
+        assert r.lift == (float(c_ab) * float(n_orders)) / (
+            float(item[r.a]) * float(item[r.b])
+        )
