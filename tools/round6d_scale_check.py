@@ -48,6 +48,7 @@ from graph_database_akkatyped_spark.operators import (
     behavior,
     graph_extras,
     llm,
+    relational_extras,
     sampling,
 )
 from graph_database_akkatyped_spark.session import get_spark
@@ -75,6 +76,9 @@ QUERIES = {
     "stream_graph_pagerank": sinks.QUERIES["stream_graph_pagerank"],
     "dedup_containment_smallside": llm.QUERIES["dedup_containment_smallside"],
     "embedding_matryoshka_recall": llm.QUERIES["embedding_matryoshka_recall"],
+    "basket_association_rules": relational_extras.QUERIES[
+        "basket_association_rules"
+    ],
 }
 
 
@@ -97,6 +101,10 @@ def replicate(spark, n: int) -> str:
         load_table(spark, SF_DIR, "documents").crossJoin(copies),
         ["doc_id"],
     ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    shift(
+        load_table(spark, SF_DIR, "lineitem").crossJoin(copies),
+        ["l_orderkey", "l_partkey"],
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     # embeddings: per-copy vector rotation + label shift (round6c recipe)
     emb = (
         load_table(spark, SF_DIR, "embeddings")
