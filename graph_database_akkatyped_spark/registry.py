@@ -68,15 +68,16 @@ _SWEEP_ORDER = (
     # test_registry keeps the set exact.
     # round-6 continuation keys (second/third session) — newest first;
     # each addition here displaces one more re-confirmation key off the
-    # 50-key budget tail into block 2's head. With the 10 third-session
-    # keys (markov/ohlc/burst/ewma/containment/mis_luby/collocation/
-    # left_join/mmr/bigram_logprob) the listing below runs 60 deep:
-    # the driver's ~50-key budget now ends at build_edges, so the 10
-    # r1-only re-confirmation keys vertex_lookup, neighbors_out,
-    # degree_out, degree_in, degree_distribution, join_inner_hash,
-    # join_broadcast, join_left, join_full, join_semi are EXPECTED to
-    # miss round 6 and must lead round 7's rotation together with the
-    # block-2 head:
+    # 50-key budget tail into block 2's head. With the 18 third-session
+    # keys (markov/ohlc/burst/ewma/containment(+smallside)/mis_luby/
+    # collocation/zipf/left_join/mmr/bigram_logprob/lpt_shards/
+    # semantic_recall/phash/matryoshka/stream_pagerank/basket) the
+    # listing below runs 68 deep: the driver's ~50-key budget now ends
+    # inside the scan/sink re-confirmation run, so the 18 r1-only
+    # re-confirmation keys from scan_parquet through join_semi are
+    # EXPECTED to miss round 6 (the budget cuts ~8 keys in; exact cut
+    # depends on the driver's stop row) and must lead round 7's
+    # rotation together with the block-2 head:
     "events_markov_transitions", "timeseries_ohlc", "events_burst_zscore",
     "timeseries_ewma", "dedup_containment", "graph_mis_luby",
     "text_collocation_lift", "stream_stream_left_join", "simsearch_mmr",
