@@ -2042,6 +2042,97 @@ FROM per_q
 """
 
 
+def simsearch_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of BINARY-QUANTIZED retrieval vs full-precision exact
+    top-k: each 64-dim float vector compresses to 64 SIGN BITS (two
+    32-bit words — 32x less memory than float32, and distance becomes
+    two XOR+popcount instructions), candidates rank by Hamming
+    distance, and the scorecard measures what that buys back — the
+    binary-quantization serving trick, completing the compression
+    family (int8 ``embedding_quantize``, PQ, Matryoshka prefix).
+
+    Exact integer arithmetic end to end: the packed words are sums of
+    powers of two gated on ``emb[j] > 0`` (the same float comparison
+    in both engines), Hamming is bit_count(xor) per word, ties break
+    by vec_id. Random fixture vectors are again the floor case.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = simsearch_topk(spark, sf_dir).select("q_id", "vec_id")
+
+    def word(lo: int) -> Column:
+        # expr form: the Python F.shiftleft wrapper demands a literal
+        # shift, but the SQL function accepts the lambda variable
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), CAST(0 AS BIGINT), "
+            f"(acc, j) -> acc + IF(element_at(embedding, CAST(j + 1 AS INT)) > 0, "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(j - {lo} AS INT)), "
+            f"CAST(0 AS BIGINT)))"
+        )
+
+    packed = emb.select("vec_id", word(0).alias("h1"), word(32).alias("h2"))
+    queries = packed.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("q1"))) + F.bit_count(
+        F.col("h2").bitwiseXOR(F.col("q2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("ham", "vec_id")
+    cand = (
+        packed.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("ham", ham)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("q_id", "vec_id")
+    )
+    return _recall_vs_truth(truth, cand)
+
+
+def _binary_hamming_sql() -> str:
+    def word(lo: int) -> str:
+        return (
+            f"list_sum(list_transform(range({lo}, {lo + 32}), j -> "
+            f"CASE WHEN embedding[j + 1] > 0 "
+            f"THEN (CAST(1 AS BIGINT) << (j - {lo})) ELSE 0 END))"
+        )
+
+    return f"""
+WITH truth AS (
+  SELECT q_id, vec_id FROM ({_SIMSEARCH_TOPK_SQL})
+),
+packed AS MATERIALIZED (
+  SELECT vec_id, CAST({word(0)} AS BIGINT) AS h1,
+         CAST({word(32)} AS BIGINT) AS h2
+  FROM embeddings
+),
+cand AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY bit_count(xor(c.h1, q.h1))
+                      + bit_count(xor(c.h2, q.h2)), c.vec_id) AS rnk
+    FROM packed q JOIN packed c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= 10
+),
+per_q AS (
+  SELECT t.q_id, count(*) AS n_true,
+         CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN cand c
+    ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+  GROUP BY t.q_id
+)
+SELECT q_id, n_true, n_hit,
+       CAST(n_hit AS DOUBLE) / n_true AS recall_at_10,
+       CAST(sum(n_hit) OVER () AS DOUBLE) / sum(n_true) OVER ()
+         AS macro_recall
+FROM per_q
+"""
+
+
 def simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF ANN path vs exact brute-force ground truth
     (`simsearch_topk`) — the number that tells a curator what nprobe=2
@@ -5630,6 +5721,7 @@ QUERIES = {
     "simsearch_lsh": simsearch_lsh,
     "simsearch_recall": simsearch_recall,
     "embedding_matryoshka_recall": embedding_matryoshka_recall,
+    "simsearch_binary_hamming": simsearch_binary_hamming,
     "simsearch_recall_lsh": simsearch_recall_lsh,
     "simsearch_pq": simsearch_pq,
     "simsearch_recall_pq": simsearch_recall_pq,
@@ -5699,6 +5791,7 @@ ORACLES = {
     # seeded internal RNG — not SQL-reproducible)
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,
     "embedding_matryoshka_recall": _matryoshka_sql(),
+    "simsearch_binary_hamming": _binary_hamming_sql(),
     "simsearch_pq": _SIMSEARCH_PQ_SQL,
     "simsearch_recall_pq": _SIMSEARCH_RECALL_PQ_SQL,
     "simsearch_pairs_label": _SIMSEARCH_PAIRS_SQL,

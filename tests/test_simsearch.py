@@ -302,3 +302,43 @@ def test_matryoshka_recall_is_exact_when_prefix_complete(spark, tmp_path):
     for r in out:
         assert r.recall_at_10 == 1.0
         assert r.macro_recall == 1.0
+
+
+def test_binary_hamming_recall_exact_on_sign_vectors(spark, tmp_path):
+    """simsearch_binary_hamming == 1.0 exactly on +-1 vectors: there
+    cos(a,b) = (64 - 2*hamming)/64, a strictly decreasing function of
+    Hamming distance, so both rankings (and their vec_id tie-breaks)
+    coincide — the binary-quantization ideal case; random float
+    vectors measure the floor."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators.llm import (
+        simsearch_binary_hamming,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, (rng.integers(0, 2, 64) * 2.0 - 1.0).astype(np.float32).tolist())
+        for i in range(40)
+    ]
+    d = tmp_path / "bq"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+                "embedding": pa.array(
+                    [v for _, v in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(rows), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = simsearch_binary_hamming(spark, str(d)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.recall_at_10 == 1.0
+        assert r.macro_recall == 1.0
