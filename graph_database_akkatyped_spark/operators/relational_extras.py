@@ -1047,7 +1047,90 @@ FROM (
 """
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per part: the smallest extended price
+    whose cumulative quantity reaches half the part's total quantity —
+    the quantile that ``approx_percentile`` cannot give you exactly
+    and unweighted ``median`` gets wrong whenever line quantities
+    differ. Selection is pure integer arithmetic (2·cumw ≥ totw on
+    BIGINT quantities), so the picked row is engine-exact; the price
+    itself is the stored decimal converted once.
+
+    Scale shape: the window partitions by l_partkey — group sizes are
+    BOUNDED (lineitems per part is a constant ~30 in TPC-H-shaped data
+    at any scale factor), so per-group sorting is embarrassingly
+    parallel and skew-free; one shuffle on the part key, then a
+    map-side pick. This is the honest exact-quantile regime: bounded
+    groups exact, corpus-wide quantiles via agg_percentiles' sketch.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_partkey",
+        F.col("l_extendedprice").cast("decimal(30,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    cum = rows.select(
+        "l_partkey",
+        "price",
+        "qty",
+        F.sum("qty").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cumw"),
+        F.sum("qty").over(
+            Window.partitionBy("l_partkey").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("totw"),
+        F.row_number().over(w).alias("rn"),
+    )
+    pick = Window.partitionBy("l_partkey").orderBy("rn")
+    return (
+        cum.where(F.lit(2) * F.col("cumw") >= F.col("totw"))
+        .withColumn("pick_rn", F.row_number().over(pick))
+        .where(F.col("pick_rn") == 1)
+        .select(
+            "l_partkey",
+            dec2double(F.col("price")).alias("weighted_median_price"),
+            F.col("totw").alias("total_qty"),
+        )
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH cum AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(30,2)) AS price,
+         CAST(l_quantity AS BIGINT) AS qty,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(l_extendedprice AS DECIMAL(30,2)),
+                    l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey) AS totw,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(l_extendedprice AS DECIMAL(30,2)),
+                    l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT l_partkey,
+       CAST(CAST(price AS VARCHAR) AS DOUBLE) AS weighted_median_price,
+       CAST(totw AS BIGINT) AS total_qty
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY rn) AS pick_rn
+  FROM cum WHERE 2 * cumw >= totw
+) WHERE pick_rn = 1
+"""
+
+
 QUERIES = {
+    "agg_weighted_median": agg_weighted_median,
     "basket_association_rules": basket_association_rules,
     "revenue_pareto": revenue_pareto,
     "merge_scd2": merge_scd2,
@@ -1069,6 +1152,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "basket_association_rules": _BASKET_SQL,
     "revenue_pareto": _PARETO_SQL,
     "merge_scd2": _SCD2_SQL,

@@ -551,3 +551,34 @@ def test_basket_rules_exact_recompute(spark):
         assert r.lift == (float(c_ab) * float(n_orders)) / (
             float(item[r.a]) * float(item[r.b])
         )
+
+
+def test_weighted_median_exact_recompute(spark):
+    """agg_weighted_median equals an independent Python recompute: the
+    smallest price whose cumulative quantity reaches half the part's
+    total (ties in price broken by order/line key)."""
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        agg_weighted_median,
+    )
+
+    out = {
+        r.l_partkey: (r.weighted_median_price, r.total_qty)
+        for r in agg_weighted_median(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r.l_partkey, []).append(r)
+    assert set(out) == set(groups)
+    for pk, rows in groups.items():
+        rows.sort(key=lambda r: (r.l_extendedprice, r.l_orderkey, r.l_linenumber))
+        tot = sum(int(r.l_quantity) for r in rows)
+        cum = 0
+        for r in rows:
+            cum += int(r.l_quantity)
+            if 2 * cum >= tot:
+                assert out[pk] == (float(r.l_extendedprice), tot), pk
+                break
