@@ -318,11 +318,73 @@ FROM lagged
 """
 
 
+def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition of event values by HOUR OF DAY per
+    type: each (type, hod) cell reports its mean value and the seasonal
+    offset from the type's overall mean — the additive profile a
+    forecaster subtracts before modeling the residual, and the
+    dashboard behind "is 3am traffic shaped differently".
+
+    Determinism: per-cell and per-type sums accumulate in
+    DECIMAL(30,6) (exact, order-proof); each mean is ONE IEEE division
+    of the exact sum by an integer count, and the offset is one IEEE
+    subtraction of identically-computed means — no double ever crosses
+    a row boundary. Two hash aggregates (cells, then type totals via a
+    tiny broadcast re-join); linear in the journal at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("s_dec"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").alias("n_all"),
+        F.sum("s_dec").cast("decimal(30,6)").alias("s_all"),
+    )
+    mean_cell = dec2double(F.col("s_dec")) / F.col("n").cast("double")
+    mean_all = dec2double(F.col("s_all")) / F.col("n_all").cast("double")
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            mean_cell.alias("mean_value"),
+            (mean_cell - mean_all).alias("seasonal_offset"),
+        )
+    )
+
+
+_SEASONAL_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+         count(*) AS n,
+         SUM(CAST(value AS DECIMAL(30,6))) AS s_dec
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_all,
+         CAST(SUM(s_dec) AS DECIMAL(30,6)) AS s_all
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.hod, c.n,
+       CAST(CAST(c.s_dec AS VARCHAR) AS DOUBLE) / CAST(c.n AS DOUBLE)
+         AS mean_value,
+       (CAST(CAST(c.s_dec AS VARCHAR) AS DOUBLE) / CAST(c.n AS DOUBLE))
+         - (CAST(CAST(t.s_all AS VARCHAR) AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+         AS seasonal_offset
+FROM cells c JOIN totals t ON t.event_type = c.event_type
+"""
+
+
 QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "timeseries_ohlc": timeseries_ohlc,
     "events_burst_zscore": events_burst_zscore,
     "timeseries_ewma": timeseries_ewma,
+    "timeseries_seasonal_profile": timeseries_seasonal_profile,
 }
 
 ORACLES = {
@@ -330,4 +392,5 @@ ORACLES = {
     "timeseries_ohlc": _OHLC_SQL,
     "events_burst_zscore": _BURST_SQL,
     "timeseries_ewma": _EWMA_SQL,
+    "timeseries_seasonal_profile": _SEASONAL_SQL,
 }

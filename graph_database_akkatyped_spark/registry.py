@@ -84,6 +84,7 @@ _SWEEP_ORDER = (
     "quality_bigram_logprob", "pack_lpt_shards", "dedup_semantic_recall", "multimodal_phash_dedup", "text_zipf_fit", "stream_graph_pagerank", "dedup_containment_smallside",
     "embedding_matryoshka_recall", "basket_association_rules",
     "simsearch_binary_hamming", "agg_weighted_median",
+    "timeseries_seasonal_profile",
     "link_predict_resource_alloc", "gnn_sample_fanout",
     "simsearch_range", "decontam_semantic", "text_bm25_topk",
     "graph_mst_boruvka", "quality_hashed_linear", "text_chunk_cdc",

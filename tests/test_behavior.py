@@ -115,3 +115,28 @@ def test_ewma_exact_recompute_and_coverage(spark):
             assert r.ewma == num / den, (r.event_type, r.hr)
         # leading edge: first observed bucket's ewma is its own count
         assert grp[0].ewma == float(grp[0].n)
+
+
+def test_seasonal_profile_offsets_and_coverage(spark):
+    """timeseries_seasonal_profile: the cell set is exactly the
+    observed (type, hod) buckets, counts cover the journal, and per
+    type the count-weighted seasonal offsets sum to ~0 (the additive
+    decomposition identity)."""
+    from graph_database_akkatyped_spark.operators.behavior import (
+        timeseries_seasonal_profile,
+    )
+
+    rows = timeseries_seasonal_profile(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_cells = (
+        ev.select("event_type", F.hour("ts").alias("h")).distinct().count()
+    )
+    assert len(rows) == n_cells
+    assert sum(r.n for r in rows) == ev.count()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        weighted = sum(r.seasonal_offset * r.n for r in grp)
+        assert abs(weighted) < 1e-6 * sum(r.n for r in grp)
