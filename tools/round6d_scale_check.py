@@ -79,6 +79,11 @@ QUERIES = {
     "basket_association_rules": relational_extras.QUERIES[
         "basket_association_rules"
     ],
+    "simsearch_binary_hamming": llm.QUERIES["simsearch_binary_hamming"],
+    "agg_weighted_median": relational_extras.QUERIES["agg_weighted_median"],
+    "timeseries_seasonal_profile": behavior.QUERIES[
+        "timeseries_seasonal_profile"
+    ],
 }
 
 
