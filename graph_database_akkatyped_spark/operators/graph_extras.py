@@ -1896,41 +1896,54 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = ce.unionByName(
             ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        active = user_vertices(spark, sf_dir).select(F.col("id").alias("v"))
-        mis: DataFrame | None = None
-        for r in range(1, _MIS_ROUNDS + 1):
-            ha, hb = _mis_prio(F.col("a"), r), _mis_prio(F.col("b"), r)
-            und = (
-                sym.join(active.select(F.col("v").alias("a")), "a")
-                .join(active.select(F.col("v").alias("b")), "b")
-            )
-            blocked = (
-                und.where((hb < ha) | ((hb == ha) & (F.col("b") < F.col("a"))))
-                .select(F.col("a").alias("v"))
-                .distinct()
-            )
-            winners = cut(active.join(blocked, "v", "left_anti"))
-            mis = winners if mis is None else cut(mis.unionByName(winners))
-            nbrs = (
-                sym.join(winners.select(F.col("v").alias("a")), "a")
-                .select(F.col("b").alias("v"))
-                .distinct()
-            )
-            active = cut(
-                active.join(
-                    winners.unionByName(nbrs).distinct(), "v", "left_anti"
-                )
-            )
-            if active.limit(1).count() == 0:
-                break
-        if active.limit(1).count() != 0:
-            raise RuntimeError(
-                f"graph_mis_luby did not converge within {_MIS_ROUNDS} "
-                "rounds — partial (non-maximal) sets are not returned"
-            )
-        return mis.select(F.col("v").alias("user_id"))
+        verts = user_vertices(spark, sf_dir).select(F.col("id").alias("v"))
+        return mis_frame(verts, sym, _MIS_ROUNDS).select(
+            F.col("v").alias("user_id")
+        )
 
     return _memoized(spark, "mis_luby", sf_dir, build)
+
+
+def mis_frame(verts: DataFrame, sym: DataFrame, rounds: int) -> DataFrame:
+    """Frame-level Luby kernel (see :func:`graph_mis_luby` for the
+    algorithm and determinism notes): ``verts`` is one column ``v``,
+    ``sym`` is a symmetric edge list (a, b). Raises if the active set
+    survives the round horizon — partial (non-maximal) sets are never
+    returned. Also the unit the 1M-vertex kernel rehearsal drives
+    (tools/round6_kernel_rehearsal.py)."""
+    active = verts
+    mis: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        ha, hb = _mis_prio(F.col("a"), r), _mis_prio(F.col("b"), r)
+        und = (
+            sym.join(active.select(F.col("v").alias("a")), "a")
+            .join(active.select(F.col("v").alias("b")), "b")
+        )
+        blocked = (
+            und.where((hb < ha) | ((hb == ha) & (F.col("b") < F.col("a"))))
+            .select(F.col("a").alias("v"))
+            .distinct()
+        )
+        winners = cut(active.join(blocked, "v", "left_anti"))
+        mis = winners if mis is None else cut(mis.unionByName(winners))
+        nbrs = (
+            sym.join(winners.select(F.col("v").alias("a")), "a")
+            .select(F.col("b").alias("v"))
+            .distinct()
+        )
+        active = cut(
+            active.join(
+                winners.unionByName(nbrs).distinct(), "v", "left_anti"
+            )
+        )
+        if active.limit(1).count() == 0:
+            break
+    if active.limit(1).count() != 0:
+        raise RuntimeError(
+            f"Luby MIS did not converge within {rounds} rounds — "
+            "partial (non-maximal) sets are not returned"
+        )
+    return mis
 
 
 def _sql_mis_prio(col: str, r: int) -> str:
