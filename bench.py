@@ -57,9 +57,14 @@ def main() -> None:
             # timed run exceeds the cutoff gets median-of-3 — slow keys
             # dominate the total and cross-round comparisons, so they
             # get the extra samples; sub-second keys keep the cheap
-            # single run (their jitter nets out across 200+ keys)
-            while len(samples) < 3 and min(samples) > slow_cutoff:
-                samples.append(_run_once(fn(spark, sf_dir)))
+            # single run (their jitter nets out across 200+ keys).
+            # Gate on the FIRST sample only and always top up to 3:
+            # gating on min(samples) could stop at 2 samples, and a
+            # 2-element median is a mean of the two — a timing that was
+            # never measured.
+            if samples[0] > slow_cutoff:
+                while len(samples) < 3:
+                    samples.append(_run_once(fn(spark, sf_dir)))
             timings[key] = round(statistics.median(samples), 4)
         except Exception as exc:  # noqa: BLE001 - record, keep benching
             print(f"bench: {key} failed: {exc}", file=sys.stderr)

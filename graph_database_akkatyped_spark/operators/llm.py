@@ -2410,6 +2410,11 @@ FROM per_q
 """
 
 
+# cell-partitioned corpus layout, written once per sf_dir (see
+# simsearch_ivf_partitioned's docstring)
+_IVF_PART_DIRS: dict[str, str] = {}
+
+
 def simsearch_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``simsearch_ivf`` with the index as a PHYSICAL layout: the
     corpus is written ``partitionBy(cell)`` and the probe reads ONLY
@@ -2426,12 +2431,21 @@ def simsearch_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes on, the same bounded-collect pattern as the seed lists in
     operators.algos. Results are value-identical to ``simsearch_ivf``
     (same centroids, same probe, same re-rank over the same rows), so
-    the oracle is the same SQL."""
+    the oracle is the same SQL.
+
+    The partitioned layout is written ONCE per sf_dir and cached in
+    ``_IVF_PART_DIRS`` (the _SPLIT_DIRS pattern from streaming.sinks):
+    an index build is a one-time cost amortized over every probe, and
+    rewriting the corpus per invocation would both re-pay the
+    partitionBy shuffle and leak a corpus-sized temp dir per call."""
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = tempfile.mkdtemp(prefix="spark_graft_ivfpart_")
-    emb.write.mode("overwrite").partitionBy("label").parquet(out)
+    out = _IVF_PART_DIRS.get(sf_dir)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="spark_graft_ivfpart_")
+        emb.write.mode("overwrite").partitionBy("label").parquet(out)
+        _IVF_PART_DIRS[sf_dir] = out
     idx = spark.read.parquet(out).select(
         "vec_id", F.col("label").cast("long").alias("label"), "embedding"
     )

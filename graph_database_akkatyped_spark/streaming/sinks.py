@@ -37,8 +37,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from graph_database_akkatyped_spark.caching import (
     _unpersist_ids,
     cut,
+    cut_block_ids,
     memoized_checkpoint,
-    persistent_rdd_ids,
 )
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.numerics import dec2double, sql_dsum
@@ -109,9 +109,8 @@ class IdempotentSnapshotStore:
         through the ledger-gated :meth:`apply`. Only the latest partial
         is retained (for failure-replay) — the previous one's blocks
         are freed once it is no longer the replay candidate."""
-        before = persistent_rdd_ids(self.spark)
         partial = cut(partial_snapshot(batch_df))
-        new_ids = persistent_rdd_ids(self.spark) - before
+        new_ids = cut_block_ids(partial)
         prev = getattr(self, "_partial_block_ids", set())
         self.last = (partial, batch_id)
         self.apply(partial, batch_id)
@@ -122,9 +121,8 @@ class IdempotentSnapshotStore:
         if batch_id in self.applied:  # replayed batch: already committed
             self.n_skipped_replays += 1
             return
-        before = persistent_rdd_ids(self.spark)
         self.state = cut(merge_partials(self.state, partial))
-        new_ids = persistent_rdd_ids(self.spark) - before
+        new_ids = cut_block_ids(self.state)
         # the superseded state generation's blocks are dead once the
         # new cut materializes — free them so a long stream holds O(1)
         # state generations, not O(batches) (same discipline as the
@@ -634,11 +632,9 @@ class IncrementalScd2Store:
             new_hist = keep.unionByName(
                 _scd2_stitch(redo_src.unionByName(changes))
             )
-        before = persistent_rdd_ids(self.spark)
         cut_hist = cut(new_hist)
-        new_ids = persistent_rdd_ids(self.spark) - before
         _unpersist_ids(self.spark, self._block_ids)
-        self.history, self._block_ids = cut_hist, new_ids
+        self.history, self._block_ids = cut_hist, cut_block_ids(cut_hist)
         self.applied.add(batch_id)
 
     def snapshot(self) -> DataFrame:
