@@ -1292,10 +1292,12 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-check; the result is memoized like the other multi-round
     kernels (betweenness/SCC/HITS).
 
-    No SQL oracle: Borůvka's round count is data-dependent, and an
-    unrolled recursive-CTE twin would need CC-inside-CC per round —
-    the driver's rows-only check applies; value determinism is pinned
-    by the Kruskal cross-check test instead."""
+    SQL oracle: the strict order makes the forest unique, so
+    ``_mst_sql()`` replays the rounds in DuckDB — unrolled Borůvka
+    with the per-round contraction CC unrolled as min-label
+    propagation steps (bounds documented at the generator); value
+    determinism is additionally pinned by the Kruskal cross-check in
+    tests/test_round6c.py."""
     from graph_database_akkatyped_spark.operators.algos import cc_frame
     from graph_database_akkatyped_spark.operators.graph_build import (
         build_user_graph_capped,
@@ -1627,9 +1629,11 @@ def graph_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: per round one equi-join marks blocked vertices, one
     join + grouped collect_set gathers ≤ deg colored-neighbor colors,
     both shuffling on the same vertex key every round reuses; the
-    uncolored set shrinks geometrically in expectation. Rows-only key
-    (round count is data-dependent); the proper-coloring and
-    determinism properties are pinned in tests/test_round6c.py."""
+    uncolored set shrinks geometrically in expectation. SQL oracle:
+    the fixed hash order makes the coloring a pure function of the
+    graph, so ``_coloring_sql()`` replays the rounds in DuckDB
+    (unrolled JP, set-SQL mex); the proper-coloring and determinism
+    properties are additionally pinned in tests/test_round6c.py."""
     from graph_database_akkatyped_spark.operators.graph_build import (
         build_user_graph_capped,
     )
@@ -1986,6 +1990,183 @@ def _mis_sql(rounds: int = _MIS_ROUNDS) -> str:
     )
 
 
+# -------------------- unrolled oracles: Borůvka MST / JP coloring
+
+# Weighted capped edge set — the DuckDB twin of build_user_graph_capped
+# KEEPING the weight column (the _LP_PRELUDE drops it).
+_WCE_PRELUDE = """su AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
+         count(*) AS n_ev
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts), user_id
+),
+top AS (
+  SELECT event_type, hr, user_id FROM su
+  QUALIFY row_number() OVER (
+    PARTITION BY event_type, hr
+    ORDER BY n_ev DESC, user_id ASC) <= 32
+),
+wce AS MATERIALIZED (
+  SELECT t1.user_id AS a, t2.user_id AS b,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM top t1 JOIN top t2
+    ON t1.event_type = t2.event_type AND t1.hr = t2.hr
+   AND t1.user_id < t2.user_id
+  GROUP BY t1.user_id, t2.user_id
+)"""
+
+# Unroll bounds, sized to the fixtures with margin: Borůvka terminates
+# in 3 (sf0.01) / 4 (sf0.1) rounds, and every per-round contraction
+# graph has min-node eccentricity <= 7 (measured by a python replica);
+# JP colors the backbone in 9 (sf0.01) / 12 (sf0.1) rounds.
+_MST_ORACLE_ROUNDS = 6
+_MST_ORACLE_PROP = 10
+_JP_ORACLE_ROUNDS = 16
+
+
+def _mst_sql(
+    rounds: int = _MST_ORACLE_ROUNDS, prop: int = _MST_ORACLE_PROP
+) -> str:
+    """Unrolled-Borůvka DuckDB twin of :func:`graph_mst_boruvka`: the
+    strict (weight DESC, a, b) order makes the max spanning forest
+    unique, so replaying the exact per-round best-pick + min-label
+    contraction reproduces the edge set AND the round column. The
+    within-round contraction CC (Spark: cc_frame Pregel) unrolls as
+    ``prop`` min-label propagation steps — enough iff every contraction
+    component's min node reaches all members within ``prop`` hops
+    (measured <= 7 on the fixtures; extra steps are no-ops)."""
+    ctes = [
+        """comp0 AS MATERIALIZED (
+  SELECT v, v AS c FROM (
+    SELECT a AS v FROM wce UNION SELECT b AS v FROM wce))"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""xe{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.weight, ca.c AS ca, cb.c AS cb
+  FROM wce e
+  JOIN comp{r - 1} ca ON ca.v = e.a
+  JOIN comp{r - 1} cb ON cb.v = e.b
+  WHERE ca.c <> cb.c)"""
+        )
+        ctes.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT comp, oc, a, b, weight FROM (
+    SELECT comp, oc, a, b, weight, row_number() OVER (
+      PARTITION BY comp ORDER BY weight DESC, a, b) AS rn
+    FROM (
+      SELECT ca AS comp, cb AS oc, a, b, weight FROM xe{r}
+      UNION ALL
+      SELECT cb AS comp, ca AS oc, a, b, weight FROM xe{r}))
+  WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""picked{r} AS MATERIALIZED (
+  SELECT DISTINCT a, b, weight, {r} AS "round" FROM sel{r})"""
+        )
+        ctes.append(
+            f"""cg{r} AS MATERIALIZED (
+  SELECT comp AS x, oc AS y FROM sel{r}
+  UNION ALL SELECT oc AS x, comp AS y FROM sel{r})"""
+        )
+        ctes.append(
+            f"lab{r}_0 AS MATERIALIZED "
+            f"(SELECT DISTINCT c AS node, c AS lab FROM comp{r - 1})"
+        )
+        for k in range(1, prop + 1):
+            ctes.append(
+                f"""lab{r}_{k} AS MATERIALIZED (
+  SELECT node, min(lab) AS lab FROM (
+    SELECT node, lab FROM lab{r}_{k - 1}
+    UNION ALL
+    SELECT g.x AS node, l.lab
+    FROM cg{r} g JOIN lab{r}_{k - 1} l ON l.node = g.y)
+  GROUP BY node)"""
+            )
+        ctes.append(
+            f"""comp{r} AS MATERIALIZED (
+  SELECT cm.v, l.lab AS c
+  FROM comp{r - 1} cm JOIN lab{r}_{prop} l ON l.node = cm.c)"""
+        )
+    final = " UNION ALL ".join(
+        f'SELECT a, b, weight, "round" FROM picked{r}'
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + _WCE_PRELUDE + ",\n" + ",\n".join(ctes)
+        + f'\nSELECT a, b, weight, "round" FROM ({final})'
+    )
+
+
+def _coloring_sql(rounds: int = _JP_ORACLE_ROUNDS) -> str:
+    """Unrolled Jones–Plassmann DuckDB twin of
+    :func:`graph_greedy_coloring`: a fixed hash order makes greedy
+    coloring a pure function of the graph, so replaying the rounds —
+    local-maximum ready set, mex over already-colored neighbors —
+    reproduces the exact color assignment. The mex is set-SQL: the
+    smallest k in 0..|used| not present among the used colors."""
+    ctes = [
+        f"""dsym AS (
+  SELECT a, b, weight FROM wce
+  UNION ALL SELECT b AS a, a AS b, weight FROM wce),
+bb AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (
+      PARTITION BY a ORDER BY weight DESC, b) AS rn
+    FROM dsym) WHERE rn <= {_COLOR_TOPK}),
+gsym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM bb UNION ALL SELECT b AS a, a AS b FROM bb)),
+pr AS MATERIALIZED (
+  SELECT a AS v,
+         CAST('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 8) AS BIGINT) AS p
+  FROM (SELECT DISTINCT a FROM gsym)),
+unc0 AS MATERIALIZED (SELECT v FROM pr),
+col0 AS MATERIALIZED (
+  SELECT v, CAST(NULL AS BIGINT) AS color FROM pr WHERE FALSE)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""blocked{r} AS MATERIALIZED (
+  SELECT DISTINCT s.a AS v
+  FROM gsym s
+  JOIN unc{r - 1} ua ON ua.v = s.a
+  JOIN unc{r - 1} ub ON ub.v = s.b
+  JOIN pr pa ON pa.v = s.a
+  JOIN pr pb ON pb.v = s.b
+  WHERE pb.p > pa.p OR (pb.p = pa.p AND s.b > s.a)),
+ready{r} AS MATERIALIZED (
+  SELECT v FROM unc{r - 1} u
+  WHERE NOT EXISTS (SELECT 1 FROM blocked{r} b WHERE b.v = u.v)),
+used{r} AS MATERIALIZED (
+  SELECT DISTINCT s.a AS v, c.color AS c
+  FROM gsym s
+  JOIN ready{r} rd ON rd.v = s.a
+  JOIN col{r - 1} c ON c.v = s.b),
+cand{r} AS MATERIALIZED (
+  SELECT rd.v, unnest(range(0, coalesce(u.nu, 0) + 1)) AS k
+  FROM ready{r} rd
+  LEFT JOIN (SELECT v, count(*) AS nu FROM used{r} GROUP BY v) u
+    ON u.v = rd.v),
+mex{r} AS MATERIALIZED (
+  SELECT c.v, CAST(min(c.k) AS BIGINT) AS color
+  FROM cand{r} c
+  WHERE NOT EXISTS
+    (SELECT 1 FROM used{r} u WHERE u.v = c.v AND u.c = c.k)
+  GROUP BY c.v),
+col{r} AS MATERIALIZED (
+  SELECT v, color FROM col{r - 1}
+  UNION ALL SELECT v, color FROM mex{r}),
+unc{r} AS MATERIALIZED (
+  SELECT v FROM unc{r - 1} u
+  WHERE NOT EXISTS (SELECT 1 FROM mex{r} m WHERE m.v = u.v))"""
+        )
+    return (
+        "WITH " + _WCE_PRELUDE + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT v AS user_id, color FROM col{rounds}"
+    )
+
+
 QUERIES = {
     "graph_mis_luby": graph_mis_luby,
     "pagerank_personalized": pagerank_personalized,
@@ -2014,6 +2195,8 @@ ORACLES = {
     "gnn_sample_fanout": _GNN_SAMPLE_SQL,
     "graph_eccentricity": _ECC_SQL,
     "path_shortest_bidirectional": _BIDIR_SQL,
+    "graph_mst_boruvka": _mst_sql(),
+    "graph_greedy_coloring": _coloring_sql(),
     "graph_random_walks": _walks_sql(),
     "graph_node2vec_walks": _n2v_sql(),
     "scc_strongly_connected": _SCC_SQL,

@@ -2646,6 +2646,455 @@ FROM (
 """
 
 
+# ------------------------------------------------ index rebalance
+
+_REBAL_BASE_LABELS = 8  # labels >= this arrive AFTER the index build
+_REBAL_NPROBE = 2
+_REBAL_K = 10
+_REBAL_NQ = 5
+
+
+def _cell_means(members: DataFrame, key: str) -> DataFrame:
+    """Deterministic per-cell centroid over ``members`` grouped by
+    ``key`` — the same floor-scaled integer-mean discipline as
+    ``simsearch_ivf`` (bit-identical across partitionings and engines).
+    Returns (cell, centroid, cnrm)."""
+    dims = members.select(
+        F.col(key).alias("cell"),
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    )
+    cdims = dims.groupBy("cell", "pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1e8).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1e8)
+        ).alias("cval")
+    )
+    cents = cdims.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("centroid")
+    )
+    return cents.select(
+        "cell",
+        "centroid",
+        _dot(F.col("centroid"), F.col("centroid")).alias("cnrm"),
+    )
+
+
+def _nearest_cell(vecs: DataFrame, cells: DataFrame) -> DataFrame:
+    """Assign every vector of ``vecs`` (vec_id, label, embedding, nrm)
+    to its argmax-cosine cell from the broadcast ``cells`` table, ties
+    to the smallest cell id."""
+    c_cos = _dot(F.col("embedding"), F.col("centroid")) / (
+        F.sqrt("nrm") * F.sqrt("cnrm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cell")
+    return (
+        vecs.crossJoin(F.broadcast(cells))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "label", "embedding", "nrm", "cell")
+    )
+
+
+def _rebal_state(spark: SparkSession, sf_dir: str):
+    """Shared build for the rebalance pair: the index was built when
+    only labels < ``_REBAL_BASE_LABELS`` existed (frozen per-label
+    centroids); the remaining labels arrived later through the
+    ``simsearch_ivf_append`` path (nearest-frozen-centroid placement —
+    the drifted corpus). Rebalance = ONE Lloyd step over the drifted
+    corpus: recompute each cell's centroid from its CURRENT members,
+    then reassign every vector to the nearest recomputed centroid.
+
+    Returns (corpus, frozen cells, stale assignment, rebalanced cells,
+    new assignment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    base = corpus.where(F.col("label") < _REBAL_BASE_LABELS)
+    app = corpus.where(F.col("label") >= _REBAL_BASE_LABELS)
+    frozen = _cell_means(base, "label")
+    stale = base.withColumn("cell", F.col("label")).unionByName(
+        _nearest_cell(app, frozen)
+    )
+    rebal = _cell_means(stale, "cell")
+    new = _nearest_cell(corpus, rebal)
+    return corpus, frozen, stale, rebal, new
+
+
+def simsearch_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index REBALANCE — the maintenance step that closes the
+    lifecycle build → partition → filter → append → rebalance: after a
+    batch of out-of-distribution appends (``simsearch_ivf_append``
+    placed labels >= {base} into an index frozen before they existed),
+    recompute every cell's centroid from its current members and
+    reassign the full corpus (one deterministic Lloyd step — see
+    ``_rebal_state``).
+
+    Output per cell: stale fill, how many appended vectors landed
+    there, rebalanced fill, vectors moved in/out by the reassignment,
+    and the centroid shift (cosine between the frozen and recomputed
+    centroid) — the report a production index owner reads to decide
+    whether the rebalance changed anything. The measured recall
+    recovery lives in the twin ``simsearch_recall_rebalance``.
+
+    100 TB shape: two broadcast argmax-assignment passes over the
+    corpus (tiny centroid table each time) + two integer-mean
+    aggregations shuffling (cell, pos) pairs — all linear, no pairwise
+    term; identical shape to one k-means iteration, which is the
+    cheapest honest rebalance there is."""
+    _, frozen, stale, rebal, new = _rebal_state(spark, sf_dir)
+    sf = stale.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("stale_fill"),
+        F.sum(
+            (F.col("label") >= _REBAL_BASE_LABELS).cast("long")
+        ).alias("n_arrived"),
+    )
+    nf = new.groupBy("cell").agg(F.count(F.lit(1)).alias("new_fill"))
+    moves = stale.select(
+        "vec_id", F.col("cell").alias("cell_stale")
+    ).join(new.select("vec_id", F.col("cell").alias("cell_new")), "vec_id")
+    mi = (
+        moves.where(F.col("cell_new") != F.col("cell_stale"))
+        .groupBy(F.col("cell_new").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_moved_in"))
+    )
+    mo = (
+        moves.where(F.col("cell_new") != F.col("cell_stale"))
+        .groupBy(F.col("cell_stale").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_moved_out"))
+    )
+    shift = frozen.alias("f").join(rebal.alias("r"), "cell").select(
+        "cell",
+        (
+            _dot(F.col("f.centroid"), F.col("r.centroid"))
+            / (F.sqrt("f.cnrm") * F.sqrt("r.cnrm"))
+        ).alias("shift_cos"),
+    )
+    return (
+        sf.join(shift, "cell")
+        .join(nf, "cell", "left")
+        .join(mi, "cell", "left")
+        .join(mo, "cell", "left")
+        .select(
+            "cell",
+            "stale_fill",
+            "n_arrived",
+            F.coalesce("new_fill", F.lit(0)).cast("long").alias("new_fill"),
+            F.coalesce("n_moved_in", F.lit(0)).cast("long").alias(
+                "n_moved_in"
+            ),
+            F.coalesce("n_moved_out", F.lit(0)).cast("long").alias(
+                "n_moved_out"
+            ),
+            "shift_cos",
+        )
+    )
+
+
+simsearch_ivf_rebalance.__doc__ = simsearch_ivf_rebalance.__doc__.format(
+    base=_REBAL_BASE_LABELS
+)
+
+
+def _rebal_probe(queries: DataFrame, cells: DataFrame, assign: DataFrame,
+                 hit_col: str) -> DataFrame:
+    """nprobe-cell probe + exact re-rank within probed cells (the same
+    probe as ``simsearch_ivf``) against one (cells, assignment) index
+    generation; returns (q_id, vec_id) candidate top-k."""
+    c_cos = _dot(F.col("q_emb"), F.col("centroid")) / (
+        F.sqrt("q_nrm") * F.sqrt("cnrm")
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), "cell")
+    probed = (
+        queries.crossJoin(F.broadcast(cells))
+        .withColumn("c_cos", c_cos)
+        .withColumn("cell_rnk", F.row_number().over(wc))
+        .where(F.col("cell_rnk") <= _REBAL_NPROBE)
+        .select("q_id", "q_emb", "q_nrm", "cell")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        assign.join(F.broadcast(probed), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _REBAL_K)
+        .select(
+            F.col("q_id").alias(f"q_{hit_col}"),
+            F.col("vec_id").alias(hit_col),
+        )
+    )
+
+
+def simsearch_recall_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall twin of ``simsearch_ivf_rebalance`` — measures (never
+    asserts) the recovery: the {nq} lowest-id APPENDED vectors query
+    both index generations (stale frozen-centroid placement vs the
+    rebalanced one) with the standard nprobe={np} probe, scored against
+    exact brute-force top-{k} truth over the full corpus. Appended
+    queries are exactly the ones a drifted index serves worst: their
+    cosine to every frozen centroid is noise, so the stale probe picks
+    near-arbitrary cells, while the rebalanced centroids carry the
+    arrived mass and point the probe back at it."""
+    corpus, frozen, stale, rebal, new = _rebal_state(spark, sf_dir)
+    queries = (
+        corpus.where(F.col("label") >= _REBAL_BASE_LABELS)
+        .orderBy("vec_id")
+        .limit(_REBAL_NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    truth = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(wt))
+        .where(F.col("rnk") <= _REBAL_K)
+        .select("q_id", "vec_id")
+    )
+    c_stale = _rebal_probe(queries, frozen, stale, "hit_stale")
+    c_rebal = _rebal_probe(queries, rebal, new, "hit_rebal")
+    per_q = (
+        truth.join(
+            c_stale,
+            (F.col("q_id") == F.col("q_hit_stale"))
+            & (F.col("vec_id") == F.col("hit_stale")),
+            "left",
+        )
+        .join(
+            c_rebal,
+            (F.col("q_id") == F.col("q_hit_rebal"))
+            & (F.col("vec_id") == F.col("hit_rebal")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit_stale").alias("n_hit_stale"),
+            F.count("hit_rebal").alias("n_hit_rebal"),
+        )
+    )
+    return per_q.select(
+        "q_id",
+        "n_true",
+        "n_hit_stale",
+        "n_hit_rebal",
+        (F.col("n_hit_stale").cast("double") / F.col("n_true")).alias(
+            "recall_stale"
+        ),
+        (F.col("n_hit_rebal").cast("double") / F.col("n_true")).alias(
+            "recall_rebal"
+        ),
+        (
+            F.sum("n_hit_stale").over(Window.partitionBy()).cast("double")
+            / F.sum("n_true").over(Window.partitionBy())
+        ).alias("macro_stale"),
+        (
+            F.sum("n_hit_rebal").over(Window.partitionBy()).cast("double")
+            / F.sum("n_true").over(Window.partitionBy())
+        ).alias("macro_rebal"),
+    )
+
+
+simsearch_recall_rebalance.__doc__ = simsearch_recall_rebalance.__doc__.format(
+    nq=_REBAL_NQ, np=_REBAL_NPROBE, k=_REBAL_K
+)
+
+_REBAL_STATE_SQL = f"""
+corpus AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+fdims AS (
+  SELECT label AS cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM corpus WHERE label < {_REBAL_BASE_LABELS}
+),
+fcd AS MATERIALIZED (
+  SELECT cell, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM fdims GROUP BY cell, pos
+),
+frozen AS (
+  SELECT cell, list(cval ORDER BY pos) AS centroid FROM fcd GROUP BY cell
+),
+frozen2 AS MATERIALIZED (
+  SELECT cell, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm
+  FROM frozen
+),
+app_assign AS MATERIALIZED (
+  SELECT vec_id, label, embedding, nrm, cell FROM (
+    SELECT c.vec_id, c.label, c.embedding, c.nrm, f.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_sql_dot('c.embedding', 'f.centroid')}
+                       / (sqrt(c.nrm) * sqrt(f.cnrm)) DESC, f.cell) AS rnk
+    FROM corpus c CROSS JOIN frozen2 f
+    WHERE c.label >= {_REBAL_BASE_LABELS}
+  ) WHERE rnk = 1
+),
+stale AS MATERIALIZED (
+  SELECT vec_id, label, embedding, nrm, label AS cell
+  FROM corpus WHERE label < {_REBAL_BASE_LABELS}
+  UNION ALL
+  SELECT vec_id, label, embedding, nrm, cell FROM app_assign
+),
+rdims AS (
+  SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM stale
+),
+rcd AS MATERIALIZED (
+  SELECT cell, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM rdims GROUP BY cell, pos
+),
+rebalc AS (
+  SELECT cell, list(cval ORDER BY pos) AS centroid FROM rcd GROUP BY cell
+),
+rebal2 AS MATERIALIZED (
+  SELECT cell, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm
+  FROM rebalc
+),
+newa AS MATERIALIZED (
+  SELECT vec_id, label, embedding, nrm, cell FROM (
+    SELECT c.vec_id, c.label, c.embedding, c.nrm, r.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_sql_dot('c.embedding', 'r.centroid')}
+                       / (sqrt(c.nrm) * sqrt(r.cnrm)) DESC, r.cell) AS rnk
+    FROM corpus c CROSS JOIN rebal2 r
+  ) WHERE rnk = 1
+)"""
+
+_IVF_REBALANCE_SQL = f"""
+WITH {_REBAL_STATE_SQL}
+SELECT f.cell,
+       sf.stale_fill, sf.n_arrived,
+       coalesce(nf.new_fill, 0) AS new_fill,
+       coalesce(mi.n_moved_in, 0) AS n_moved_in,
+       coalesce(mo.n_moved_out, 0) AS n_moved_out,
+       {_sql_dot('f.centroid', 'r.centroid')}
+         / (sqrt(f.cnrm) * sqrt(r.cnrm)) AS shift_cos
+FROM frozen2 f
+JOIN rebal2 r ON r.cell = f.cell
+JOIN (
+  SELECT cell, CAST(count(*) AS BIGINT) AS stale_fill,
+         CAST(sum(CASE WHEN label >= {_REBAL_BASE_LABELS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived
+  FROM stale GROUP BY cell
+) sf ON sf.cell = f.cell
+LEFT JOIN (
+  SELECT cell, CAST(count(*) AS BIGINT) AS new_fill
+  FROM newa GROUP BY cell
+) nf ON nf.cell = f.cell
+LEFT JOIN (
+  SELECT n.cell, CAST(count(*) AS BIGINT) AS n_moved_in
+  FROM newa n JOIN stale s ON s.vec_id = n.vec_id
+  WHERE n.cell <> s.cell GROUP BY n.cell
+) mi ON mi.cell = f.cell
+LEFT JOIN (
+  SELECT s.cell, CAST(count(*) AS BIGINT) AS n_moved_out
+  FROM newa n JOIN stale s ON s.vec_id = n.vec_id
+  WHERE n.cell <> s.cell GROUP BY s.cell
+) mo ON mo.cell = f.cell
+"""
+
+_REBAL_PROBE_SQL_TMPL = """
+probed_{tag} AS MATERIALIZED (
+  SELECT q_id, q_emb, q_nrm, cell FROM (
+    SELECT q.q_id, q.q_emb, q.q_nrm, x.cell,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {qdot} / (sqrt(q.q_nrm) * sqrt(x.cnrm)) DESC,
+                      x.cell) AS cell_rnk
+    FROM qs q CROSS JOIN {cells} x
+  ) WHERE cell_rnk <= {nprobe}
+),
+cand_{tag} AS MATERIALIZED (
+  SELECT q_id, vec_id FROM (
+    SELECT p.q_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY {adot} / (sqrt(p.q_nrm) * sqrt(a.nrm)) DESC,
+                      a.vec_id) AS rnk
+    FROM {assign} a JOIN probed_{tag} p ON p.cell = a.cell
+    WHERE a.vec_id <> p.q_id
+  ) WHERE rnk <= {k}
+)"""
+
+_RECALL_REBALANCE_SQL = f"""
+WITH {_REBAL_STATE_SQL},
+qs AS MATERIALIZED (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+  FROM corpus WHERE label >= {_REBAL_BASE_LABELS}
+  ORDER BY vec_id LIMIT {_REBAL_NQ}
+),
+truth AS MATERIALIZED (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {_sql_dot('q.q_emb', 'c.embedding')}
+                       / (sqrt(q.q_nrm) * sqrt(c.nrm)) DESC,
+                      c.vec_id) AS rnk
+    FROM corpus c CROSS JOIN qs q WHERE c.vec_id <> q.q_id
+  ) WHERE rnk <= {_REBAL_K}
+),{_REBAL_PROBE_SQL_TMPL.format(
+    tag='stale', cells='frozen2', assign='stale',
+    nprobe=_REBAL_NPROBE, k=_REBAL_K,
+    qdot=_sql_dot('q.q_emb', 'x.centroid'),
+    adot=_sql_dot('p.q_emb', 'a.embedding'))},{_REBAL_PROBE_SQL_TMPL.format(
+    tag='rebal', cells='rebal2', assign='newa',
+    nprobe=_REBAL_NPROBE, k=_REBAL_K,
+    qdot=_sql_dot('q.q_emb', 'x.centroid'),
+    adot=_sql_dot('p.q_emb', 'a.embedding'))},
+per_q AS (
+  SELECT t.q_id, count(*) AS n_true,
+         CAST(sum(CASE WHEN cs.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit_stale,
+         CAST(sum(CASE WHEN cr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit_rebal
+  FROM truth t
+  LEFT JOIN cand_stale cs ON cs.q_id = t.q_id AND cs.vec_id = t.vec_id
+  LEFT JOIN cand_rebal cr ON cr.q_id = t.q_id AND cr.vec_id = t.vec_id
+  GROUP BY t.q_id
+)
+SELECT q_id, n_true, n_hit_stale, n_hit_rebal,
+       CAST(n_hit_stale AS DOUBLE) / n_true AS recall_stale,
+       CAST(n_hit_rebal AS DOUBLE) / n_true AS recall_rebal,
+       CAST(sum(n_hit_stale) OVER () AS DOUBLE) / sum(n_true) OVER ()
+         AS macro_stale,
+       CAST(sum(n_hit_rebal) OVER () AS DOUBLE) / sum(n_true) OVER ()
+         AS macro_rebal
+FROM per_q
+"""
+
+
 # ------------------------------------------------- product quantization
 
 _PQ_SUB = 8  # subspaces (64 dims -> 8 x 8-dim subvectors)
@@ -5562,6 +6011,85 @@ SELECT doc_id,
 FROM ranked GROUP BY doc_id
 """
 
+_LINE_WORDS = 8  # synthetic "line" width (tokens) — see dedup_lines
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style exact LINE dedup — the one standard corpus
+    curation level :func:`dedup_paragraph` (fixed 20-token chunks)
+    does not cover: every public LLM pipeline removes exact-repeated
+    lines (boilerplate headers, nav bars, license banners) before any
+    document-level pass. The production shape is literally
+    ``split(text, '\\n')`` → normalized line hash → keep the globally
+    FIRST occurrence by (doc_id, line_no); the fixtures carry no
+    newlines, so a newline is first injected every ``_LINE_WORDS``
+    tokens (one regexp_replace) and the pipeline downstream of the
+    split is exactly the production one.
+
+    Normalization before hashing (lower + collapse whitespace + trim)
+    follows CCNet; the kept document is reassembled from surviving RAW
+    lines in order and reported as an md5 so the driver hash pins the
+    full reassembly without shipping the text back.
+
+    Scale shape: one map-side regexp + explode, one shuffle on the
+    16-byte line hash (group sizes = dup multiplicities — a viral
+    boilerplate line is one sorted group, linear-log, AQE skew-split
+    eligible), one groupBy on doc_id (the scan's natural key). No
+    pairwise term anywhere — this is the cheapest dedup level and the
+    first one a 100 TB pipeline runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    lined = F.regexp_replace(
+        F.col("text"), r"((?:\S+ ){%d}\S+) " % (_LINE_WORDS - 1), "$1\n"
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(F.split(lined, "\n", -1)).alias("line_no", "line")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    w = Window.partitionBy("line_hash").orderBy("doc_id", "line_no")
+    ranked = ex.withColumn("line_hash", F.md5(norm)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.when(F.col("rn") == 1, F.struct("line_no", "line"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.count(F.lit(1)) - F.count(kept)).alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                "\n",
+            )
+        ).alias("kept_hash"),
+    )
+
+
+_DEDUP_LINES_SQL = rf"""
+WITH lined AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text,
+             '((?:\S+ ){{{_LINE_WORDS - 1}}}\S+) ', '\1' || chr(10), 'g'),
+           chr(10)) AS lines
+  FROM documents
+), ex AS (
+  SELECT doc_id, generate_subscripts(lines, 1) - 1 AS line_no,
+         unnest(lines) AS line
+  FROM lined
+), ranked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g')))
+           ORDER BY doc_id ASC, line_no ASC) AS rn
+  FROM ex
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) - count(*) FILTER (WHERE rn = 1) AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                      FILTER (WHERE rn = 1), '')) AS kept_hash
+FROM ranked GROUP BY doc_id
+"""
+
 
 def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup health report — the dashboard row a corpus
@@ -5712,6 +6240,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "dedup_paragraph": dedup_paragraph,
+    "dedup_lines": dedup_lines,
     "corpus_dedup_report": corpus_dedup_report,
     "corpus_token_budget_sample": corpus_token_budget_sample,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -5732,6 +6261,8 @@ QUERIES = {
     "simsearch_recall_filtered": simsearch_recall_filtered,
     "simsearch_ivf_append": simsearch_ivf_append,
     "simsearch_ivf_partitioned": simsearch_ivf_partitioned,
+    "simsearch_ivf_rebalance": simsearch_ivf_rebalance,
+    "simsearch_recall_rebalance": simsearch_recall_rebalance,
     "simsearch_lsh": simsearch_lsh,
     "simsearch_recall": simsearch_recall,
     "embedding_matryoshka_recall": embedding_matryoshka_recall,
@@ -5781,6 +6312,7 @@ ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
+    "dedup_lines": _DEDUP_LINES_SQL,
     "corpus_dedup_report": _dedup_report_sql(),
     "corpus_token_budget_sample": _TOKEN_BUDGET_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,
@@ -5801,6 +6333,8 @@ ORACLES = {
     "simsearch_recall_filtered": _RECALL_FILTERED_SQL,
     "simsearch_ivf_append": _IVF_APPEND_SQL,
     "simsearch_ivf_partitioned": _SIMSEARCH_IVF_SQL,
+    "simsearch_ivf_rebalance": _IVF_REBALANCE_SQL,
+    "simsearch_recall_rebalance": _RECALL_REBALANCE_SQL,
     # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's
     # seeded internal RNG — not SQL-reproducible)
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,

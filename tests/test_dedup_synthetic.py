@@ -376,3 +376,53 @@ def test_containment_smallside_guaranteed_recall(spark, contain_dir):
     con = _duck_for(contain_dir, "documents")
     oracle_pd = con.execute(llm._DEDUP_CONTAIN_SMALL_SQL).fetchdf()
     assert not compare(out, oracle_pd)
+
+
+_L8_A = "alpha beta gamma delta epsilon zeta eta theta"      # 8 words
+_L8_B = "one two three four five six seven eight"            # 8 words
+_L8_C = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+
+
+@pytest.fixture(scope="module")
+def lines_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("line_docs")
+    docs = [
+        (0, _L8_A + " " + _L8_B),   # first carrier of B
+        (1, _L8_B + " " + _L8_C),   # later copy of B -> removed
+        (2, _L8_B + " " + _L8_B),   # intra-doc repeat: both copies lose
+        (3, "tail words only"),     # partial (<8 words) unique line
+        (4, _L8_A.upper()),         # case variant: NORMALIZED hash collides
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_line_dedup_first_occurrence_wins(spark, lines_dir):
+    """dedup_lines semantics on planted duplicates: the globally first
+    copy (doc order, then line order) of a normalized line survives,
+    later copies (including intra-doc repeats and case variants) are
+    removed, and the kept_hash pins the RAW-line reassembly."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    out = llm.dedup_lines(spark, lines_dir).toPandas()
+    row = dict(
+        (int(r.doc_id), (int(r.n_lines), int(r.n_removed), r.kept_hash))
+        for r in out.itertuples()
+    )
+    assert row[0] == (2, 0, md5(_L8_A + "\n" + _L8_B))
+    assert row[1] == (2, 1, md5(_L8_C))
+    assert row[2] == (2, 2, md5(""))
+    assert row[3] == (1, 0, md5("tail words only"))
+    # normalized hash matches doc 0's copy, so the raw UPPER line goes
+    assert row[4] == (1, 1, md5(""))
+    con = _duck_for(lines_dir, "documents")
+    oracle_pd = con.execute(llm._DEDUP_LINES_SQL).fetchdf()
+    assert not compare(out, oracle_pd)
