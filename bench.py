@@ -15,6 +15,15 @@ discipline: keys whose timed run exceeds ``$SPARK_GRAFT_BENCH_SLOW_SEC``
 (default 1.0 s) are re-sampled to median-of-3 — the handful of slow
 keys dominate the total and the cross-round per-key comparisons, while
 sub-second JIT/AQE jitter nets out across 200+ cheap keys.
+
+``SPARK_GRAFT_BENCH_COLD=1`` (round-7 protocol): clear the memoized
+frame cache before every timed run, so keys that normally bench as a
+memo fetch (scc/hits/ktruss/mst/coloring/capped adjacency/...) pay
+their FULL build in the recorded number. BASELINE.md records BOTH
+numbers per round — the memoized total models the production shape
+(shared indexes materialized once, consumed by many queries), the cold
+total is the honest what-if-nothing-were-reused bound, so the per-key
+headline cannot silently mix the two regimes.
 """
 
 from __future__ import annotations
@@ -42,9 +51,19 @@ def _run_once(df) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = collect()
+
+    def _timed_once(fn) -> float:
+        if cold:
+            from graph_database_akkatyped_spark.caching import (
+                clear_frame_cache,
+            )
+
+            clear_frame_cache(sf_dir)
+        return _run_once(fn(spark, sf_dir))
 
     slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "1.0"))
     timings: dict[str, float] = {}
@@ -52,7 +71,7 @@ def main() -> None:
         fn = queries[key]
         try:
             _run_once(fn(spark, sf_dir))  # warm-up (JIT, broadcast, FS cache)
-            samples = [_run_once(fn(spark, sf_dir)) for _ in range(runs)]
+            samples = [_timed_once(fn) for _ in range(runs)]
             # noise discipline (BASELINE.md protocol): a key whose first
             # timed run exceeds the cutoff gets median-of-3 — slow keys
             # dominate the total and cross-round comparisons, so they
@@ -64,7 +83,7 @@ def main() -> None:
             # never measured.
             if samples[0] > slow_cutoff:
                 while len(samples) < 3:
-                    samples.append(_run_once(fn(spark, sf_dir)))
+                    samples.append(_timed_once(fn))
             timings[key] = round(statistics.median(samples), 4)
         except Exception as exc:  # noqa: BLE001 - record, keep benching
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
@@ -81,7 +100,8 @@ def main() -> None:
     # 1's BENCH record unparseable ("parsed": null). The compact line
     # carries the totals plus as many of the slowest per-query timings
     # as fit the capture window; BENCH_FULL.json has them all.
-    with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as fh:
+    out_name = "BENCH_FULL_COLD.json" if cold else "BENCH_FULL.json"
+    with open(os.path.join(_REPO, out_name), "w") as fh:
         json.dump(
             {
                 "metric": "total_query_wall_seconds",
@@ -89,6 +109,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_cache": cold,
             },
             fh,
             indent=1,

@@ -776,10 +776,23 @@ def community_louvain_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _memoized(
         spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
     ).select("a", "b", F.lit(1).cast("long").alias("w"))
+    return louvain_multi_frame(verts, edges).select(
+        F.col("v").alias("user_id"), F.col("l").alias("community")
+    )
+
+
+def louvain_multi_frame(
+    verts: DataFrame, edges: DataFrame, sweeps: int = _LOUVAIN_SWEEPS
+) -> DataFrame:
+    """Frame-level two-level Louvain kernel (the body of
+    ``community_louvain_multi``, extracted for the large-graph
+    rehearsal in tools/round7_kernel_rehearsal.py the same way
+    ``mis_frame`` was in round 6). ``verts``: (v); ``edges``: directed
+    symmetric (a, b, w) with integer weights. Returns (v, l)."""
     deg = edges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d"))
     m2 = edges.agg(F.sum("w").alias("m"))
     labels = verts.select("v", F.col("v").alias("l"))
-    for _ in range(_LOUVAIN_SWEEPS):
+    for _ in range(sweeps):
         labels = cut(_louvain_sweep(labels, edges, deg, m2))
     # contract: super-vertex = level-1 community, w = edge multiplicity
     la = labels.select(F.col("v").alias("a"), F.col("l").alias("ca"))
@@ -796,11 +809,11 @@ def community_louvain_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("v", F.col("v").alias("l"))
     )
-    for _ in range(_LOUVAIN_SWEEPS):
+    for _ in range(sweeps):
         clabels = cut(_louvain_sweep(clabels, cedges, cdeg, m2))
     proj = clabels.select(F.col("v").alias("l"), F.col("l").alias("l2"))
     return labels.join(proj, "l").select(
-        F.col("v").alias("user_id"), F.col("l2").alias("community")
+        "v", F.col("l2").alias("l")
     )
 
 
