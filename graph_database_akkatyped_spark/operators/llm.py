@@ -3271,6 +3271,190 @@ FROM per_q
 """
 
 
+def simsearch_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse probe × PQ/ADC fine ranking — the composition FAISS
+    ships as IVFADC and the layout every billion-vector deployment
+    actually runs: the coarse quantizer prunes the corpus to the
+    probed cells (here the same per-label centroids and nprobe=2 probe
+    as ``simsearch_ivf``), and inside those cells candidates are
+    ranked by PQ asymmetric distance (8 code bytes per vector, the
+    broadcast ADC table of ``simsearch_pq``) instead of exact float
+    dot products. Cost per query: |probed cells| ÷ |corpus| of the
+    scan × 1 byte-lookup-join per candidate — both axes compressed.
+
+    This repo's PQ codes raw vectors (production IVFADC encodes the
+    RESIDUAL vs the coarse centroid — finer quantization, same
+    plumbing; the raw variant keeps the codes shared with
+    ``simsearch_pq`` so the two keys pin the same codebook).
+    Determinism: integer-mean centroids, 1e9-floored integer ADC
+    sums, (adc, vec_id) tie-breaks — full SQL-hash oracle. Recall
+    twin: ``simsearch_recall_ivfadc``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    cells = _cell_means(corpus, "label")
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c_cos = _dot(F.col("q_emb"), F.col("centroid")) / (
+        F.sqrt("q_nrm") * F.sqrt("cnrm")
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), "cell")
+    probed = (
+        queries.crossJoin(F.broadcast(cells))
+        .withColumn("c_cos", c_cos)
+        .withColumn("cell_rnk", F.row_number().over(wc))
+        .where(F.col("cell_rnk") <= 2)
+        .select("q_id", F.col("cell").alias("label"))
+    )
+    dist = _pq_dist_frame(spark, sf_dir)
+    wcode = Window.partitionBy("vec_id", "m").orderBy("d_int", "c_label")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(wcode))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("c_label").alias("code"))
+    )
+    qd = dist.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("c_label").alias("code"),
+        "m",
+        "d_int",
+    )
+    cand = (
+        corpus.select("vec_id", "label")
+        .join(F.broadcast(probed), "label")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qd), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_int").alias("adc_e9"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_e9", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "q_id",
+            "vec_id",
+            "adc_e9",
+            F.round(F.col("adc_e9").cast("double") / 1e9, 6).alias(
+                "adc_dist"
+            ),
+            "rnk",
+        )
+    )
+
+
+def simsearch_recall_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVFADC path vs exact cosine ground truth — the
+    twin every approximate path in this module carries. IVFADC stacks
+    TWO approximations (cell pruning × PQ distance); its recall is
+    bounded above by ``simsearch_recall`` (IVF alone: same probe, same
+    candidate pool, and the exact re-rank is the optimal selection
+    from that pool, so any PQ re-rank of it can only tie or lose),
+    while ``simsearch_recall_pq`` (PQ alone) is a reference, not a
+    bound — pruning can remove PQ distractors. Measured at sf0.01:
+    IVF 0.30, PQ 0.10, IVFADC 0.10 — the quantization dominates the
+    loss on the weakly-clustered fixture geometry."""
+    truth = simsearch_topk(spark, sf_dir).select("q_id", "vec_id")
+    cand = simsearch_ivfadc(spark, sf_dir).select("q_id", "vec_id")
+    return _recall_vs_truth(truth, cand)
+
+
+_IVFADC_SQL = f"""
+WITH {_PQ_DIST_SQL.strip()},
+codes AS (
+  SELECT vec_id, m, c_label AS code FROM (
+    SELECT vec_id, m, c_label,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d_int, c_label) AS rn
+    FROM pq_dist
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT vec_id AS q_id, c_label AS code, m, d_int
+  FROM pq_dist WHERE vec_id < 5
+),
+ccell AS (
+  -- coarse centroids = the SAME per-label integer means the PQ
+  -- codebook already computed (cdims), re-keyed as cells
+  SELECT c_label AS label, list(cval ORDER BY pos) AS centroid
+  FROM cdims GROUP BY c_label
+),
+cells_n AS (
+  SELECT label, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm
+  FROM ccell
+),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q_emb,
+         {_sql_dot('embedding', 'embedding')} AS q_nrm
+  FROM embeddings WHERE vec_id < 5
+),
+probed AS (
+  SELECT q_id, label FROM (
+    SELECT q.q_id, c.label,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {_sql_dot('q.q_emb', 'c.centroid')}
+                       / (sqrt(q.q_nrm) * sqrt(c.cnrm)) DESC,
+                      c.label) AS cell_rnk
+    FROM qs q CROSS JOIN cells_n c
+  ) WHERE cell_rnk <= 2
+),
+cand AS (
+  SELECT p.q_id, e.vec_id
+  FROM embeddings e JOIN probed p ON p.label = e.label
+  WHERE e.vec_id <> p.q_id
+),
+adc AS (
+  SELECT ca.q_id, co.vec_id, CAST(SUM(qd.d_int) AS BIGINT) AS adc_e9
+  FROM cand ca
+  JOIN codes co ON co.vec_id = ca.vec_id
+  JOIN qd ON qd.q_id = ca.q_id AND qd.m = co.m AND qd.code = co.code
+  GROUP BY ca.q_id, co.vec_id
+)
+SELECT q_id, vec_id, adc_e9,
+       round(CAST(adc_e9 AS DOUBLE) / 1e9, 6) AS adc_dist, rnk
+FROM (
+  SELECT q_id, vec_id, adc_e9,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_e9, vec_id) AS rnk
+  FROM adc
+) WHERE rnk <= 10
+"""
+
+_RECALL_IVFADC_SQL = f"""
+WITH truth AS (
+  SELECT q_id, vec_id FROM ({_SIMSEARCH_TOPK_SQL})
+),
+cand AS (
+  SELECT q_id, vec_id FROM ({_IVFADC_SQL})
+),
+per_q AS (
+  SELECT t.q_id, count(*) AS n_true,
+         CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN cand c
+    ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+  GROUP BY t.q_id
+)
+SELECT q_id, n_true, n_hit,
+       CAST(n_hit AS DOUBLE) / n_true AS recall_at_10,
+       CAST(sum(n_hit) OVER () AS DOUBLE) / sum(n_true) OVER ()
+         AS macro_recall
+FROM per_q
+"""
+
+
 def simsearch_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avg intra-label cosine similarity (clustering sanity check) —
     computed WITHOUT the all-pairs self-join.
@@ -6263,6 +6447,8 @@ QUERIES = {
     "simsearch_ivf_partitioned": simsearch_ivf_partitioned,
     "simsearch_ivf_rebalance": simsearch_ivf_rebalance,
     "simsearch_recall_rebalance": simsearch_recall_rebalance,
+    "simsearch_ivfadc": simsearch_ivfadc,
+    "simsearch_recall_ivfadc": simsearch_recall_ivfadc,
     "simsearch_lsh": simsearch_lsh,
     "simsearch_recall": simsearch_recall,
     "embedding_matryoshka_recall": embedding_matryoshka_recall,
@@ -6335,6 +6521,8 @@ ORACLES = {
     "simsearch_ivf_partitioned": _SIMSEARCH_IVF_SQL,
     "simsearch_ivf_rebalance": _IVF_REBALANCE_SQL,
     "simsearch_recall_rebalance": _RECALL_REBALANCE_SQL,
+    "simsearch_ivfadc": _IVFADC_SQL,
+    "simsearch_recall_ivfadc": _RECALL_IVFADC_SQL,
     # simsearch_recall_lsh: rows-only (LSH candidates come from Spark's
     # seeded internal RNG — not SQL-reproducible)
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,

