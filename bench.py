@@ -57,13 +57,21 @@ def main() -> None:
     queries, _ = collect()
 
     def _timed_once(fn) -> float:
-        if cold:
-            from graph_database_akkatyped_spark.caching import (
-                clear_frame_cache,
-            )
+        if not cold:
+            return _run_once(fn(spark, sf_dir))
+        # cold mode must time the CONSTRUCTION too: memoized kernels
+        # materialize eagerly inside fn() (during plan construction),
+        # so timing only the write — the warm-mode protocol — would
+        # record a memo-miss rebuild as a ~10 ms fetch
+        from graph_database_akkatyped_spark.caching import (
+            clear_frame_cache,
+        )
 
-            clear_frame_cache(sf_dir)
-        return _run_once(fn(spark, sf_dir))
+        clear_frame_cache(sf_dir)
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
 
     slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "1.0"))
     timings: dict[str, float] = {}
