@@ -385,3 +385,50 @@ def test_mmr_pool_work_is_broadcast(spark):
 
     plan = formatted_plan(llm.simsearch_mmr(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_lines_scan_prunes_and_shuffles_minimally(spark):
+    """dedup_lines must read only (doc_id, text) and shuffle exactly
+    twice: once on the 16-byte line hash (first-occurrence window),
+    once on doc_id (reassembly groupBy). A third exchange would mean
+    the window/groupBy stopped sharing the scan."""
+    from graph_database_akkatyped_spark.operators import llm
+
+    df = llm.dedup_lines(spark, SF_ORACLE)
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "text"}, cols
+    # formatted mode mentions each operator twice (tree + details), so
+    # 2 physical Exchanges = 4 string hits
+    assert count_occurrences(df, "Exchange") <= 4, "extra shuffle"
+
+
+def test_ivfadc_is_broadcast_only(spark):
+    """IVFADC's probe and ADC lookups are broadcast-sized (centroids,
+    the 5-query probe list, the ADC table); the only shuffles allowed
+    are the codebook/code aggregations and the final per-query window
+    — never a CartesianProduct or a shuffled join against the corpus."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    df = llm.simsearch_ivfadc(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, "quadratic probe"
+    assert count_occurrences(df, "BroadcastHashJoin") >= 2, (
+        "probe/ADC lookup not broadcast"
+    )
+
+
+def test_rebalance_assignments_are_broadcast(spark):
+    """Both assignment passes of the rebalance (frozen + recomputed
+    centroids) must stream the corpus against a BROADCAST cell table —
+    a shuffled assignment join would ship the corpus twice per Lloyd
+    step at 100 TB."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    df = llm.simsearch_ivf_rebalance(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, (
+        "centroid tables not broadcast in the argmax passes"
+    )

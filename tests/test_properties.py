@@ -125,3 +125,59 @@ def test_hash_sample_stable_under_append(spark, keys):
         r["k"] for r in extended.where(bucket == 0).collect() if r["k"] < 10**7
     }
     assert picked_base == picked_ext
+
+
+_line_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@given(texts=_line_texts)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_dedup_lines_matches_python_replica(spark, texts, tmp_path_factory):
+    """dedup_lines == an exact python replica for ANY corpus (including
+    irregular whitespace, empty texts, sub-8-word tails): same line
+    segmentation (the literal regex), same normalized first-occurrence
+    rule, same reassembly hash."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators import llm
+
+    d = tmp_path_factory.mktemp("lines_prop")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(list(texts), pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = {
+        int(r.doc_id): r
+        for r in llm.dedup_lines(spark, str(d)).collect()
+    }
+    # python replica of the exact pipeline
+    pat = re.compile(r"((?:\S+ ){%d}\S+) " % (llm._LINE_WORDS - 1))
+    seen: set[str] = set()
+    for doc_id, text in enumerate(texts):
+        lines = pat.sub(r"\1\n", text).split("\n")
+        kept = []
+        for line in lines:
+            norm = re.sub(r"\s+", " ", line.lower()).strip()
+            if norm not in seen:
+                seen.add(norm)
+                kept.append(line)
+        r = out[doc_id]
+        assert r.n_lines == len(lines)
+        assert r.n_removed == len(lines) - len(kept)
+        assert r.kept_hash == hashlib.md5(
+            "\n".join(kept).encode()
+        ).hexdigest()
