@@ -64,7 +64,7 @@ _SWEEP_ORDER = (
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
     "dedup_lines", "simsearch_ivf_rebalance", "simsearch_recall_rebalance",
-    "simsearch_ivfadc", "simsearch_recall_ivfadc",
+    "simsearch_ivfadc", "simsearch_recall_ivfadc", "stream_ivf_assign",
     "graph_mst_boruvka", "graph_greedy_coloring", "multimodal_decode",
     "stream_scd2", "simsearch_ivf_partitioned", "scan_parquet", "scan_pruned",
     "sink_parquet", "sink_csv_roundtrip", "sink_json_roundtrip",

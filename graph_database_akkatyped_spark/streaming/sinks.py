@@ -746,16 +746,223 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------- streaming IVF maintenance
+
+_EMB_SPLIT_DIRS: dict[str, str] = {}
+
+
+def _emb_split_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The APPENDED embedding slice (label >= the rebalance base, i.e.
+    the vectors that arrive after the index freeze) rewritten as
+    ``_N_SPLITS`` parquet files hash-split on vec_id, so the stream
+    replays a genuine multi-micro-batch ingest. Cached like
+    ``_split_events_dir``."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        _REBAL_BASE_LABELS,
+    )
+
+    key = f"{sf_dir}#emb"
+    if key not in _EMB_SPLIT_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_embsplit_")
+        load_table(spark, sf_dir, "embeddings").where(
+            F.col("label") >= _REBAL_BASE_LABELS
+        ).repartition(_N_SPLITS, "vec_id").write.mode("overwrite").parquet(d)
+        _EMB_SPLIT_DIRS[key] = d
+    return _EMB_SPLIT_DIRS[key]
+
+
+class IncrementalIvfStore:
+    """Streaming IVF index maintenance — the stream twin of
+    ``simsearch_ivf_append``: each micro-batch of arriving vectors is
+    assigned to its argmax-cosine cell of a FROZEN broadcast centroid
+    table (never recluster on ingest; the monitored escape hatch is
+    ``simsearch_ivf_rebalance``), and the assignment table advances by
+    exactly the batch — O(batch × cells) per trigger, the history is
+    never rescanned. At 100 TB the merge is an INSERT into the
+    cell-partitioned layout ``simsearch_ivf_partitioned`` probes.
+
+    Batches are key-disjoint (hash-split on vec_id), so the merge is a
+    pure append — NOT naturally idempotent under replay, hence the
+    same batch-id ledger as ``IncrementalScd2Store``; the run replays
+    the final batch through the ledger and the driver's value hash
+    would catch a double-assignment."""
+
+    def __init__(self, spark: SparkSession, cells: DataFrame):
+        self.spark = spark
+        self.cells = cells  # cut (cell, centroid, cnrm)
+        self.applied: set[int] = set()
+        self.assigned: DataFrame | None = None
+        self.n_skipped_replays = 0
+        self._block_ids: set[int] = set()
+
+    def apply(self, batch_vecs: DataFrame, batch_id: int) -> None:
+        """``batch_vecs``: cut frame (vec_id, label, embedding, nrm)."""
+        from graph_database_akkatyped_spark.operators.llm import (
+            _nearest_cell,
+        )
+
+        if batch_id in self.applied:
+            self.n_skipped_replays += 1
+            return
+        assign = _nearest_cell(batch_vecs, self.cells).select(
+            "vec_id", "label", "cell"
+        )
+        merged = (
+            assign
+            if self.assigned is None
+            else self.assigned.unionByName(assign)
+        )
+        new_state = cut(merged)
+        _unpersist_ids(self.spark, self._block_ids)
+        self.assigned, self._block_ids = new_state, cut_block_ids(new_state)
+        self.applied.add(batch_id)
+
+    def snapshot(self) -> DataFrame:
+        assert self.assigned is not None, "no batch was ever applied"
+        return self.assigned.select(
+            "vec_id",
+            "label",
+            "cell",
+            (F.col("cell") != F.col("label")).alias("drifted"),
+        )
+
+
+def run_stream_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full streaming-ingest run: frozen centroids from the base
+    corpus (labels below the rebalance split), the appended slice
+    replayed as micro-batches through ``foreachBatch``, final batch
+    replayed through the ledger (the post-failure path)."""
+    from graph_database_akkatyped_spark.operators.llm import (
+        _REBAL_BASE_LABELS,
+        _cell_means,
+        _dot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("label") < _REBAL_BASE_LABELS).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "embedding",
+    )
+    cells = cut(_cell_means(base, "label"))
+    store = IncrementalIvfStore(spark, cells)
+    split_dir = _emb_split_dir(spark, sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    last: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = cut(
+            batch_df.select(
+                "vec_id",
+                F.col("label").cast("long").alias("label"),
+                "embedding",
+                _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+            )
+        )
+        last.append((vecs, batch_id))
+        store.apply(vecs, batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ivf_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(store.applied) >= 2
+    vecs, batch_id = last[-1]
+    store.apply(vecs, batch_id)  # ledger replay: must be skipped
+    assert store.n_skipped_replays >= 1
+    snap = store.snapshot()
+    snap._ivf_store = store
+    snap._ivf_ckpt = ckpt
+    snap._ivf_partials = last
+    return snap
+
+
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered streaming-IVF-maintenance key; memoized with the
+    same leak hygiene as ``stream_graph_degree`` (store/partial/cell
+    blocks freed, checkpoint dir removed). The oracle is the BATCH
+    assignment of the full appended slice — the hash match proves the
+    incremental ingest converges to the batch answer."""
+    holder: dict = {}
+
+    def build() -> DataFrame:
+        snap = run_stream_ivf(spark, sf_dir)
+        holder["store"] = snap._ivf_store
+        holder["ckpt"] = snap._ivf_ckpt
+        holder["partials"] = snap._ivf_partials
+        return snap
+
+    out = memoized_checkpoint(spark, "stream_ivf", sf_dir, build)
+    store = holder.get("store")
+    if store is not None:
+        stray = set(store._block_ids) | cut_block_ids(store.cells)
+        for vecs, _bid in holder["partials"]:
+            stray |= cut_block_ids(vecs)
+        _unpersist_ids(spark, stray)
+        shutil.rmtree(holder["ckpt"], ignore_errors=True)
+    return out
+
+
+def _stream_ivf_oracle() -> str:
+    from graph_database_akkatyped_spark.operators.llm import (
+        _REBAL_BASE_LABELS,
+        _sql_dot,
+    )
+
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS nrm
+  FROM embeddings
+),
+fdims AS (
+  SELECT label AS cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM corpus WHERE label < {_REBAL_BASE_LABELS}
+),
+fcd AS (
+  SELECT cell, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM fdims GROUP BY cell, pos
+),
+frozen AS MATERIALIZED (
+  SELECT cell, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm FROM (
+    SELECT cell, list(cval ORDER BY pos) AS centroid FROM fcd GROUP BY cell)
+)
+SELECT vec_id, label, cell, cell <> label AS drifted FROM (
+  SELECT c.vec_id, c.label, f.cell,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY {_sql_dot('c.embedding', 'f.centroid')}
+                     / (sqrt(c.nrm) * sqrt(f.cnrm)) DESC, f.cell) AS rnk
+  FROM corpus c CROSS JOIN frozen f
+  WHERE c.label >= {_REBAL_BASE_LABELS}
+) WHERE rnk = 1
+"""
+
+
 QUERIES = {
     "stream_sink_idempotent": stream_sink_idempotent,
     "stream_graph_degree": stream_graph_degree,
     "stream_scd2": stream_scd2,
     "stream_graph_pagerank": stream_graph_pagerank,
+    "stream_ivf_assign": stream_ivf_assign,
 }
 
 ORACLES = {
     "stream_sink_idempotent": _SINK_IDEMPOTENT_SQL,
     "stream_graph_degree": _GRAPH_DEGREE_SQL,
+    "stream_ivf_assign": _stream_ivf_oracle(),
 }
 
 

@@ -767,3 +767,53 @@ def test_incremental_pagerank_equals_batch(spark):
         r.user_id: r.rank_e12 for r in pagerank_fixed(spark, SF_SMOKE).collect()
     }
     assert inc == batch
+
+
+def test_ivf_store_ledger_and_batch_convergence(spark):
+    """IncrementalIvfStore: each appended vector is assigned exactly
+    once to the same cell the batch assignment gives (frozen-centroid
+    argmax), a ledger-replayed batch is a skipped no-op, and coverage
+    is exactly the appended slice."""
+    from graph_database_akkatyped_spark.caching import cut
+    from graph_database_akkatyped_spark.catalog import load_table
+    from graph_database_akkatyped_spark.operators.llm import (
+        _REBAL_BASE_LABELS,
+        _cell_means,
+        _dot,
+        _nearest_cell,
+    )
+    from graph_database_akkatyped_spark.streaming.sinks import (
+        IncrementalIvfStore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    base = emb.where(F.col("label") < _REBAL_BASE_LABELS)
+    app = emb.where(F.col("label") >= _REBAL_BASE_LABELS)
+    cells = cut(_cell_means(base, "label"))
+    store = IncrementalIvfStore(spark, cells)
+    b0 = app.where(F.col("vec_id") % 2 == 0)
+    b1 = app.where(F.col("vec_id") % 2 == 1)
+    store.apply(cut(b0), 0)
+    store.apply(cut(b1), 1)
+    snap = {r["vec_id"]: r for r in store.snapshot().collect()}
+    # ledger: replaying batch 0 is a skipped no-op
+    store.apply(cut(b0), 0)
+    assert store.n_skipped_replays == 1
+    assert len(store.snapshot().collect()) == len(snap)
+    # coverage: exactly the appended slice, each vector once
+    app_ids = {r["vec_id"] for r in app.collect()}
+    assert set(snap) == app_ids
+    # convergence: same cell as the one-shot batch assignment
+    batch = {
+        r["vec_id"]: r["cell"]
+        for r in _nearest_cell(app, cells).collect()
+    }
+    for vid, r in snap.items():
+        assert r["cell"] == batch[vid]
+        assert r["drifted"] == (r["cell"] != r["label"])
