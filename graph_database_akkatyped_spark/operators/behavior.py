@@ -379,12 +379,131 @@ FROM cells c JOIN totals t ON t.event_type = c.event_type
 """
 
 
+def timeseries_changepoint_cusum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page's CUSUM changepoint detection over per-type hourly event
+    counts — the standard level-shift monitor (a mean shift
+    accumulates linearly in the CUSUM where a z-score only sees one
+    bucket at a time; this catches the slow drifts
+    ``events_burst_zscore``'s 24 h window forgives).
+
+    The clamped recursion S⁺_t = max(0, S⁺_{t-1} + dev_t) is not a
+    built-in window function, but its closed form is: S⁺_t = P_t −
+    min_{i≤t} P_i with P the prefix sum of deviations (and the
+    one-sided negative statistic symmetrically via the running max).
+    Both are ordinary cumulative windows — so the whole detector is
+    two window passes over the hourly aggregate, no recursion, no UDF.
+
+    Exact-integer discipline: deviations are kept in "k-units" —
+    dev_t = k·n_t − Σn (BIGINT; k = per-type bucket count) — so every
+    prefix sum, running extremum and comparison is exact integer math,
+    bit-identical across engines and partitionings (dividing by k
+    would make dev the float n_t − μ; multiplying through by k
+    defers ALL floating point to the one normalized output column).
+    Headroom: |P_t| ≤ k²·max(n) ≈ 5e10 on the fixtures; a 100 TB run
+    widens the two products to DECIMAL(38,0) (same recipe as
+    PageRank / zipf_fit).
+
+    Output per (event_type, hr): the count, both one-sided CUSUM
+    statistics in k-units, the float normalization (÷k → ordinary
+    count units, rounded), and ``is_peak`` marking each type's
+    changepoint candidate (max of the two statistics, earliest hour
+    on ties — deterministic rank-1 window)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("ep", F.unix_timestamp("hr"))
+    )
+    wtot = Window.partitionBy("event_type")
+    word = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        F.count(F.lit(1)).over(wtot) * F.col("n")
+        - F.sum("n").over(wtot)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hr",
+        "ep",
+        "n",
+        F.count(F.lit(1)).over(wtot).alias("k"),
+        dev.alias("dev"),
+    )
+    p = F.sum("dev").over(word)
+    cusum = scored.select(
+        "event_type",
+        "hr",
+        "ep",
+        "n",
+        "k",
+        (p - F.min(p).over(word)).alias("cusum_pos_k"),
+        (F.max(p).over(word) - p).alias("cusum_neg_k"),
+    )
+    stat = F.greatest("cusum_pos_k", "cusum_neg_k")
+    wpk = Window.partitionBy("event_type").orderBy(
+        stat.desc(), F.asc("ep")
+    )
+    return cusum.select(
+        "event_type",
+        "hr",
+        "n",
+        "cusum_pos_k",
+        "cusum_neg_k",
+        F.round(stat.cast("double") / F.col("k"), 4).alias("cusum_norm"),
+        (F.row_number().over(wpk) == 1).alias("is_peak"),
+    )
+
+
+_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+),
+scored AS (
+  SELECT event_type, hr, epoch(hr) AS ep, n,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS k,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * n
+           - CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS dev
+  FROM hourly
+),
+cusum AS (
+  SELECT event_type, hr, ep, n, k,
+         CAST(p - min(p) OVER w AS BIGINT) AS cusum_pos_k,
+         CAST(max(p) OVER w - p AS BIGINT) AS cusum_neg_k
+  FROM (
+    SELECT *, CAST(sum(dev) OVER (
+        PARTITION BY event_type ORDER BY ep
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+    FROM scored
+  )
+  WINDOW w AS (PARTITION BY event_type ORDER BY ep
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hr, n, cusum_pos_k, cusum_neg_k,
+       round(CAST(greatest(cusum_pos_k, cusum_neg_k) AS DOUBLE) / k, 4)
+         AS cusum_norm,
+       row_number() OVER (
+         PARTITION BY event_type
+         ORDER BY greatest(cusum_pos_k, cusum_neg_k) DESC, ep ASC) = 1
+         AS is_peak
+FROM cusum
+"""
+
+
 QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "timeseries_ohlc": timeseries_ohlc,
     "events_burst_zscore": events_burst_zscore,
     "timeseries_ewma": timeseries_ewma,
     "timeseries_seasonal_profile": timeseries_seasonal_profile,
+    "timeseries_changepoint_cusum": timeseries_changepoint_cusum,
 }
 
 ORACLES = {
@@ -393,4 +512,5 @@ ORACLES = {
     "events_burst_zscore": _BURST_SQL,
     "timeseries_ewma": _EWMA_SQL,
     "timeseries_seasonal_profile": _SEASONAL_SQL,
+    "timeseries_changepoint_cusum": _CUSUM_SQL,
 }

@@ -140,3 +140,64 @@ def test_seasonal_profile_offsets_and_coverage(spark):
     for grp in by_type.values():
         weighted = sum(r.seasonal_offset * r.n for r in grp)
         assert abs(weighted) < 1e-6 * sum(r.n for r in grp)
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """timeseries_changepoint_cusum on a planted mean shift: a type
+    running at 2 events/hour for 48 h then 10/hour for 48 h must peak
+    (is_peak) at the shift boundary — the CUSUM of deviations from the
+    global mean is maximal exactly where the regime changes — while a
+    constant-rate type carries a flat statistic (0 at its argmax rank-1
+    row only because ties break earliest)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators.behavior import (
+        timeseries_changepoint_cusum,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for h in range(96):
+        ts = base + datetime.timedelta(hours=h)
+        for _ in range(2 if h < 48 else 10):
+            rows.append((eid, ts, eid % 7, "shifty", 1.0, "{}"))
+            eid += 1
+        for _ in range(3):
+            rows.append((eid, ts, eid % 7, "steady", 1.0, "{}"))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    out = timeseries_changepoint_cusum(spark, str(d)).collect()
+    peaks = {r["event_type"]: r for r in out if r["is_peak"]}
+    assert set(peaks) == {"shifty", "steady"}
+    # one-sided semantics: the POSITIVE statistic accumulates the
+    # post-shift +4/hour drift and is maximal at the series end
+    # (48 h x 4 = 192 — the "rate went up" alarm), while the NEGATIVE
+    # statistic is maximal exactly at the last pre-shift hour
+    # (47 h x 4 = 188 — it LOCALIZES the boundary)
+    assert peaks["shifty"]["hr"] == base + datetime.timedelta(hours=95)
+    assert peaks["shifty"]["cusum_norm"] == 192.0
+    shifty = {r["hr"]: r for r in out if r["event_type"] == "shifty"}
+    neg_max = max(shifty.values(), key=lambda r: (r["cusum_neg_k"], -r["hr"].timestamp()))
+    assert neg_max["hr"] == base + datetime.timedelta(hours=47)
+    assert neg_max["cusum_neg_k"] == 188 * 96  # k-units, k = 96 buckets
+    # constant type: statistic identically 0
+    assert peaks["steady"]["cusum_norm"] == 0.0
+    assert all(
+        r["cusum_norm"] == 0.0 for r in out if r["event_type"] == "steady"
+    )
