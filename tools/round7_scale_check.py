@@ -46,12 +46,25 @@ from graph_database_akkatyped_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ID_STRIDE = 10**9
 
+def _behavior_queries():
+    from graph_database_akkatyped_spark.operators import behavior
+
+    return behavior.QUERIES
+
+
 QUERIES = {
     "dedup_lines": llm.QUERIES["dedup_lines"],
     "simsearch_ivf_rebalance": llm.QUERIES["simsearch_ivf_rebalance"],
     "simsearch_recall_rebalance": llm.QUERIES["simsearch_recall_rebalance"],
     "simsearch_ivfadc": llm.QUERIES["simsearch_ivfadc"],
     "simsearch_recall_ivfadc": llm.QUERIES["simsearch_recall_ivfadc"],
+    # cusum: hourly aggregate (linear map-side) + two cumulative
+    # windows over |types| x |hours| rows — with the per-copy ts shift
+    # the hour axis grows 10x and types stay 5, so the window input
+    # grows 10x and the whole key is linear
+    "timeseries_changepoint_cusum": _behavior_queries()[
+        "timeseries_changepoint_cusum"
+    ],
 }
 
 
@@ -64,6 +77,12 @@ def replicate(spark, n: int) -> str:
             df = df.withColumn(c, F.col(c) + F.col("_copy") * ID_STRIDE)
         return df.drop("_copy")
 
+    shift(
+        load_table(spark, SF_DIR, "events")
+        .crossJoin(copies)
+        .withColumn("ts", F.expr("timestampadd(HOUR, _copy * 100000, ts)")),
+        ["event_id", "user_id"],
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
     emb = load_table(spark, SF_DIR, "embeddings").crossJoin(copies)
     rot = F.when(
         F.col("_copy") == 0, F.col("embedding")
