@@ -126,10 +126,20 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per doc: per-token xxhash64, sign-sum each bit."""
+    """32-bit SimHash per doc: per-token 32-bit hash, sign-sum each
+    bit. The token hash is the first 8 md5 hex digits (the same
+    engine-portable construction as the Luby MIS priorities) — SimHash
+    is hash-agnostic, and md5 is what makes the whole pipeline
+    DuckDB-replicable (the original xxhash64 kept this key
+    rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -150,8 +160,9 @@ def _simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band on the 4 bytes of the fingerprint
     (any equal byte -> candidate), verify Hamming distance ≤ 6.
-    Banding keeps the candidate set near-linear. rows-only (engine-
-    native xxhash64 under the hood)."""
+    Banding keeps the candidate set near-linear. SQL-hash since round
+    7 (the md5-based token hash replicates in DuckDB; see
+    ``_simhash_fingerprint``)."""
     fp = memoized_checkpoint(
         spark, "simhash_fp", sf_dir,
         lambda: _simhash_fingerprint(spark, sf_dir),
@@ -186,6 +197,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 6)
         .select("a", "b", "hamming")
     )
+
+
+_DEDUP_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS MATERIALIZED (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS i)
+  GROUP BY doc_id, i
+),
+fp AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i
+                       ELSE 0 END) AS BIGINT) AS simhash32
+  FROM bits GROUP BY doc_id
+),
+banded AS MATERIALIZED (
+  SELECT doc_id, simhash32, i AS band, (simhash32 >> (8 * i)) & 255 AS key
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS i)
+)
+SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash32 AS fa, y.simhash32 AS fb
+  FROM banded x
+  JOIN banded y ON y.band = x.band AND y.key = x.key
+                AND x.doc_id < y.doc_id
+)
+WHERE bit_count(xor(fa, fb)) <= 6
+"""
 
 
 _NGRAM_HASHES = 8  # deterministic minhash functions (1 band each, r=1)
@@ -6489,6 +6536,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_simhash": _DEDUP_SIMHASH_SQL,
     # dedup_near_minhash, dedup_simhash, simsearch_lsh:
     # rows-only by design (sketches)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,

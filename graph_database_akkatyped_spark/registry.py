@@ -65,7 +65,7 @@ _SWEEP_ORDER = (
     # test_registry keeps the set exact.
     "dedup_lines", "simsearch_ivf_rebalance", "simsearch_recall_rebalance",
     "simsearch_ivfadc", "simsearch_recall_ivfadc", "stream_ivf_assign",
-    "timeseries_changepoint_cusum",
+    "timeseries_changepoint_cusum", "dedup_simhash",
     "graph_mst_boruvka", "graph_greedy_coloring", "multimodal_decode",
     "stream_scd2", "simsearch_ivf_partitioned", "scan_parquet", "scan_pruned",
     "sink_parquet", "sink_csv_roundtrip", "sink_json_roundtrip",
@@ -138,7 +138,7 @@ _SWEEP_ORDER = (
     "edge_jaccard", "events_anomaly_hours", "timeseries_multires_rollup",
     "clustering_coefficient", "path_exists", "text_repetition",
     "corpus_mix_weights", "sample_hash", "stream_session",
-    "curation_filter_report", "dedup_simhash", "stream_stateful_count",
+    "curation_filter_report", "stream_stateful_count",
     "timeseries_gapfill", "stream_sliding", "split_train_test",
     "udf_mapinarrow", "graph_activity_timeline", "agg_filtered",
     "simsearch_topk", "agg_approx_percentile", "rfm_segmentation",
