@@ -44,14 +44,18 @@ _MODULES = (
 # driver evidence is still round 1 — so round 7's budget goes to
 # exactly those, per the round-6 verdict.
 _SWEEP_ORDER = (
-    # -- block 1 (round-7 rotation, 58 keys; the ~50-key budget cuts
-    # ~8 keys before the end — the tail is chosen to be the least
-    # critical: flagship is smoke-run by entry() every round anyway,
-    # agg_approx_distinct is rows-only by design, and the agg_* /
-    # skew / profile keys are exercised by bench every round. Order:
-    # 1) the 3 NEW round-7 keys (dedup_lines, the IVF rebalance pair),
-    # 2) the 2 keys whose ORACLE changed this round (mst_boruvka and
-    #    greedy_coloring: rows-only -> unrolled SQL-hash),
+    # -- block 1 (round-7 rotation; grew to 63 keys as the round added
+    # operators, so the ~50-key budget cuts ~13 keys before the end —
+    # the tail is chosen to be the least critical: flagship is
+    # smoke-run by entry() every round anyway, agg_approx_distinct is
+    # rows-only by design, and the agg_* / skew / profile / set_* /
+    # pivot / subquery keys are exercised by bench and the sf0.1 sweep
+    # every round. The cut keys MUST lead round 8's rotation. Order:
+    # 1) the 7 NEW round-7 keys (dedup_lines, the IVF rebalance pair,
+    #    the IVFADC pair, stream_ivf_assign, the CUSUM detector),
+    # 2) the 3 keys whose ORACLE changed this round (mst_boruvka and
+    #    greedy_coloring: rows-only -> unrolled SQL-hash;
+    #    dedup_simhash: md5 token hash -> SQL-hash),
     # 3) multimodal_decode (realized in r6 under a new name; zero
     #    driver evidence under the current name),
     # 4) stream_scd2 + simsearch_ivf_partitioned (implementation
