@@ -6321,6 +6321,93 @@ SELECT doc_id,
 FROM ranked GROUP BY doc_id
 """
 
+_BOILER_MIN_DOCS = 2  # a line in >= this many distinct docs is boilerplate
+
+
+def dedup_lines_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate LINE removal — the other standard line-level rule
+    (RefinedWeb/CCNet): where :func:`dedup_lines` keeps the globally
+    FIRST copy of a repeated line (dedup semantics), boilerplate
+    removal drops EVERY copy of a line that appears in ≥
+    ``_BOILER_MIN_DOCS`` distinct documents — nav bars, cookie
+    banners and license headers are noise in all their occurrences,
+    including the first. Same segmentation and normalization as
+    ``dedup_lines`` (one regexp newline injection, lower + collapse +
+    trim before hashing), intra-doc repeats alone don't make a line
+    boilerplate (the count is DISTINCT docs).
+
+    Scale shape: identical to ``dedup_lines`` — one explode, one
+    16-byte-hash aggregation (count distinct docs per line), one
+    broadcast-or-shuffled semi-join back, one doc_id regroup. The
+    per-hash group carries only a count, so a viral boilerplate line
+    is one aggregate row, never a blow-up."""
+    docs = load_table(spark, sf_dir, "documents")
+    lined = F.regexp_replace(
+        F.col("text"), r"((?:\S+ ){%d}\S+) " % (_LINE_WORDS - 1), "$1\n"
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(F.split(lined, "\n", -1)).alias("line_no", "line")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    hashed = ex.withColumn("line_hash", F.md5(norm))
+    boiler = (
+        hashed.groupBy("line_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("line_hash")
+    )
+    marked = hashed.join(
+        boiler.withColumn("is_boiler", F.lit(True)), "line_hash", "left"
+    )
+    kept = F.when(
+        F.col("is_boiler").isNull(), F.struct("line_no", "line")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.count(F.lit(1)) - F.count(kept)).alias("n_boiler"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                "\n",
+            )
+        ).alias("kept_hash"),
+    )
+
+
+_DEDUP_LINES_BOILER_SQL = rf"""
+WITH lined AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text,
+             '((?:\S+ ){{{_LINE_WORDS - 1}}}\S+) ', '\1' || chr(10), 'g'),
+           chr(10)) AS lines
+  FROM documents
+), ex AS (
+  SELECT doc_id, generate_subscripts(lines, 1) - 1 AS line_no,
+         unnest(lines) AS line
+  FROM lined
+), hashed AS MATERIALIZED (
+  SELECT doc_id, line_no, line,
+         md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS line_hash
+  FROM ex
+), boiler AS (
+  SELECT line_hash FROM hashed
+  GROUP BY line_hash
+  HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+), marked AS (
+  SELECT h.doc_id, h.line_no, h.line,
+         b.line_hash IS NOT NULL AS is_boiler
+  FROM hashed h LEFT JOIN boiler b ON b.line_hash = h.line_hash
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) - count(*) FILTER (WHERE NOT is_boiler) AS n_boiler,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                      FILTER (WHERE NOT is_boiler), '')) AS kept_hash
+FROM marked GROUP BY doc_id
+"""
+
 
 def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup health report — the dashboard row a corpus
@@ -6472,6 +6559,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_paragraph": dedup_paragraph,
     "dedup_lines": dedup_lines,
+    "dedup_lines_boilerplate": dedup_lines_boilerplate,
     "corpus_dedup_report": corpus_dedup_report,
     "corpus_token_budget_sample": corpus_token_budget_sample,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -6547,6 +6635,7 @@ ORACLES = {
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
     "dedup_lines": _DEDUP_LINES_SQL,
+    "dedup_lines_boilerplate": _DEDUP_LINES_BOILER_SQL,
     "corpus_dedup_report": _dedup_report_sql(),
     "corpus_token_budget_sample": _TOKEN_BUDGET_SQL,
     "dedup_embedding_cosine": _DEDUP_EMB_SQL,

@@ -70,6 +70,7 @@ _SWEEP_ORDER = (
     "dedup_lines", "simsearch_ivf_rebalance", "simsearch_recall_rebalance",
     "simsearch_ivfadc", "simsearch_recall_ivfadc", "stream_ivf_assign",
     "timeseries_changepoint_cusum", "dedup_simhash",
+    "dedup_lines_boilerplate",
     "graph_mst_boruvka", "graph_greedy_coloring", "multimodal_decode",
     "stream_scd2", "simsearch_ivf_partitioned", "scan_parquet", "scan_pruned",
     "sink_parquet", "sink_csv_roundtrip", "sink_json_roundtrip",

@@ -426,3 +426,29 @@ def test_line_dedup_first_occurrence_wins(spark, lines_dir):
     con = _duck_for(lines_dir, "documents")
     oracle_pd = con.execute(llm._DEDUP_LINES_SQL).fetchdf()
     assert not compare(out, oracle_pd)
+
+
+def test_line_boilerplate_drops_all_copies(spark, lines_dir):
+    """dedup_lines_boilerplate vs dedup_lines on the same corpus: a
+    line seen in >= 2 DISTINCT docs loses every copy (including the
+    first, which dedup_lines keeps), intra-doc repetition alone
+    counts once, and case variants collapse through the normalized
+    hash."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    out = llm.dedup_lines_boilerplate(spark, lines_dir).toPandas()
+    row = dict(
+        (int(r.doc_id), (int(r.n_lines), int(r.n_boiler), r.kept_hash))
+        for r in out.itertuples()
+    )
+    # A is in docs {0, 4-as-case-variant}, B in docs {0, 1, 2}: both
+    # boilerplate; C and the tail line are single-doc -> kept
+    assert row[0] == (2, 2, md5(""))      # dedup_lines kept both here
+    assert row[1] == (2, 1, md5(_L8_C))
+    assert row[2] == (2, 2, md5(""))
+    assert row[3] == (1, 0, md5("tail words only"))
+    assert row[4] == (1, 1, md5(""))
+    con = _duck_for(lines_dir, "documents")
+    oracle_pd = con.execute(llm._DEDUP_LINES_BOILER_SQL).fetchdf()
+    assert not compare(out, oracle_pd)
