@@ -52,6 +52,7 @@ the cut changes WHERE blocks live, never their content.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from typing import Callable
 
@@ -190,10 +191,43 @@ def clear_frame_cache(sf_dir: str | None = None) -> None:
     restricts eviction to one input (a long-lived service session
     evicts a finished workload's frames without touching others).
     After eviction the frames are gone for good (lineage was cut), so
-    callers re-derive via ``memoized_checkpoint`` on next use."""
+    callers re-derive via ``memoized_checkpoint`` on next use.
+
+    Also evicts (and removes from disk) the memoized on-disk layouts
+    registered through :func:`layout_dir`, so a regenerated input
+    under the same ``sf_dir`` cannot be served a stale physical
+    layout — the layout cache follows the frame cache's eviction
+    discipline."""
     for key in [k for k in _CACHE if sf_dir is None or k[1] == sf_dir]:
         spark, _df, block_ids = _CACHE.pop(key)
         try:
             _unpersist_ids(spark, block_ids)
         except Exception:  # session already stopped — blocks are gone
             pass
+    for key in [k for k in _LAYOUT_DIRS if sf_dir is None or k[1] == sf_dir]:
+        shutil.rmtree(_LAYOUT_DIRS.pop(key), ignore_errors=True)
+
+
+_LAYOUT_DIRS: dict[tuple[str, str], str] = {}
+
+
+def layout_dir(kind: str, sf_dir: str, build: Callable[[str], None]) -> str:
+    """Memoized ON-DISK layout for ``(kind, sf_dir)`` — a partitioned /
+    split parquet rewrite that models a one-time index or replay
+    layout build (IVF cell partitioning, the multi-file stream-replay
+    splits). ``build(path)`` runs once per key; subsequent calls serve
+    the same directory, and :func:`clear_frame_cache` both evicts the
+    entry and ``rmtree``s the directory, so layouts cannot outlive a
+    cache flush of their input. A failed build is rolled back (dir
+    removed, nothing registered) so a retry re-builds cleanly."""
+    key = (kind, sf_dir)
+    path = _LAYOUT_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"spark_graft_{kind}_")
+        try:
+            build(path)
+        except BaseException:
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        _LAYOUT_DIRS[key] = path
+    return path

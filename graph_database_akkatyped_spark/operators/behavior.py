@@ -497,6 +497,168 @@ FROM cusum
 """
 
 
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily order-arrival series —
+    the seasonality probe a forecasting pipeline runs before picking
+    model order (a weekly cycle shows as a lag-7 peak). Lag pairs are
+    CALENDAR pairs (day t joined to day t+k), so a missing day drops
+    its pairs instead of silently shifting the series — the honest
+    treatment for a gappy journal.
+
+    Exact-integer discipline (the CUSUM recipe): with n = #days,
+    S = Σx, the mean-centered product is computed in n-units —
+    (n·x_t − S)(n·x_{t+k} − S) is BIGINT — so numerator and
+    denominator are exact integer sums; the only floating point is
+    the final division + 1e6 floor-scale, on doubles < 2⁵³ (exact),
+    making the hash partition-proof. Headroom: |n·x − S| ≤ n·max(x)
+    ≈ 2e5 on the fixtures, squared ×n ≈ 1e14; a 100 TB run widens
+    the products to DECIMAL(38,0) (zipf_fit recipe).
+
+    Shape: one groupBy day (map-side partial agg), a 7-way self-join
+    of the TINY daily aggregate (|days| rows, broadcast-able), one
+    global reduce per lag. The journal is scanned once."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    s = F.sum("x").over(Window.partitionBy())
+    dev = daily.select(
+        "day", "x", (n * F.col("x") - s).alias("d"), n.alias("n")
+    )
+    den = dev.select(
+        F.sum(F.col("d") * F.col("d")).alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = dev.alias("a")
+    b = dev.alias("b")
+    pairs = lags.crossJoin(a).join(
+        b,
+        F.col("b.day")
+        == F.col("a.day") + F.make_dt_interval(F.col("lag")),
+        "inner",
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("a.d") * F.col("b.d")).alias("num"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            "num",
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("num").cast("double") / F.col("den").cast("double"))
+            )
+            .cast("long")
+            .alias("acf_micro"),
+        )
+        .orderBy("lag")
+    )
+
+
+_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+dev AS (
+  SELECT day, x,
+         CAST(count(*) OVER () AS BIGINT) * x
+           - CAST(sum(x) OVER () AS BIGINT) AS d
+  FROM daily
+),
+den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dev),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+num AS (
+  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.d * b.d) AS BIGINT) AS num
+  FROM lags l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.day = a.day + to_days(CAST(l.lag AS INTEGER))
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs, num,
+       CAST(floor(1000000.0 * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))
+            AS BIGINT) AS acf_micro
+FROM num, den
+ORDER BY lag
+"""
+
+
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly flags over per-type hourly event counts —
+    the robust twin of ``events_burst_zscore``: median and median
+    absolute deviation shrug off the very outliers a mean/stddev
+    baseline absorbs, so a single viral hour cannot hide itself by
+    inflating its own threshold. Flag: |x − med| > 3·MAD.
+
+    Exactness: counts are integers, so the interpolated median is a
+    multiple of 0.5 and the MAD (median of 0.5-multiples) a multiple
+    of 0.25 — all exactly representable doubles. Reported scaled to
+    integers (med2 = 2·med, mad4 = 4·MAD) and the flag compared in
+    pure integers (4·|x − med| = |4x − 2·med2| vs 3·mad4), so the
+    hash never touches a rounded float. CASTs are exact (integer-
+    valued doubles), immune to the DuckDB-rounds/Spark-truncates trap.
+
+    Shape: one groupBy (event_type, hour) over the journal, then two
+    aggregations of the TINY hourly frame (|types|·|hours| rows) —
+    percentile is exact here because the per-type groups are small by
+    construction; at 100 TB the same column feeds approx_percentile
+    with a documented error bound instead."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        (F.percentile("n", F.lit(0.5)) * 2).cast("long").alias("med2")
+    )
+    devd = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev4", F.abs(4 * F.col("n") - 2 * F.col("med2"))
+    )
+    mad = devd.groupBy("event_type").agg(
+        F.percentile("dev4", F.lit(0.5)).cast("long").alias("mad4")
+    )
+    return devd.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        "med2",
+        "mad4",
+        (F.col("dev4") > 3 * F.col("mad4")).alias("is_anomaly"),
+    )
+
+
+_MAD_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type,
+         CAST(median(n) * 2 AS BIGINT) AS med2
+  FROM hourly GROUP BY 1
+),
+devd AS (
+  SELECT h.event_type, h.hr, h.n, m.med2,
+         abs(4 * h.n - 2 * m.med2) AS dev4
+  FROM hourly h JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(median(dev4) AS BIGINT) AS mad4
+  FROM devd GROUP BY 1
+)
+SELECT d.event_type, d.hr, d.n, d.med2, a.mad4,
+       d.dev4 > 3 * a.mad4 AS is_anomaly
+FROM devd d JOIN mad a USING (event_type)
+"""
+
+
 QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "timeseries_ohlc": timeseries_ohlc,
@@ -504,9 +666,13 @@ QUERIES = {
     "timeseries_ewma": timeseries_ewma,
     "timeseries_seasonal_profile": timeseries_seasonal_profile,
     "timeseries_changepoint_cusum": timeseries_changepoint_cusum,
+    "timeseries_autocorr": timeseries_autocorr,
+    "timeseries_anomaly_mad": timeseries_anomaly_mad,
 }
 
 ORACLES = {
+    "timeseries_autocorr": _AUTOCORR_SQL,
+    "timeseries_anomaly_mad": _MAD_SQL,
     "events_markov_transitions": _MARKOV_SQL,
     "timeseries_ohlc": _OHLC_SQL,
     "events_burst_zscore": _BURST_SQL,

@@ -1298,72 +1298,82 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation steps (bounds documented at the generator); value
     determinism is additionally pinned by the Kruskal cross-check in
     tests/test_round6c.py."""
-    from graph_database_akkatyped_spark.operators.algos import cc_frame
     from graph_database_akkatyped_spark.operators.graph_build import (
         build_user_graph_capped,
     )
 
-    def build() -> DataFrame:
-        edges = cut(build_user_graph_capped(spark, sf_dir))
-        comp = (
-            edges.select(F.col("a").alias("v"))
-            .union(edges.select(F.col("b").alias("v")))
-            .distinct()
-            .select("v", F.col("v").alias("c"))
-        )
-        chosen: DataFrame | None = None
-        for rnd in range(_MST_MAX_ROUNDS):
-            ca = comp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
-            cb = comp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
-            xe = cut(
-                edges.join(ca, "a")
-                .join(cb, "b")
-                .where(F.col("ca") != F.col("cb"))
-            )
-            if xe.limit(1).count() == 0:
-                break
-            cand = xe.select(
-                F.col("ca").alias("comp"), F.col("cb").alias("oc"),
-                "a", "b", "weight",
-            ).unionByName(
-                xe.select(
-                    F.col("cb").alias("comp"), F.col("ca").alias("oc"),
-                    "a", "b", "weight",
-                )
-            )
-            w = Window.partitionBy("comp").orderBy(
-                F.col("weight").desc(), "a", "b"
-            )
-            sel = cut(
-                cand.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .drop("rn")
-            )
-            picked = (
-                sel.select("a", "b", "weight")
-                .distinct()
-                .withColumn("round", F.lit(rnd + 1))
-            )
-            chosen = picked if chosen is None else chosen.unionByName(picked)
-            cverts = comp.select(F.col("c").alias("id")).distinct()
-            cg_sym = sel.select(
-                F.col("comp").alias("a"), F.col("oc").alias("b")
-            ).unionByName(
-                sel.select(F.col("oc").alias("a"), F.col("comp").alias("b"))
-            )
-            relabel = cc_frame(cverts, cg_sym).select(
-                F.col("id").alias("c"), F.col("component").alias("c_new")
-            )
-            comp = cut(
-                comp.join(relabel, "c").select("v", F.col("c_new").alias("c"))
-            )
-        if chosen is None:
-            return edges.select("a", "b", "weight").limit(0).withColumn(
-                "round", F.lit(0)
-            )
-        return chosen.select("a", "b", "weight", "round")
+    return _memoized(
+        spark,
+        "mst_boruvka",
+        sf_dir,
+        lambda: mst_boruvka_frame(cut(build_user_graph_capped(spark, sf_dir))),
+    )
 
-    return _memoized(spark, "mst_boruvka", sf_dir, build)
+
+def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
+    """Frame-level Borůvka kernel over canonical weighted edges
+    (a, b, weight) — extracted from :func:`graph_mst_boruvka` (the
+    mis_frame pattern) so scale rehearsals can drive it on synthetic
+    graphs. Returns (a, b, weight, round)."""
+    from graph_database_akkatyped_spark.operators.algos import cc_frame
+
+    comp = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("c"))
+    )
+    chosen: DataFrame | None = None
+    for rnd in range(_MST_MAX_ROUNDS):
+        ca = comp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+        cb = comp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+        xe = cut(
+            edges.join(ca, "a")
+            .join(cb, "b")
+            .where(F.col("ca") != F.col("cb"))
+        )
+        if xe.limit(1).count() == 0:
+            break
+        cand = xe.select(
+            F.col("ca").alias("comp"), F.col("cb").alias("oc"),
+            "a", "b", "weight",
+        ).unionByName(
+            xe.select(
+                F.col("cb").alias("comp"), F.col("ca").alias("oc"),
+                "a", "b", "weight",
+            )
+        )
+        w = Window.partitionBy("comp").orderBy(
+            F.col("weight").desc(), "a", "b"
+        )
+        sel = cut(
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        picked = (
+            sel.select("a", "b", "weight")
+            .distinct()
+            .withColumn("round", F.lit(rnd + 1))
+        )
+        chosen = picked if chosen is None else chosen.unionByName(picked)
+        cverts = comp.select(F.col("c").alias("id")).distinct()
+        cg_sym = sel.select(
+            F.col("comp").alias("a"), F.col("oc").alias("b")
+        ).unionByName(
+            sel.select(F.col("oc").alias("a"), F.col("comp").alias("b"))
+        )
+        relabel = cc_frame(cverts, cg_sym).select(
+            F.col("id").alias("c"), F.col("component").alias("c_new")
+        )
+        comp = cut(
+            comp.join(relabel, "c").select("v", F.col("c_new").alias("c"))
+        )
+    if chosen is None:
+        return edges.select("a", "b", "weight").limit(0).withColumn(
+            "round", F.lit(0)
+        )
+    return chosen.select("a", "b", "weight", "round")
 
 
 # ------------------------------------------------- node2vec biased walks
@@ -1982,11 +1992,15 @@ def _mis_sql(rounds: int = _MIS_ROUNDS) -> str:
             f"JOIN win{i} w ON w.v = e.a))"
         )
     final = " UNION ALL ".join(f"SELECT v FROM win{i}" for i in range(1, rounds + 1))
+    # exhaustion sentinel (same class as the MST/JP guards below):
+    # vertices still active after all rounds surface as negative ids
+    # (-1 - v), so a too-short Luby unroll is self-describing
     return (
         _TRI_BASE.replace("WITH ce AS", "WITH ce AS MATERIALIZED")
         + ", "
         + ",\n".join(ctes)
-        + f"\nSELECT v AS user_id FROM ({final})"
+        + f"\nSELECT v AS user_id FROM ({final}"
+        + f"\nUNION ALL SELECT -1 - v AS v FROM act{rounds})"
     )
 
 
@@ -2019,6 +2033,15 @@ wce AS MATERIALIZED (
 # in 3 (sf0.01) / 4 (sf0.1) rounds, and every per-round contraction
 # graph has min-node eccentricity <= 7 (measured by a python replica);
 # JP colors the backbone in 9 (sf0.01) / 12 (sf0.1) rounds.
+#
+# EXHAUSTION GUARD: on data needing more rounds than the unroll, a
+# partial oracle answer would look exactly like a Spark bug. Each
+# unrolled oracle therefore appends SENTINEL rows when its fixed point
+# was NOT reached — negative round / color / user_id values that can
+# never occur in a real answer — so a parity mismatch caused by an
+# exhausted unroll is self-describing: bump the bound, don't debug the
+# Spark kernel. The sentinel branches are empty whenever the unroll
+# converged, so they cost nothing on conforming data.
 _MST_ORACLE_ROUNDS = 6
 _MST_ORACLE_PROP = 10
 _JP_ORACLE_ROUNDS = 16
@@ -2092,9 +2115,32 @@ def _mst_sql(
         f'SELECT a, b, weight, "round" FROM picked{r}'
         for r in range(1, rounds + 1)
     )
+    # exhaustion sentinels (see the bound comment above): round = -1
+    # rows are cross-component edges surviving ALL rounds (Borůvka
+    # unroll too short); round = -r rows mean round r's min-label
+    # propagation had not reached its fixed point after ``prop`` steps
+    # (monotone map: one no-op step == converged, so the last-step
+    # diff is a sound and complete check)
+    guards = [
+        f"""SELECT e.a, e.b, e.weight, -1 AS "round"
+  FROM wce e
+  JOIN comp{rounds} ca ON ca.v = e.a
+  JOIN comp{rounds} cb ON cb.v = e.b
+  WHERE ca.c <> cb.c"""
+    ]
+    for r in range(1, rounds + 1):
+        guards.append(
+            f"""SELECT l.node AS a, CAST(-1 AS BIGINT) AS b,
+         CAST(-1 AS BIGINT) AS weight, {-r} AS "round"
+  FROM lab{r}_{prop} l
+  JOIN lab{r}_{prop - 1} p ON p.node = l.node
+  WHERE p.lab <> l.lab"""
+        )
     return (
         "WITH " + _WCE_PRELUDE + ",\n" + ",\n".join(ctes)
-        + f'\nSELECT a, b, weight, "round" FROM ({final})'
+        + f'\nSELECT a, b, weight, "round" FROM ({final}'
+        + "".join("\nUNION ALL\n" + g for g in guards)
+        + ")"
     )
 
 
@@ -2161,9 +2207,14 @@ unc{r} AS MATERIALIZED (
   SELECT v FROM unc{r - 1} u
   WHERE NOT EXISTS (SELECT 1 FROM mex{r} m WHERE m.v = u.v))"""
         )
+    # exhaustion sentinel: still-uncolored vertices after all rounds
+    # surface as color = -1 rows (real colors are >= 0), so a too-short
+    # JP unroll reads as "bump _JP_ORACLE_ROUNDS", not as a Spark bug
     return (
         "WITH " + _WCE_PRELUDE + ",\n" + ",\n".join(ctes)
         + f"\nSELECT v AS user_id, color FROM col{rounds}"
+        + f"\nUNION ALL SELECT v AS user_id, CAST(-1 AS BIGINT) AS color"
+        + f" FROM unc{rounds}"
     )
 
 

@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from graph_database_akkatyped_spark.caching import cut, memoized_checkpoint
+from graph_database_akkatyped_spark.caching import (
+    cut,
+    layout_dir,
+    memoized_checkpoint,
+)
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.numerics import davg, sql_davg
 
@@ -2457,11 +2461,6 @@ FROM per_q
 """
 
 
-# cell-partitioned corpus layout, written once per sf_dir (see
-# simsearch_ivf_partitioned's docstring)
-_IVF_PART_DIRS: dict[str, str] = {}
-
-
 def simsearch_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``simsearch_ivf`` with the index as a PHYSICAL layout: the
     corpus is written ``partitionBy(cell)`` and the probe reads ONLY
@@ -2480,19 +2479,19 @@ def simsearch_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same centroids, same probe, same re-rank over the same rows), so
     the oracle is the same SQL.
 
-    The partitioned layout is written ONCE per sf_dir and cached in
-    ``_IVF_PART_DIRS`` (the _SPLIT_DIRS pattern from streaming.sinks):
-    an index build is a one-time cost amortized over every probe, and
-    rewriting the corpus per invocation would both re-pay the
-    partitionBy shuffle and leak a corpus-sized temp dir per call."""
-    import tempfile
-
+    The partitioned layout is written ONCE per sf_dir through
+    ``caching.layout_dir`` (shared with the stream-replay splits in
+    streaming.sinks): an index build is a one-time cost amortized over
+    every probe, rewriting the corpus per invocation would both re-pay
+    the partitionBy shuffle and leak a corpus-sized temp dir per call,
+    and ``clear_frame_cache`` evicts + removes the layout so a
+    regenerated sf_dir can never be probed through a stale one."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = _IVF_PART_DIRS.get(sf_dir)
-    if out is None:
-        out = tempfile.mkdtemp(prefix="spark_graft_ivfpart_")
-        emb.write.mode("overwrite").partitionBy("label").parquet(out)
-        _IVF_PART_DIRS[sf_dir] = out
+    out = layout_dir(
+        "ivfpart",
+        sf_dir,
+        lambda d: emb.write.mode("overwrite").partitionBy("label").parquet(d),
+    )
     idx = spark.read.parquet(out).select(
         "vec_id", F.col("label").cast("long").alias("label"), "embedding"
     )
@@ -3982,6 +3981,177 @@ FROM sums
 """
 
 
+_BPE_TOPK = 20  # post-merge pair stats reported
+
+
+def text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training step over the corpus — the primitive
+    a byte-pair-encoding trainer iterates: count adjacent symbol
+    pairs, pick the most frequent (count DESC, pair ASC on ties —
+    deterministic), APPLY the merge greedily left-to-right, and
+    report the refreshed top-``_BPE_TOPK`` pair statistics alongside
+    the chosen merge. The full trainer is this step in a loop; one
+    step exercises every distributed piece (the loop adds nothing new
+    to the plan, just iterations).
+
+    The classic scale trick is structural here: BPE trains on the
+    WORD-FREQUENCY DICTIONARY, not the corpus — one explode + groupBy
+    folds 100 TB of text into a vocab-bounded frame (|vocab| ~ 1e7
+    rows at corpus scale), and every subsequent window/join/aggregate
+    shuffles on ``word``, the dictionary's key. Corpus size only ever
+    enters through the one initial groupBy.
+
+    The greedy-apply step needs left-to-right non-overlap semantics
+    ("aaa" + merge (a,a) → [aa, a], not two overlapping merges).
+    That is sequential on its face, but within a word the match sites
+    form runs of consecutive positions, and greedy keeps exactly the
+    even offsets within each run — so the application is two window
+    functions (run id = pos − row_number, then parity against the
+    run's min pos), no UDF, no per-row Python. All counts are exact
+    BIGINTs; strings and integers only — hash-stable by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    wseq = Window.partitionBy("word").orderBy("pos")
+    syms = words.select(
+        "word",
+        "wc",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).withColumn("sym", F.col("word").substr(F.col("pos"), F.lit(1)))
+    adj = syms.withColumn("nxt", F.lead("sym").over(wseq))
+    pair0 = (
+        adj.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    top = (
+        pair0.orderBy(F.col("cnt").desc(), "l", "r")
+        .limit(1)
+        .select(F.col("l").alias("ml"), F.col("r").alias("mr"))
+    )
+    hits = (
+        adj.crossJoin(F.broadcast(top))
+        .where((F.col("sym") == F.col("ml")) & (F.col("nxt") == F.col("mr")))
+        .withColumn("run", F.col("pos") - F.row_number().over(wseq))
+    )
+    wrun = Window.partitionBy("word", "run")
+    starts = (
+        hits.withColumn(
+            "keep", ((F.col("pos") - F.min("pos").over(wrun)) % 2) == 0
+        )
+        .where("keep")
+        .select("word", F.col("pos").alias("mpos"))
+    )
+    merged = (
+        adj.join(
+            starts.select(
+                "word", F.col("mpos").alias("pos"), F.lit(True).alias("m")
+            ),
+            ["word", "pos"],
+            "left",
+        )
+        .join(
+            starts.select(
+                "word",
+                (F.col("mpos") + 1).alias("pos"),
+                F.lit(True).alias("gone"),
+            ),
+            ["word", "pos"],
+            "left",
+        )
+        .where(F.col("gone").isNull())
+        .select(
+            "word",
+            "wc",
+            "pos",
+            F.when(F.col("m"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    adj2 = merged.withColumn("nxt", F.lead("sym").over(wseq))
+    pair1 = (
+        adj2.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    return (
+        pair1.crossJoin(F.broadcast(top))
+        .orderBy(F.col("cnt").desc(), "l", "r")
+        .limit(_BPE_TOPK)
+        .select("ml", "mr", "l", "r", "cnt")
+    )
+
+
+_BPE_SQL = f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+syms AS (
+  SELECT word, wc, CAST(pos AS BIGINT) AS pos,
+         substr(word, CAST(pos AS INTEGER), 1) AS sym
+  FROM (SELECT word, wc, unnest(range(1, length(word) + 1)) AS pos
+        FROM words)
+),
+adj AS MATERIALIZED (
+  SELECT word, wc, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM syms
+),
+pair0 AS (
+  SELECT sym AS l, nxt AS r, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM adj WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+top AS MATERIALIZED (
+  SELECT l AS ml, r AS mr FROM pair0 ORDER BY cnt DESC, l, r LIMIT 1
+),
+hits AS (
+  SELECT a.word, a.pos,
+         a.pos - row_number() OVER (PARTITION BY a.word ORDER BY a.pos)
+           AS run
+  FROM adj a, top t
+  WHERE a.sym = t.ml AND a.nxt = t.mr
+),
+starts AS MATERIALIZED (
+  SELECT word, pos AS mpos FROM (
+    SELECT word, pos,
+           (pos - min(pos) OVER (PARTITION BY word, run)) % 2 = 0 AS keep
+    FROM hits) WHERE keep
+),
+merged AS (
+  SELECT a.word, a.wc, a.pos,
+         CASE WHEN s.mpos IS NOT NULL THEN a.sym || a.nxt
+              ELSE a.sym END AS sym
+  FROM adj a
+  LEFT JOIN starts s ON s.word = a.word AND s.mpos = a.pos
+  LEFT JOIN starts d ON d.word = a.word AND d.mpos + 1 = a.pos
+  WHERE d.mpos IS NULL
+),
+adj2 AS (
+  SELECT word, wc, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM merged
+),
+pair1 AS (
+  SELECT sym AS l, nxt AS r, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM adj2 WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT t.ml, t.mr, p.l, p.r, p.cnt
+FROM pair1 p, top t
+ORDER BY p.cnt DESC, p.l, p.r LIMIT {_BPE_TOPK}
+"""
+
+
 _COLLOC_MIN_PAIR = 5   # min bigram support — kills one-off pairings
 _COLLOC_TOPK = 50
 
@@ -4872,6 +5042,115 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_body_bytes long, checksum string"
         ),
     )
+
+
+_AU_MAGIC = b"AU01"
+_AU_SAMPLES = 2048   # 8-bit PCM samples per clip
+_AU_FRAME = 256      # samples per analysis frame -> 8 frames/clip
+_AU_DOC_MOD = 5      # audio exists on doc_id % 5 == 0 (bounded subset)
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy extraction over a BINARY column — the audio
+    twin of :func:`multimodal_decode`: synthesize an ``AU01`` PCM
+    container JVM-side (4-byte magic, 4-byte big-endian sample count,
+    then ``_AU_SAMPLES`` unsigned 8-bit samples — the sample law
+    s(i) = ((doc_id·31 + i·7) mod 256) − 128 is deterministic and
+    CLOSED-FORM), then decode it with genuine byte-level parsing in an
+    Arrow-batched ``mapInPandas`` — magic check, header field, numpy
+    ``frombuffer``, per-frame sum-of-squares energy and peak — exactly
+    the shape a soundfile/libav decoder plugs into (swap the synth
+    for ``sf.read(BytesIO(b))`` and the frame loop survives as-is).
+
+    Oracle strategy (the multimodal house rule): every output is
+    recomputable WITHOUT the container from the sample law via
+    ``generate_series`` — a wrong header offset, endianness, or frame
+    boundary in the decoder flips the hash. Energies are exact
+    BIGINTs (≤ 128²·256 per frame), peaks exact INTs — no float
+    leaves Python.
+
+    100 TB shape: map-only over the binary column (zero shuffle; the
+    ``doc_id % {mod}`` subset prunes at the scan), Arrow moves each
+    batch to Python once, output is narrow typed metadata — the same
+    contract as every decoder here."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _AU_DOC_MOD == 0
+    )
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    body = F.expr(
+        f"unhex(concat_ws('', transform(sequence(0, {_AU_SAMPLES - 1}),"
+        f" i -> lpad(hex(pmod(doc_id * 31 + i * 7, 256)), 2, '0'))))"
+    )
+    payload = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_AU_MAGIC), be32(F.lit(_AU_SAMPLES)), body
+        ).alias("payload"),
+    )
+
+    def energy_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                assert b[:4] == _AU_MAGIC, "bad audio magic"
+                n = int.from_bytes(b[4:8], "big")
+                pcm = (
+                    np.frombuffer(b[8:], dtype=np.uint8).astype(np.int64)
+                    - 128
+                )
+                assert len(pcm) == n, "truncated PCM body"
+                frames = pcm.reshape(-1, _AU_FRAME)
+                energy = (frames * frames).sum(axis=1)
+                peak = np.abs(frames).max(axis=1)
+                for fno in range(frames.shape[0]):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fno,
+                            _AU_FRAME,
+                            int(energy[fno]),
+                            int(peak[fno]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_samples", "energy", "peak"
+                ],
+            )
+
+    return payload.mapInPandas(
+        energy_batches,
+        schema=(
+            "doc_id long, frame_no int, n_samples int, "
+            "energy long, peak int"
+        ),
+    )
+
+
+multimodal_audio_energy.__doc__ = multimodal_audio_energy.__doc__.format(
+    mod=_AU_DOC_MOD
+)
+
+_AUDIO_ENERGY_SQL = f"""
+WITH samples AS (
+  SELECT d.doc_id, i,
+         (d.doc_id * 31 + i * 7) % 256 - 128 AS s
+  FROM documents d, generate_series(0, {_AU_SAMPLES - 1}) AS g(i)
+  WHERE d.doc_id % {_AU_DOC_MOD} = 0
+)
+SELECT doc_id,
+       CAST(i // {_AU_FRAME} AS INTEGER) AS frame_no,
+       {_AU_FRAME} AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(max(abs(s)) AS INTEGER) AS peak
+FROM samples
+GROUP BY doc_id, i // {_AU_FRAME}
+"""
 
 
 _PHASH_BANDS = 4        # 4 x 16-bit bands over the 64-bit fingerprint
@@ -6244,6 +6523,16 @@ FROM ranked GROUP BY doc_id
 
 _LINE_WORDS = 8  # synthetic "line" width (tokens) — see dedup_lines
 
+# Explicit ASCII whitespace class for the line-dedup family. The three
+# engines that must agree byte-for-byte disagree on ``\s``: Java's
+# includes \x0B, DuckDB's RE2 does not, and the pytest replica's
+# Python ``re`` is Unicode-aware — a vertical tab or a Unicode space
+# in a document would break oracle parity while looking like a Spark
+# bug. Every segmentation/normalization regex here uses this literal
+# class on BOTH sides instead; Unicode whitespace is deliberately NOT
+# collapsed (C4-style pipelines are byte-oriented at this stage).
+_WS = r" \t\n\r\f\x0B"
+
 
 def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style exact LINE dedup — the one standard corpus
@@ -6270,12 +6559,14 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     first one a 100 TB pipeline runs."""
     docs = load_table(spark, sf_dir, "documents")
     lined = F.regexp_replace(
-        F.col("text"), r"((?:\S+ ){%d}\S+) " % (_LINE_WORDS - 1), "$1\n"
+        F.col("text"),
+        r"((?:[^%s]+ ){%d}[^%s]+) " % (_WS, _LINE_WORDS - 1, _WS),
+        "$1\n",
     )
     ex = docs.select(
         "doc_id", F.posexplode(F.split(lined, "\n", -1)).alias("line_no", "line")
     )
-    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), "[%s]+" % _WS, " "))
     w = Window.partitionBy("line_hash").orderBy("doc_id", "line_no")
     ranked = ex.withColumn("line_hash", F.md5(norm)).withColumn(
         "rn", F.row_number().over(w)
@@ -6299,7 +6590,7 @@ _DEDUP_LINES_SQL = rf"""
 WITH lined AS (
   SELECT doc_id,
          string_split(regexp_replace(text,
-             '((?:\S+ ){{{_LINE_WORDS - 1}}}\S+) ', '\1' || chr(10), 'g'),
+             '((?:[^{_WS}]+ ){{{_LINE_WORDS - 1}}}[^{_WS}]+) ', '\1' || chr(10), 'g'),
            chr(10)) AS lines
   FROM documents
 ), ex AS (
@@ -6309,7 +6600,7 @@ WITH lined AS (
 ), ranked AS (
   SELECT doc_id, line_no, line,
          row_number() OVER (
-           PARTITION BY md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g')))
+           PARTITION BY md5(trim(regexp_replace(lower(line), '[{_WS}]+', ' ', 'g')))
            ORDER BY doc_id ASC, line_no ASC) AS rn
   FROM ex
 )
@@ -6343,12 +6634,14 @@ def dedup_lines_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one aggregate row, never a blow-up."""
     docs = load_table(spark, sf_dir, "documents")
     lined = F.regexp_replace(
-        F.col("text"), r"((?:\S+ ){%d}\S+) " % (_LINE_WORDS - 1), "$1\n"
+        F.col("text"),
+        r"((?:[^%s]+ ){%d}[^%s]+) " % (_WS, _LINE_WORDS - 1, _WS),
+        "$1\n",
     )
     ex = docs.select(
         "doc_id", F.posexplode(F.split(lined, "\n", -1)).alias("line_no", "line")
     )
-    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), "[%s]+" % _WS, " "))
     hashed = ex.withColumn("line_hash", F.md5(norm))
     boiler = (
         hashed.groupBy("line_hash")
@@ -6380,7 +6673,7 @@ _DEDUP_LINES_BOILER_SQL = rf"""
 WITH lined AS (
   SELECT doc_id,
          string_split(regexp_replace(text,
-             '((?:\S+ ){{{_LINE_WORDS - 1}}}\S+) ', '\1' || chr(10), 'g'),
+             '((?:[^{_WS}]+ ){{{_LINE_WORDS - 1}}}[^{_WS}]+) ', '\1' || chr(10), 'g'),
            chr(10)) AS lines
   FROM documents
 ), ex AS (
@@ -6389,7 +6682,7 @@ WITH lined AS (
   FROM lined
 ), hashed AS MATERIALIZED (
   SELECT doc_id, line_no, line,
-         md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS line_hash
+         md5(trim(regexp_replace(lower(line), '[{_WS}]+', ' ', 'g'))) AS line_hash
   FROM ex
 ), boiler AS (
   SELECT line_hash FROM hashed
@@ -6598,6 +6891,7 @@ QUERIES = {
     "text_ngrams": text_ngrams,
     "text_collocation_lift": text_collocation_lift,
     "text_zipf_fit": text_zipf_fit,
+    "text_bpe_merge": text_bpe_merge,
     "text_lang_stats": text_lang_stats,
     "text_sentiment_lexicon": text_sentiment_lexicon,
     "text_quality_score": text_quality_score,
@@ -6611,6 +6905,7 @@ QUERIES = {
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich_checked,
     "multimodal_decode": multimodal_decode,
+    "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_frame_sample": multimodal_frame_sample,
     "simsearch_hard_negatives": simsearch_hard_negatives,
@@ -6625,7 +6920,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
-    # dedup_near_minhash, dedup_simhash, simsearch_lsh:
+    # dedup_near_minhash, simsearch_lsh:
     # rows-only by design (sketches)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_containment": _DEDUP_CONTAIN_SQL,
@@ -6674,6 +6969,7 @@ ORACLES = {
     "text_ngrams": _TEXT_NGRAMS_SQL,
     "text_collocation_lift": _COLLOC_SQL,
     "text_zipf_fit": _ZIPF_SQL,
+    "text_bpe_merge": _BPE_SQL,
     "text_lang_stats": _TEXT_LANG_STATS_SQL,
     "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,
@@ -6687,6 +6983,7 @@ ORACLES = {
     "split_train_test": _SPLIT_SQL,
     "multimodal_enrich": _MULTIMODAL_ENRICH_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_audio_energy": _AUDIO_ENERGY_SQL,
     "multimodal_phash_dedup": _PHASH_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "simsearch_hard_negatives": _HARD_NEG_SQL,

@@ -384,14 +384,78 @@ FROM scored
 """
 
 
+_CURRICULUM_BUCKETS = 3   # easy / medium / hard
+_CURRICULUM_SHARDS = 8    # round-robin shard assignment over the order
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering — the step between sampling and
+    sequence packing when training wants easy→hard presentation:
+    bucket documents into ``_CURRICULUM_BUCKETS`` difficulty tiers
+    (short→long via ``ntile`` over (n_chars, doc_id) — the standard
+    cheap difficulty proxy; swap the ORDER BY for a model-scored
+    column and nothing else changes), then DETERMINISTICALLY shuffle
+    within each tier (md5(doc_id) — no ``rand()``, the repo-wide
+    replayability rule), emit the global training position and a
+    round-robin shard assignment.
+
+    Why the shuffle matters: without it a tier replays the corpus in
+    storage order — correlated batches. md5 gives a uniform, seedless
+    permutation that every re-run, retry and engine reproduces.
+
+    Shape: ntile + row_number are two window passes over (bucket)
+    partitions; at 100 TB ntile over a single global ORDER BY would
+    serialize, so the production variant computes tier BOUNDARIES from
+    approx quantiles of n_chars (one tiny collect) and maps rows by
+    range — the fixture key keeps exact ntile so the oracle is exact;
+    positions stay per-shard-writable because the final sort is only
+    within the write of each shard's file."""
+    docs = load_table(spark, sf_dir, "documents")
+    wtier = Window.orderBy("n_chars", "doc_id")
+    tiered = docs.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(_CURRICULUM_BUCKETS).over(wtier).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuf"),
+    )
+    wpos = Window.orderBy("bucket", "shuf", "doc_id")
+    return tiered.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(wpos).alias("position"),
+        ((F.row_number().over(wpos) - 1) % _CURRICULUM_SHARDS).alias(
+            "shard_id"
+        ),
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH tiered AS (
+  SELECT doc_id, n_chars,
+         ntile({_CURRICULUM_BUCKETS}) OVER (ORDER BY n_chars, doc_id)
+           AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS shuf
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(row_number() OVER w AS BIGINT) AS position,
+       CAST((row_number() OVER w - 1) % {_CURRICULUM_SHARDS} AS BIGINT)
+         AS shard_id
+FROM tiered
+WINDOW w AS (ORDER BY bucket, shuf, doc_id)
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "corpus_sample_mixture": corpus_sample_mixture,
     "quality_unigram_logprob": quality_unigram_logprob,
     "quality_bigram_logprob": quality_bigram_logprob,
+    "corpus_curriculum_order": corpus_curriculum_order,
 }
 
 ORACLES = {
+    "corpus_curriculum_order": _CURRICULUM_SQL,
     "sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "corpus_sample_mixture": _MIXTURE_SQL,
     "quality_unigram_logprob": _UNIGRAM_SQL,

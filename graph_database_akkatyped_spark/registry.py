@@ -38,74 +38,70 @@ _MODULES = (
     "graph_database_akkatyped_spark.streaming.sinks",
 )
 
-# driver-sweep priority, rotated for round 7. The driver checks the
-# first ~50 keys per round; union coverage r1-r6 is complete except
-# multimodal_decode (renamed after its r3 check), and 50 keys' only
-# driver evidence is still round 1 — so round 7's budget goes to
-# exactly those, per the round-6 verdict.
 _SWEEP_ORDER = (
-    # -- block 1 (round-7 rotation; grew to 63 keys as the round added
-    # operators, so the ~50-key budget cuts ~13 keys before the end —
-    # the tail is chosen to be the least critical: flagship is
-    # smoke-run by entry() every round anyway, agg_approx_distinct is
-    # rows-only by design, and the agg_* / skew / profile / set_* /
-    # pivot / subquery keys are exercised by bench and the sf0.1 sweep
-    # every round. The cut keys MUST lead round 8's rotation. Order:
-    # 1) the 7 NEW round-7 keys (dedup_lines, the IVF rebalance pair,
-    #    the IVFADC pair, stream_ivf_assign, the CUSUM detector),
-    # 2) the 3 keys whose ORACLE changed this round (mst_boruvka and
-    #    greedy_coloring: rows-only -> unrolled SQL-hash;
-    #    dedup_simhash: md5 token hash -> SQL-hash),
-    # 3) multimodal_decode (realized in r6 under a new name; zero
-    #    driver evidence under the current name),
-    # 4) stream_scd2 + simsearch_ivf_partitioned (implementation
-    #    touched this round: block-id attribution / layout caching),
-    # 5) the 50 keys whose only driver sample is round 1, cheapest
-    #    first (scan/sink -> builders -> joins -> aggs -> windows ->
-    #    grouping -> sets -> pivot/subquery), least-critical last.
+    # driver-sweep priority, rotated for ROUND 8. The driver checks the
+    # first ~50 keys per round. Block 1 layout:
+    # 1) the 6 NEW round-8 keys (autocorr, MAD anomaly, BPE merge step,
+    #    audio energy, curriculum order, backfill merge),
+    # 2) the 14 keys round 7's 50-key budget cut (the block-1 tail the
+    #    round-7 rotation comment promised would lead round 8),
+    # 3) the 11 keys whose oracle or implementation was touched this
+    #    round (line-dedup whitespace class, unroll-exhaustion
+    #    sentinels in the MST/JP/MIS oracles, the layout_dir cache
+    #    refactor under the IVF layout + stream replay splits),
+    # 4) the 6 keys whose only driver evidence is round 2, then the
+    #    round-3 cohort, cheapest/most-central first — the ~50-key
+    #    budget cuts inside this tier; whatever it cuts (the text/udf
+    #    tail) leads round 9.
     # RULE (unchanged): any NEW key must be added to block 1
     # explicitly — an unranked key sorts first (rank -1), which is
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
-    "dedup_lines", "simsearch_ivf_rebalance", "simsearch_recall_rebalance",
-    "simsearch_ivfadc", "simsearch_recall_ivfadc", "stream_ivf_assign",
-    "timeseries_changepoint_cusum", "dedup_simhash",
-    "dedup_lines_boilerplate",
-    "graph_mst_boruvka", "graph_greedy_coloring", "multimodal_decode",
-    "stream_scd2", "simsearch_ivf_partitioned", "scan_parquet", "scan_pruned",
-    "sink_parquet", "sink_csv_roundtrip", "sink_json_roundtrip",
-    "filter_project", "build_vertices", "build_edges", "vertex_lookup",
-    "neighbors_out", "degree_out", "degree_in", "degree_distribution",
-    "join_inner_hash", "join_broadcast", "join_left", "join_full",
-    "join_semi", "join_anti", "join_theta_range", "join_cross_small",
-    "join_asof_nearest", "agg_distinct", "agg_minmax_by", "agg_mode",
-    "agg_listagg", "grouping_rollup", "grouping_cube", "grouping_sets",
-    "window_rank", "window_running", "window_lead_lag", "window_range_frame",
-    "window_first_last", "window_ntile", "sort_limit_topk", "set_union",
-    "set_intersect", "set_except", "pivot_segment", "unpivot_melt",
-    "subquery_in", "subquery_scalar", "flagship", "agg_hash", "agg_moments",
-    "agg_percentiles", "agg_approx_distinct", "join_salted_skew",
-    "table_profile",
-    # -- block 2: driver-green keys (r2-r6 evidence), prior relative
-    # order preserved; the head (events_markov..basket rows) is the
-    # round-6 cohort, the tail the long-green r1-r5 keys.
-    "events_markov_transitions", "timeseries_ohlc", "events_burst_zscore",
-    "timeseries_ewma", "dedup_containment", "graph_mis_luby",
+    "timeseries_autocorr", "timeseries_anomaly_mad", "text_bpe_merge",
+    "multimodal_audio_energy", "corpus_curriculum_order",
+    "stream_backfill_merge", "set_union", "set_intersect", "set_except",
+    "pivot_segment", "unpivot_melt", "subquery_in", "subquery_scalar",
+    "flagship", "agg_hash", "agg_moments", "agg_percentiles",
+    "agg_approx_distinct", "join_salted_skew", "table_profile",
+    "dedup_lines", "dedup_lines_boilerplate", "graph_mst_boruvka",
+    "graph_greedy_coloring", "graph_mis_luby", "simsearch_ivf_partitioned",
+    "stream_sink_idempotent", "stream_scd2", "stream_ivf_assign",
+    "stream_graph_degree", "stream_graph_pagerank", "sssp_weighted",
+    "label_propagation", "path_exists", "text_lang_stats",
+    "stream_watermark_late", "stream_stateful_count", "source_event_stream",
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_json",
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "dedup_exact", "simsearch_topk", "text_wordcount", "text_tfidf",
+    "text_ngrams", "text_sentiment_lexicon", "simsearch_pairs_label",
+    "udf_python", "udf_pandas", "udaf_applyinpandas", "udtf_python",
+    "simsearch_ivf_rebalance", "simsearch_recall_rebalance",
+    "simsearch_ivfadc", "simsearch_recall_ivfadc",
+    "timeseries_changepoint_cusum", "dedup_simhash", "multimodal_decode",
+    "scan_parquet", "scan_pruned", "sink_parquet", "sink_csv_roundtrip",
+    "sink_json_roundtrip", "filter_project", "build_vertices", "build_edges",
+    "vertex_lookup", "neighbors_out", "degree_out", "degree_in",
+    "degree_distribution", "join_inner_hash", "join_broadcast", "join_left",
+    "join_full", "join_semi", "join_anti", "join_theta_range",
+    "join_cross_small", "join_asof_nearest", "agg_distinct", "agg_minmax_by",
+    "agg_mode", "agg_listagg", "grouping_rollup", "grouping_cube",
+    "grouping_sets", "window_rank", "window_running", "window_lead_lag",
+    "window_range_frame", "window_first_last", "window_ntile",
+    "sort_limit_topk", "events_markov_transitions", "timeseries_ohlc",
+    "events_burst_zscore", "timeseries_ewma", "dedup_containment",
     "text_collocation_lift", "stream_stream_left_join", "simsearch_mmr",
     "quality_bigram_logprob", "pack_lpt_shards", "dedup_semantic_recall",
-    "multimodal_phash_dedup", "text_zipf_fit", "stream_graph_pagerank",
-    "dedup_containment_smallside", "embedding_matryoshka_recall",
-    "basket_association_rules", "simsearch_binary_hamming",
-    "agg_weighted_median", "timeseries_seasonal_profile",
-    "link_predict_resource_alloc", "gnn_sample_fanout", "simsearch_range",
-    "decontam_semantic", "text_bm25_topk", "quality_hashed_linear",
-    "text_chunk_cdc", "join_asof_forward", "dedup_banding_recall",
-    "corpus_pipeline_funnel", "knn_graph_build", "semantic_clusters",
-    "graph_node2vec_walks", "community_louvain_multi", "simsearch_ivf_append",
-    "cc_incremental", "link_predict_jaccard", "merge_scd2",
-    "timeseries_interpolate", "sketch_countmin_heavy",
-    "simsearch_ivf_filtered", "simsearch_recall_filtered", "dedup_semantic",
-    "stream_graph_degree", "community_louvain_l1", "stream_sink_idempotent",
+    "multimodal_phash_dedup", "text_zipf_fit", "dedup_containment_smallside",
+    "embedding_matryoshka_recall", "basket_association_rules",
+    "simsearch_binary_hamming", "agg_weighted_median",
+    "timeseries_seasonal_profile", "link_predict_resource_alloc",
+    "gnn_sample_fanout", "simsearch_range", "decontam_semantic",
+    "text_bm25_topk", "quality_hashed_linear", "text_chunk_cdc",
+    "join_asof_forward", "dedup_banding_recall", "corpus_pipeline_funnel",
+    "knn_graph_build", "semantic_clusters", "graph_node2vec_walks",
+    "community_louvain_multi", "simsearch_ivf_append", "cc_incremental",
+    "link_predict_jaccard", "merge_scd2", "timeseries_interpolate",
+    "sketch_countmin_heavy", "simsearch_ivf_filtered",
+    "simsearch_recall_filtered", "dedup_semantic", "community_louvain_l1",
     "build_user_graph_capped", "dedup_keep_best",
     "corpus_token_budget_sample", "triangle_count_approx", "dedup_paragraph",
     "betweenness_sampled", "corpus_dedup_report", "simsearch_filtered_topk",
@@ -119,42 +115,35 @@ _SWEEP_ORDER = (
     "simsearch_pq", "simsearch_recall_pq", "quality_unigram_logprob",
     "dedup_near_minhash", "dedup_ngram_jaccard", "simsearch_recall_lsh",
     "simsearch_recall", "join_interval_bucketed", "katz_centrality",
-    "agg_sketch_epoch_merge", "stream_sampled_ingest", "zorder_layout_ranged",
-    "motif_find_nonmutual", "hits_hubs_authorities", "harmonic_closeness",
-    "simsearch_hard_negatives", "stream_cdc_snapshot",
+    "agg_sketch_epoch_merge", "stream_sampled_ingest",
+    "zorder_layout_ranged", "motif_find_nonmutual", "hits_hubs_authorities",
+    "harmonic_closeness", "simsearch_hard_negatives", "stream_cdc_snapshot",
     "dedup_substring_shingle", "snapshot_diff", "embedding_kmeans_lloyd",
     "events_pattern_match", "community_modularity", "revenue_pareto",
     "stream_stateful_topk", "langid_confusion", "quality_gopher_rules",
     "sample_stratified", "stream_stateful_ttl", "incremental_agg_merge",
     "sink_compacted", "corpus_sample_mixture", "skew_profile",
     "stream_stateful_minmax", "zorder_layout", "dedup_clusters",
-    "pagerank_personalized", "label_propagation", "sssp_weighted",
-    "stream_minhash_signature", "sssp_user_weighted", "stream_stream_join",
-    "fn_explode", "fn_conditional", "fn_bitwise", "fn_hash", "fn_hash_native",
+    "pagerank_personalized", "stream_minhash_signature",
+    "sssp_user_weighted", "stream_stream_join", "fn_explode",
+    "fn_conditional", "fn_bitwise", "fn_hash", "fn_hash_native",
     "fn_string_rewrite", "text_token_count", "sink_orc_roundtrip",
     "fn_regexp", "embedding_quantize", "triangle_count",
-    "source_event_stream", "sink_partitioned_pruned", "fn_string", "fn_date",
-    "text_quality_score", "fn_array", "window_distribution", "fn_math",
-    "text_chunk_sliding", "stream_watermark_late", "text_lang_stats",
-    "text_fingerprint", "doc_length_histogram", "dedup_exact",
-    "stream_static_join", "fn_json", "pii_redact", "graph_summary_stats",
-    "stream_dedup", "journal_intervals", "text_normalize",
-    "dedup_materialize", "text_wordcount", "corpus_training_manifest",
-    "edge_jaccard", "events_anomaly_hours", "timeseries_multires_rollup",
-    "clustering_coefficient", "path_exists", "text_repetition",
-    "corpus_mix_weights", "sample_hash", "stream_session",
-    "curation_filter_report", "stream_stateful_count",
-    "timeseries_gapfill", "stream_sliding", "split_train_test",
+    "sink_partitioned_pruned", "text_quality_score", "window_distribution",
+    "text_chunk_sliding", "text_fingerprint", "doc_length_histogram",
+    "stream_static_join", "pii_redact", "graph_summary_stats",
+    "journal_intervals", "text_normalize", "dedup_materialize",
+    "corpus_training_manifest", "edge_jaccard", "events_anomaly_hours",
+    "timeseries_multires_rollup", "clustering_coefficient",
+    "text_repetition", "corpus_mix_weights", "sample_hash",
+    "curation_filter_report", "timeseries_gapfill", "split_train_test",
     "udf_mapinarrow", "graph_activity_timeline", "agg_filtered",
-    "simsearch_topk", "agg_approx_percentile", "rfm_segmentation",
-    "sessionize_events", "text_ngrams", "udf_python", "sssp_pred_tree",
-    "build_user_graph", "udf_pandas", "udaf_applyinpandas",
-    "funnel_conversion", "udtf_python", "decontam_ngram_overlap",
-    "retention_cohorts", "simsearch_ivf", "text_tfidf",
+    "agg_approx_percentile", "rfm_segmentation", "sessionize_events",
+    "sssp_pred_tree", "build_user_graph", "funnel_conversion",
+    "decontam_ngram_overlap", "retention_cohorts", "simsearch_ivf",
     "dedup_embedding_cosine", "text_langid_ngram", "dedup_incremental",
     "simsearch_hybrid_rrf", "simsearch_lsh", "text_minhash_signature",
-    "udaf_cogrouped_asof", "text_sentiment_lexicon", "stream_topk_types",
-    "simsearch_pairs_label", "bipartite_copurchase", "stream_tumbling",
+    "udaf_cogrouped_asof", "stream_topk_types", "bipartite_copurchase",
     "sql_recursive_reachability",
 )
 

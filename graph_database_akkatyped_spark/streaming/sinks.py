@@ -38,6 +38,7 @@ from graph_database_akkatyped_spark.caching import (
     _unpersist_ids,
     cut,
     cut_block_ids,
+    layout_dir,
     memoized_checkpoint,
 )
 from graph_database_akkatyped_spark.catalog import load_table
@@ -144,21 +145,20 @@ class IdempotentSnapshotStore:
         )
 
 
-_SPLIT_DIRS: dict[str, str] = {}
-
-
 def _split_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """events rewritten as ``_N_SPLITS`` parquet files (hash-split on
     user_id) so the file stream source with maxFilesPerTrigger=1 yields
     a genuine multi-micro-batch run; ts is normalized at write time so
-    the stream read needs no nanos handling. Cached per sf_dir."""
-    if sf_dir not in _SPLIT_DIRS:
-        d = tempfile.mkdtemp(prefix="spark_graft_split_")
-        load_table(spark, sf_dir, "events").repartition(
-            _N_SPLITS, "user_id"
-        ).write.mode("overwrite").parquet(d)
-        _SPLIT_DIRS[sf_dir] = d
-    return _SPLIT_DIRS[sf_dir]
+    the stream read needs no nanos handling. Cached per sf_dir via
+    ``caching.layout_dir`` (evicted + rmtree'd by clear_frame_cache)."""
+    return layout_dir(
+        "split",
+        sf_dir,
+        lambda d: load_table(spark, sf_dir, "events")
+        .repartition(_N_SPLITS, "user_id")
+        .write.mode("overwrite")
+        .parquet(d),
+    )
 
 
 def run_sink_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,14 +652,14 @@ class IncrementalScd2Store:
 def _split_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     """orders rewritten as ``_N_SPLITS`` parquet files (hash-split on
     o_custkey) for a genuine multi-micro-batch replay. Cached."""
-    key = f"{sf_dir}#orders"
-    if key not in _SPLIT_DIRS:
-        d = tempfile.mkdtemp(prefix="spark_graft_osplit_")
-        load_table(spark, sf_dir, "orders").repartition(
-            _N_SPLITS, "o_custkey"
-        ).write.mode("overwrite").parquet(d)
-        _SPLIT_DIRS[key] = d
-    return _SPLIT_DIRS[key]
+    return layout_dir(
+        "osplit",
+        sf_dir,
+        lambda d: load_table(spark, sf_dir, "orders")
+        .repartition(_N_SPLITS, "o_custkey")
+        .write.mode("overwrite")
+        .parquet(d),
+    )
 
 
 def run_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,9 +748,6 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------- streaming IVF maintenance
 
-_EMB_SPLIT_DIRS: dict[str, str] = {}
-
-
 def _emb_split_dir(spark: SparkSession, sf_dir: str) -> str:
     """The APPENDED embedding slice (label >= the rebalance base, i.e.
     the vectors that arrive after the index freeze) rewritten as
@@ -761,14 +758,15 @@ def _emb_split_dir(spark: SparkSession, sf_dir: str) -> str:
         _REBAL_BASE_LABELS,
     )
 
-    key = f"{sf_dir}#emb"
-    if key not in _EMB_SPLIT_DIRS:
-        d = tempfile.mkdtemp(prefix="spark_graft_embsplit_")
-        load_table(spark, sf_dir, "embeddings").where(
-            F.col("label") >= _REBAL_BASE_LABELS
-        ).repartition(_N_SPLITS, "vec_id").write.mode("overwrite").parquet(d)
-        _EMB_SPLIT_DIRS[key] = d
-    return _EMB_SPLIT_DIRS[key]
+    return layout_dir(
+        "embsplit",
+        sf_dir,
+        lambda d: load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") >= _REBAL_BASE_LABELS)
+        .repartition(_N_SPLITS, "vec_id")
+        .write.mode("overwrite")
+        .parquet(d),
+    )
 
 
 class IncrementalIvfStore:
@@ -951,16 +949,148 @@ SELECT vec_id, label, cell, cell <> label AS drifted FROM (
 """
 
 
+# ---------------------------------------- batch backfill + stream tail
+
+_BACKFILL_DAYS = 15  # cutoff = day0 + 15 d — splits the 30-day journal
+
+
+class BackfillMergeStore:
+    """Batch-backfill + streaming-tail merge — the pattern that
+    retires a lambda architecture: ONE aggregation definition, applied
+    once to the history (a batch job over everything before the
+    cutoff) and incrementally to the tail (micro-batches at/after the
+    cutoff), with the merged table required to equal a from-scratch
+    batch recompute over the whole journal. The oracle is exactly that
+    recompute — cutoff-free BY DESIGN: if any event were double-counted
+    across the seam (or a replayed batch re-applied), the value hash
+    breaks.
+
+    State is a list of per-batch partial aggregates (each cut
+    eagerly); the snapshot re-aggregates backfill + partials — the
+    standard partial/final split, so each trigger costs O(batch) and
+    the history is never rescanned. Replay-safe via the same batch-id
+    ledger as ``IncrementalScd2Store``."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.applied: set[int] = set()
+        self.partials: list[DataFrame] = []
+        self.n_skipped_replays = 0
+
+    def apply(self, batch_agg: DataFrame, batch_id: int) -> None:
+        """``batch_agg``: cut partial (user_id, event_type, n, cents)."""
+        if batch_id in self.applied:
+            self.n_skipped_replays += 1
+            return
+        self.partials.append(batch_agg)
+        self.applied.add(batch_id)
+
+
+def run_stream_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full backfill+tail run: history aggregated in one batch
+    pass, the tail replayed as genuine micro-batches through
+    ``foreachBatch``, the final batch replayed through the ledger (the
+    post-failure path), then the merged per-(user, type) table."""
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events")
+    day0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0")).collect()[0][
+        "d0"
+    ]
+    cutoff = day0 + datetime.timedelta(days=_BACKFILL_DAYS)
+    cents = F.floor(F.col("value") * 100).cast("long")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+
+    backfill = cut(agg(ev.where(F.col("ts") < F.lit(cutoff))))
+    store = BackfillMergeStore(spark)
+    split_dir = _split_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    last: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        part = cut(agg(batch_df.where(F.col("ts") >= F.lit(cutoff))))
+        last.append((part, batch_id))
+        store.apply(part, batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_backfill_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(store.applied) >= 2
+    part, batch_id = last[-1]
+    store.apply(part, batch_id)  # ledger replay: must be skipped
+    assert store.n_skipped_replays >= 1
+    merged = backfill
+    for p in store.partials:
+        merged = merged.unionByName(p)
+    snap = merged.groupBy("user_id", "event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )
+    snap._bf_ckpt = ckpt
+    snap._bf_partials = [backfill, *store.partials]
+    return snap
+
+
+def stream_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered backfill+tail key; memoized with the same leak
+    hygiene as the other stream stores (partial blocks freed,
+    checkpoint dir removed). The oracle is the cutoff-free batch
+    recompute over the full journal."""
+    holder: dict = {}
+
+    def build() -> DataFrame:
+        snap = run_stream_backfill_merge(spark, sf_dir)
+        holder["ckpt"] = snap._bf_ckpt
+        holder["partials"] = snap._bf_partials
+        return snap
+
+    out = memoized_checkpoint(spark, "stream_backfill", sf_dir, build)
+    if "ckpt" in holder:
+        stray: set[int] = set()
+        for p in holder["partials"]:
+            stray |= cut_block_ids(p)
+        _unpersist_ids(spark, stray)
+        shutil.rmtree(holder["ckpt"], ignore_errors=True)
+    return out
+
+
+_BACKFILL_MERGE_SQL = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
 QUERIES = {
     "stream_sink_idempotent": stream_sink_idempotent,
     "stream_graph_degree": stream_graph_degree,
     "stream_scd2": stream_scd2,
     "stream_graph_pagerank": stream_graph_pagerank,
     "stream_ivf_assign": stream_ivf_assign,
+    "stream_backfill_merge": stream_backfill_merge,
 }
 
 ORACLES = {
     "stream_sink_idempotent": _SINK_IDEMPOTENT_SQL,
+    "stream_backfill_merge": _BACKFILL_MERGE_SQL,
     "stream_graph_degree": _GRAPH_DEGREE_SQL,
     "stream_ivf_assign": _stream_ivf_oracle(),
 }

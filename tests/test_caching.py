@@ -158,3 +158,49 @@ def test_clear_frame_cache_is_scoped_by_sf_dir(spark):
     assert ("scope_probe", "/tmp/fake_a") not in caching._CACHE
     clear_frame_cache()
     assert persistent_rdd_ids(spark) - baseline == set()
+
+def test_layout_dir_memoizes_and_evicts(spark):
+    import os
+
+    from graph_database_akkatyped_spark.caching import layout_dir
+
+    calls = []
+
+    def build(path):
+        calls.append(path)
+        with open(os.path.join(path, "marker"), "w") as fh:
+            fh.write("x")
+
+    d1 = layout_dir("probe_layout", "/tmp/fake_a", build)
+    d2 = layout_dir("probe_layout", "/tmp/fake_a", build)
+    assert d1 == d2 and len(calls) == 1  # memo hit, no rebuild
+    other = layout_dir("probe_layout", "/tmp/fake_b", build)
+    assert other != d1 and len(calls) == 2
+    # scoped eviction removes ONLY the matching sf_dir's layout — and
+    # removes it from DISK, so a regenerated input rebuilds cleanly
+    clear_frame_cache("/tmp/fake_a")
+    assert not os.path.exists(d1)
+    assert os.path.exists(other)
+    d3 = layout_dir("probe_layout", "/tmp/fake_a", build)
+    assert len(calls) == 3 and os.path.exists(d3)
+    clear_frame_cache()
+    assert not os.path.exists(d3) and not os.path.exists(other)
+
+
+def test_layout_dir_failed_build_rolls_back(spark):
+    import os
+
+    from graph_database_akkatyped_spark import caching
+    from graph_database_akkatyped_spark.caching import layout_dir
+
+    def bad(path):
+        raise RuntimeError("boom")
+
+    try:
+        layout_dir("probe_bad", "/tmp/fake_a", bad)
+    except RuntimeError:
+        pass
+    assert ("probe_bad", "/tmp/fake_a") not in caching._LAYOUT_DIRS
+    ok = layout_dir("probe_bad", "/tmp/fake_a", lambda p: None)
+    assert os.path.exists(ok)
+    clear_frame_cache()

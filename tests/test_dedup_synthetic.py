@@ -452,3 +452,34 @@ def test_line_boilerplate_drops_all_copies(spark, lines_dir):
     con = _duck_for(lines_dir, "documents")
     oracle_pd = con.execute(llm._DEDUP_LINES_BOILER_SQL).fetchdf()
     assert not compare(out, oracle_pd)
+
+
+def test_bpe_merge_greedy_nonoverlap(spark, tmp_path_factory):
+    """Planted corpus pinning the BPE step end-to-end: 'aa' must win
+    the pair vote, and the greedy left-to-right apply must merge
+    'aaaa' into [aa, aa] and 'aaa' into [aa, a] (run-parity rule),
+    never the overlapping variants."""
+    d = tmp_path_factory.mktemp("bpe")
+    texts = ["aaaa aaa xy", "aaaa xy", "aaa"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    rows = llm.text_bpe_merge(spark, str(d)).collect()
+    assert rows, "no pairs returned"
+    # chosen merge: 'a','a' (aa appears 3+2+2+1... dominates)
+    assert (rows[0].ml, rows[0].mr) == ("a", "a")
+    got = {(r.l, r.r): r.cnt for r in rows}
+    # word counts: aaaa x2, aaa x2, xy x2
+    # post-merge sequences: aaaa -> [aa, aa]; aaa -> [aa, a]; xy -> [x, y]
+    assert got[("aa", "aa")] == 2
+    assert got[("aa", "a")] == 2
+    assert got[("x", "y")] == 2
+    # overlapping merge artifacts must not exist
+    assert ("a", "aa") not in got
