@@ -119,13 +119,41 @@ def cut(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     """Eagerly materialize ``df`` and truncate its lineage — the one
     cut-point every iterative kernel goes through. ``reliable=None``
     follows the session-wide policy (see module docstring for the
-    executor-loss semantics of each mode)."""
+    executor-loss semantics of each mode).
+
+    STATS RESET (load-bearing): ``checkpoint``/``localCheckpoint``
+    return a ``LogicalRDD`` that INHERITS the origin plan's size
+    estimate, and join estimates MULTIPLY — so in an iterative kernel
+    where round r+1's cut is built from joins of round r's cuts, the
+    inherited sizeInBytes grows as a power tower (measured: digits
+    DOUBLE per self-join round; by round ~20 the driver spends
+    minutes per query in BigInteger Toom-Cook multiplications inside
+    SizeInBytesOnlyStatsPlanVisitor — the Borůvka kernel "hang" the
+    round-8 rehearsal caught). The checkpointed RDD is therefore
+    rewrapped in a FRESH LogicalRDD with no origin stats: the same
+    materialized blocks (same RDD id — ``cut_block_ids`` attribution
+    still holds), but the size estimate resets to
+    ``spark.sql.defaultSizeInBytes``. Consequence: a cut frame is
+    never AUTO-broadcast by the static planner (the default is
+    Long.MaxValue exactly so unknown inputs aren't) — small-side
+    broadcasts of cut frames must stay explicit ``F.broadcast``
+    (repo style already does), and AQE still converts shuffle joins
+    to broadcast at runtime from TRUE materialized sizes."""
     if reliable is None:
         reliable = _RELIABLE
     if reliable:
         ensure_checkpoint_dir(df.sparkSession)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        ck = df.checkpoint(eager=True)
+    else:
+        ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        fresh = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().analyzed().rdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, df.sparkSession)
+    except Exception:  # non-LogicalRDD checkpoint shape — keep as-is
+        return ck
 
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:

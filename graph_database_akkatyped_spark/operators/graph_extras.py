@@ -1310,12 +1310,146 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_doubling(verts: DataFrame, edges_sym: DataFrame,
+                 max_iter: int = 40) -> DataFrame:
+    """CC by min-label propagation WITH pointer doubling — O(log d)
+    rounds where plain propagation (cc_frame's Pregel) needs O(d).
+    Built for Borůvka's CONTRACTION graphs: each round's best-edge
+    picks form a pseudo-forest whose components can be long CHAINS of
+    merged super-vertices, and the round-8 rehearsal measured the
+    O(d) kernel spending 48 s on a 34-vertex chain (~30 fixed-cost
+    Pregel supersteps) while handling the 20k-vertex round-1 graph in
+    6 s. Each doubling step is one neighbor-min join + one label-of-
+    label lookup join (labels are vertex ids, so the label table IS
+    the lookup table) — a path of length d collapses in ~log2(d)
+    steps. Early exit on a converged step (no label changed).
+    Labels are component-min ids; Borůvka only needs a consistent
+    partition, so the label choice does not affect the picked edges.
+    Returns (id, component)."""
+    lab = cut(verts.select("id", F.col("id").alias("l")))
+    for _ in range(max_iter):
+        la = lab.select(F.col("id").alias("a"), F.col("l").alias("la"))
+        lb = lab.select(F.col("id").alias("b"), F.col("l").alias("lb"))
+        nmin = (
+            edges_sym.join(la, "a")
+            .join(lb, "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("lb").alias("nm"))
+        )
+        prop = lab.join(nmin, "id", "left").select(
+            "id", F.least("l", F.coalesce("nm", "l")).alias("l")
+        )
+        look = prop.select(F.col("id").alias("k"), F.col("l").alias("kl"))
+        nxt = cut(
+            prop.join(look, prop["l"] == look["k"], "left").select(
+                prop["id"],
+                F.least(prop["l"], F.coalesce(look["kl"], prop["l"])).alias(
+                    "l"
+                ),
+            )
+        )
+        changed = (
+            nxt.join(lab.withColumnRenamed("l", "l0"), "id")
+            .where(F.col("l") != F.col("l0"))
+            .limit(1)
+            .count()
+        )
+        lab = nxt
+        if changed == 0:
+            break
+    return lab.select("id", F.col("l").alias("component"))
+
+
+def cc_twophase_frame(verts: DataFrame, edges_sym: DataFrame,
+                      max_iter: int = 60) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the canonical shuffle-native CC whose
+    round count is O(log² n) REGARDLESS of graph diameter. This is
+    the kernel for high-diameter graphs (spanning trees, long chains
+    of contracted super-vertices) where min-label propagation
+    (cc_frame) pays O(diameter) supersteps and even pointer doubling
+    (_cc_doubling) measured 92 rounds on a 20k-vertex spanning tree;
+    this kernel closes the same tree in a handful of rounds.
+
+    Per round, each phase is one groupBy + one join over the CURRENT
+    edge set (which only shrinks after dedup): large-star points every
+    neighbor v > u at u's local min; small-star points the v ≤ u
+    neighbors there. At the fixed point the edge set is a union of
+    stars rooted at component minima, read off as the final labeling.
+    Convergence is detected by edge-set equality (two anti-joins), so
+    termination is exact, not probabilistic. Returns (id, component);
+    isolated vertices label themselves."""
+    e = cut(
+        edges_sym.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    for _ in range(max_iter):
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # large-star: (v, m) for v > u; never a self-loop (m <= u < v)
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+        )
+        e1 = cut(
+            large.where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        sym1 = e1.select("u", "v").unionByName(
+            e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins1 = sym1.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # small-star: (v, m) for v <= u, plus (u, m) to keep u attached
+        small = (
+            sym1.join(mins1, "u")
+            .where(F.col("v") <= F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .unionByName(mins1.select(F.col("m").alias("u"), F.col("u").alias("v")))
+        )
+        e2 = cut(
+            small.where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        unchanged = (
+            e2.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+            and e.join(e2, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        e = e2
+        if unchanged:
+            break
+    # fixed point: stars rooted at component minima
+    root = (
+        e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+    return verts.join(root, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
     """Frame-level Borůvka kernel over canonical weighted edges
     (a, b, weight) — extracted from :func:`graph_mst_boruvka` (the
     mis_frame pattern) so scale rehearsals can drive it on synthetic
     graphs. Returns (a, b, weight, round)."""
-    from graph_database_akkatyped_spark.operators.algos import cc_frame
 
     comp = (
         edges.select(F.col("a").alias("v"))
@@ -1363,7 +1497,12 @@ def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
         ).unionByName(
             sel.select(F.col("oc").alias("a"), F.col("comp").alias("b"))
         )
-        relabel = cc_frame(cverts, cg_sym).select(
+        # two-phase CC, not min-label propagation: the contraction
+        # graph is a pseudo-forest of best-edge picks whose components
+        # can be long CHAINS of merged super-vertices — O(diameter)
+        # kernels pay a superstep per hop there, two-phase closes any
+        # chain in O(log²) rounds
+        relabel = cc_twophase_frame(cverts, cg_sym).select(
             F.col("id").alias("c"), F.col("component").alias("c_new")
         )
         comp = cut(

@@ -399,3 +399,63 @@ def test_link_predict_jaccard_invariants(spark):
         lst.sort(key=lambda r: r["rnk"])
         keys = [(-r["jacc_e6"], -r["cn"], r["y"]) for r in lst]
         assert keys == sorted(keys), x
+
+
+def test_cc_twophase_matches_union_find(spark):
+    """cc_twophase_frame == a python union-find on a random graph AND
+    closes a high-diameter path — the case O(diameter) kernels
+    (cc_frame, pointer doubling) cannot afford, which is exactly why
+    the Borůvka contraction uses this kernel."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        cc_twophase_frame,
+    )
+
+    random.seed(11)
+    n, m = 400, 320
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(m)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_members: dict = {}
+    for v in range(n):
+        comp_members.setdefault(find(v), []).append(v)
+    canon = {}
+    for vs in comp_members.values():
+        mn = min(vs)
+        for v in vs:
+            canon[v] = mn
+
+    e = spark.createDataFrame(edges, "a long, b long")
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    verts = spark.range(n).select(F.col("id"))
+    got = {
+        r["id"]: r["component"]
+        for r in cc_twophase_frame(verts, sym).collect()
+    }
+    assert got == canon
+
+    # shuffled-id path: one component, labeled by its min id
+    perm = list(range(300))
+    random.shuffle(perm)
+    pe = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(299)], "a long, b long"
+    )
+    psym = pe.unionByName(
+        pe.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    plab = cc_twophase_frame(spark.range(300).select("id"), psym)
+    assert plab.select("component").distinct().count() == 1
+    assert plab.agg(F.min("component")).collect()[0][0] == 0
