@@ -1263,7 +1263,10 @@ FROM (
 
 # --------------------------------------------------- Borůvka spanning forest
 
-_MST_MAX_ROUNDS = 16  # components at least halve per round -> 2^16 verts
+_MST_MAX_ROUNDS = 24  # components at least halve per round -> 2^24 verts
+                      # (in practice star merges shrink ~4-5x/round —
+                      # the 1M rehearsal used ~9; early exit makes the
+                      # headroom free)
 
 
 def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,9 +159,15 @@ def rehearse_mst(spark, ce: DataFrame) -> None:
 
 def ring_block_digraph(spark, n_v: int, n_e: int) -> DataFrame:
     """Directed graph with exactly ``N_BLOCKS`` ground-truth SCCs:
-    each contiguous-id block is a directed ring (strongly connected);
-    noise edges only ever point from a lower block to a strictly
-    higher block, so no cross-block cycle can form."""
+    each contiguous-id block is a directed ring (strongly connected)
+    PLUS random intra-block chords (the ring alone has diameter =
+    block size, which at 1M vertices is a 1000-hop cycle — the
+    coloring Pregel's per-hop propagation would honestly need 1000
+    supersteps; chords drop the effective diameter to ~log like any
+    real SCC, while the ring keeps strong connectivity guaranteed).
+    Noise edges only ever point from a lower block to a strictly
+    higher block, so no cross-block cycle can form and the ground
+    truth stays exactly one SCC per block."""
     bs = n_v // N_BLOCKS
     # ring successor within the block: blk*bs + ((id - blk*bs + 1) % bs)
     blk = F.floor(F.col("id") / bs)
@@ -175,13 +181,19 @@ def ring_block_digraph(spark, n_v: int, n_e: int) -> DataFrame:
     def h(c: int):
         return F.xxhash64(F.col("id") + F.lit(c))
 
+    extra = max(n_e - n_v, 2)
+    cblk = F.pmod(h(47), F.lit(N_BLOCKS))
+    chords = spark.range(extra // 2).select(
+        (cblk * bs + F.pmod(h(53), F.lit(bs))).alias("src"),
+        (cblk * bs + F.pmod(h(59), F.lit(bs))).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
     lo = F.pmod(h(31), F.lit(N_BLOCKS - 1))  # block 0..N_BLOCKS-2
     hi = lo + 1 + F.pmod(h(37), F.lit(N_BLOCKS) - lo - 1)  # strictly higher
-    noise = spark.range(max(n_e - n_v, 1)).select(
+    noise = spark.range(extra - extra // 2).select(
         (lo * bs + F.pmod(h(41), F.lit(bs))).alias("src"),
         (hi * bs + F.pmod(h(43), F.lit(bs))).alias("dst"),
     )
-    return ring.unionByName(noise)
+    return ring.unionByName(chords).unionByName(noise)
 
 
 def rehearse_scc(spark, n_v: int, n_e: int) -> None:
