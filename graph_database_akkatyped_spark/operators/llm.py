@@ -4152,6 +4152,169 @@ ORDER BY p.cnt DESC, p.l, p.r LIMIT {_BPE_TOPK}
 """
 
 
+# Fixed merge table for text_bpe_encode, applied in rank order. The
+# third merge consumes the first's output symbol ("table" -> ta b le
+# -> tab le), so the multi-character-symbol path is exercised.
+_BPE_MERGES = (("t", "a"), ("l", "e"), ("ta", "b"))
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a FIXED BPE merge table to the corpus and report exact
+    per-document token counts — the inference-side twin of
+    ``text_bpe_merge`` (which is one TRAINING step): a trained
+    tokenizer is a ranked merge list, and encoding replays the merges
+    in rank order with the same greedy left-to-right non-overlap
+    semantics. Output: (doc_id, n_words, n_tokens) with real-merge
+    token arithmetic instead of the whitespace/regex approximations in
+    ``text_token_count``.
+
+    Same structural scale trick as training: merges run on the WORD
+    DICTIONARY (distinct words), never the corpus — 100 TB of text
+    folds into a vocab-bounded symbol frame after one explode+groupBy,
+    and the per-doc answer is a join back on ``word`` (zipf-bounded
+    key). Each merge round is the two-window greedy apply of
+    ``text_bpe_merge`` plus a row_number renumbering so positions stay
+    contiguous (run-parity needs pos-adjacent match sites; after a
+    deletion round the old positions have gaps).
+
+    All outputs are exact BIGINT counts — hash-stable by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wdoc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wseq = Window.partitionBy("word").orderBy("pos")
+    state = (
+        wdoc.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .withColumn("sym", F.col("word").substr(F.col("pos"), F.lit(1)))
+    )
+    for ml, mr in _BPE_MERGES:
+        adj = state.withColumn("nxt", F.lead("sym").over(wseq))
+        hits = adj.where(
+            (F.col("sym") == ml) & (F.col("nxt") == mr)
+        ).withColumn("run", F.col("pos") - F.row_number().over(wseq))
+        wrun = Window.partitionBy("word", "run")
+        starts = (
+            hits.withColumn(
+                "keep", ((F.col("pos") - F.min("pos").over(wrun)) % 2) == 0
+            )
+            .where("keep")
+            .select("word", F.col("pos").alias("mpos"))
+        )
+        merged = (
+            adj.join(
+                starts.select(
+                    "word", F.col("mpos").alias("pos"), F.lit(True).alias("m")
+                ),
+                ["word", "pos"],
+                "left",
+            )
+            .join(
+                starts.select(
+                    "word",
+                    (F.col("mpos") + 1).alias("pos"),
+                    F.lit(True).alias("gone"),
+                ),
+                ["word", "pos"],
+                "left",
+            )
+            .where(F.col("gone").isNull())
+            .select(
+                "word",
+                "pos",
+                F.when(F.col("m"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        state = merged.select(
+            "word", F.row_number().over(wseq).alias("pos"), "sym"
+        )
+    ntok = state.groupBy("word").agg(F.count(F.lit(1)).alias("ntok"))
+    return (
+        wdoc.join(ntok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("ntok")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_encode_round_sql(r: int, ml: str, mr: str) -> str:
+    """One unrolled greedy-apply round of the encode oracle: lead,
+    run-parity start selection, delete-and-concat, renumber. Input CTE
+    ``merged{r-1}`` (word, pos, sym), output ``merged{r}``. MATERIALIZED
+    per the repo-wide deep-unroll rule (DuckDB inlines referenced CTEs;
+    a 3-round chain would re-read documents.parquet exponentially)."""
+    p = r - 1
+    return f"""
+adj{r} AS MATERIALIZED (
+  SELECT word, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM merged{p}
+),
+starts{r} AS MATERIALIZED (
+  SELECT word, pos AS mpos
+  FROM (SELECT word, pos, run,
+               pos - min(pos) OVER (PARTITION BY word, run) AS off
+        FROM (SELECT word, pos,
+                     pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+                       AS run
+              FROM adj{r} WHERE sym = '{ml}' AND nxt = '{mr}'))
+  WHERE off % 2 = 0
+),
+merged{r} AS MATERIALIZED (
+  SELECT word,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN m THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT a.word, a.pos, a.sym, a.nxt, s.mpos IS NOT NULL AS m
+        FROM adj{r} a
+        LEFT JOIN starts{r} s ON a.word = s.word AND a.pos = s.mpos
+        LEFT JOIN starts{r} g ON a.word = g.word AND a.pos = g.mpos + 1
+        WHERE g.mpos IS NULL)
+)"""
+
+
+_BPE_ENCODE_SQL = f"""
+WITH wdoc AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY doc_id, word
+),
+merged0 AS MATERIALIZED (
+  SELECT word, CAST(pos AS BIGINT) AS pos,
+         substr(word, CAST(pos AS INTEGER), 1) AS sym
+  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS pos
+        FROM (SELECT DISTINCT word FROM wdoc))
+),{",".join(
+    _bpe_encode_round_sql(i + 1, ml, mr)
+    for i, (ml, mr) in enumerate(_BPE_MERGES)
+)},
+ntok AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS ntok
+  FROM merged{len(_BPE_MERGES)} GROUP BY word
+)
+SELECT d.doc_id,
+       CAST(sum(d.cnt) AS BIGINT) AS n_words,
+       CAST(sum(d.cnt * t.ntok) AS BIGINT) AS n_tokens
+FROM wdoc d JOIN ntok t USING (word)
+GROUP BY d.doc_id
+"""
+
+
 _COLLOC_MIN_PAIR = 5   # min bigram support — kills one-off pairings
 _COLLOC_TOPK = 50
 
@@ -6892,6 +7055,7 @@ QUERIES = {
     "text_collocation_lift": text_collocation_lift,
     "text_zipf_fit": text_zipf_fit,
     "text_bpe_merge": text_bpe_merge,
+    "text_bpe_encode": text_bpe_encode,
     "text_lang_stats": text_lang_stats,
     "text_sentiment_lexicon": text_sentiment_lexicon,
     "text_quality_score": text_quality_score,
@@ -6970,6 +7134,7 @@ ORACLES = {
     "text_collocation_lift": _COLLOC_SQL,
     "text_zipf_fit": _ZIPF_SQL,
     "text_bpe_merge": _BPE_SQL,
+    "text_bpe_encode": _BPE_ENCODE_SQL,
     "text_lang_stats": _TEXT_LANG_STATS_SQL,
     "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,

@@ -1129,7 +1129,148 @@ FROM (
 """
 
 
+# --------------------------------------------------- entity resolution
+
+_ER_MASK_WIDTH = 6  # masked neighborhood covers the last 6 characters
+
+
+def _er_mask_expr(col: str, k: int) -> str:
+    """SQL for ``col`` with the character ``k`` positions from the end
+    replaced by '#' (k=0 masks the last character). Shared verbatim by
+    both engines — Spark and DuckDB agree on concat/substring here."""
+    return (
+        f"concat(substring({col}, 1, length({col}) - {k} - 1), '#', "
+        f"substring({col}, length({col}) - {k} + 1))"
+    )
+
+
+def _er_sides_sql() -> tuple[str, str]:
+    """(master, dirty-batch) derivation SQL, engine-shared.
+
+    The dirty batch models a registration feed: every 5th customer
+    re-enters the system under a new id, and every 3rd of those has a
+    single-character typo planted at a deterministic position within
+    the last ``_ER_MASK_WIDTH`` characters (the high-entropy tail of
+    the name — where real-world id-like keys carry their signal)."""
+    edit = (
+        "concat(substring(c_name, 1, length(c_name) - (c_custkey % 6) - 1),"
+        " 'x', substring(c_name, length(c_name) - (c_custkey % 6) + 1))"
+    )
+    master = "SELECT c_custkey, c_name FROM customer"
+    dirty = f"""SELECT c_custkey + 1000000 AS r_id,
+       CASE WHEN c_custkey % 3 = 0 THEN {edit} ELSE c_name END AS r_name
+FROM customer WHERE c_custkey % 5 = 0"""
+    return master, dirty
+
+
+def entity_resolve_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: match a dirty registration batch against the
+    customer master by masked-neighborhood blocking + exact edit-
+    distance verify — the SymSpell/deletion-neighborhood family of
+    blocking, specialized to substitution typos. Each side expands a
+    name into ``_ER_MASK_WIDTH + 1`` variants (itself, plus each of
+    the last 6 positions masked with '#'); records sharing ANY variant
+    become a candidate pair; candidates are verified with
+    levenshtein <= 1 and the best match per dirty record wins
+    (min distance, then min master key — ambiguity between digit-
+    neighbors is resolved deterministically, and the ``correct``
+    column scores it, making the key its own accuracy report).
+
+    Recall is structural, not probabilistic: a substitution at tail
+    position k leaves the mask-at-k variant of the dirty name EQUAL to
+    the master's mask-at-k variant, so every planted edit is
+    guaranteed a candidate — the verify join never misses, it only
+    prunes. (Real deployments widen the neighborhood to deletions /
+    transpositions; the plumbing is identical.)
+
+    100 TB shape: variant explode is a 7x map; the candidate join
+    shuffles on the variant string, whose blocks are alphabet-bounded
+    (one masked position -> at most |alphabet| collisions), so no
+    quadratic block ever forms — unlike prefix blocking, which on
+    id-like names degenerates into one giant block. Levenshtein runs
+    only on candidates. The dirty batch is small by nature; the
+    master side is the 100 TB table and everything on it is linear.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    master_sql, dirty_sql = _er_sides_sql()
+    master = spark.sql(master_sql)
+    dirty = spark.sql(dirty_sql)
+    variants = [F.expr("name")] + [
+        F.expr(_er_mask_expr("name", k)) for k in range(_ER_MASK_WIDTH)
+    ]
+    lvar = master.select(
+        "c_custkey", F.col("c_name").alias("name")
+    ).select(
+        "c_custkey", "name", F.explode(F.array(*variants)).alias("v")
+    )
+    rvar = dirty.select(
+        "r_id", F.col("r_name").alias("name")
+    ).select("r_id", "name", F.explode(F.array(*variants)).alias("v"))
+    cand = (
+        lvar.join(rvar.withColumnRenamed("name", "rname"), "v")
+        .select("c_custkey", "name", "r_id", "rname")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein("name", "rname").cast("long")
+    ).where(F.col("dist") <= 1)
+    w = Window.partitionBy("r_id").orderBy("dist", "c_custkey")
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "r_id",
+            F.col("c_custkey").alias("match_key"),
+            "dist",
+            (F.col("c_custkey") == F.col("r_id") - 1000000)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+def _er_oracle_sql() -> str:
+    master_sql, dirty_sql = _er_sides_sql()
+    masks = ", ".join(
+        _er_mask_expr("name", k) for k in range(_ER_MASK_WIDTH)
+    )
+    return f"""
+WITH master AS ({master_sql}),
+dirty AS ({dirty_sql}),
+lvar AS (
+  SELECT c_custkey, name, unnest([name, {masks}]) AS v
+  FROM (SELECT c_custkey, c_name AS name FROM master)
+),
+rvar AS (
+  SELECT r_id, name AS rname, unnest([name, {masks}]) AS v
+  FROM (SELECT r_id, r_name AS name FROM dirty)
+),
+cand AS (
+  SELECT DISTINCT l.c_custkey, l.name, r.r_id, r.rname
+  FROM lvar l JOIN rvar r USING (v)
+),
+verified AS (
+  SELECT c_custkey, r_id,
+         CAST(levenshtein(name, rname) AS BIGINT) AS dist,
+         name, rname
+  FROM cand
+  WHERE levenshtein(name, rname) <= 1
+)
+SELECT r_id, c_custkey AS match_key, dist,
+       CAST(c_custkey = r_id - 1000000 AS INTEGER) AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY r_id
+                                   ORDER BY dist, c_custkey) AS rn
+      FROM verified)
+WHERE rn = 1
+"""
+
+
+_ER_SQL = _er_oracle_sql()
+
+
 QUERIES = {
+    "entity_resolve_blocked": entity_resolve_blocked,
     "agg_weighted_median": agg_weighted_median,
     "basket_association_rules": basket_association_rules,
     "revenue_pareto": revenue_pareto,
@@ -1152,6 +1293,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "entity_resolve_blocked": _ER_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "basket_association_rules": _BASKET_SQL,
     "revenue_pareto": _PARETO_SQL,

@@ -483,3 +483,78 @@ def test_bpe_merge_greedy_nonoverlap(spark, tmp_path_factory):
     assert got[("x", "y")] == 2
     # overlapping merge artifacts must not exist
     assert ("a", "aa") not in got
+
+
+def test_bpe_encode_fixed_merges(spark, tmp_path_factory):
+    """Planted corpus pinning the encode chain: the fixed table
+    (t,a)(l,e)(ta,b) must tokenize 'table'->[tab,le], 'tab'->[tab],
+    'tatat'->[ta,ta,t] (merges can't overlap when ml != mr, and the
+    third merge must see the FIRST merge's output symbol), with exact
+    per-doc word/token counts and oracle hash parity."""
+    d = tmp_path_factory.mktemp("bpe_enc")
+    texts = ["table tata xyz", "tab tab a", "lele table", "tatat"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = llm.text_bpe_encode(spark, str(d)).toPandas()
+    got = {
+        int(r.doc_id): (int(r.n_words), int(r.n_tokens))
+        for r in out.itertuples()
+    }
+    # table -> ta b l e -> ta b le -> [tab, le] = 2; tata -> [ta, ta] = 2
+    assert got[0] == (3, 2 + 2 + 3)
+    # tab -> ta b -> [tab] = 1; a -> [a] = 1
+    assert got[1] == (3, 1 + 1 + 1)
+    # lele -> [le, le] = 2
+    assert got[2] == (2, 2 + 2)
+    # tatat -> [ta, ta, t] = 3 (left-to-right, no overlap possible)
+    assert got[3] == (1, 3)
+    con = _duck_for(str(d), "documents")
+    oracle_pd = con.execute(llm._BPE_ENCODE_SQL).fetchdf()
+    assert not compare(out, oracle_pd)
+
+
+def test_entity_resolve_blocked_planted(spark, tmp_path_factory):
+    """Planted master/dirty pair: every 5th customer re-registers, every
+    3rd of those with one substitution in the last 6 chars. The masked-
+    neighborhood blocking must surface every planted edit (structural
+    recall), the verify must score dist exactly 0/1, and the oracle must
+    hash-match."""
+    from graph_database_akkatyped_spark.operators import relational_extras as rx
+
+    d = tmp_path_factory.mktemp("er")
+    n = 30
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n), pa.int64()),
+                "c_name": pa.array([f"cust-{i:03d}" for i in range(n)]),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    out = rx.entity_resolve_blocked(spark, str(d)).toPandas()
+    got = {
+        int(r.r_id): (int(r.match_key), int(r.dist), int(r.correct))
+        for r in out.itertuples()
+    }
+    # dirty batch = custkeys 0,5,10,15,20,25; edits at custkey%15==0
+    assert set(got) == {1000000 + k for k in (0, 5, 10, 15, 20, 25)}
+    for k in (5, 10, 20, 25):  # clean re-registrations: exact match
+        assert got[1000000 + k] == (k, 0, 1)
+    # custkey 0: k=0 masks the LAST char -> 'cust-00x'; ten digit
+    # neighbors tie at dist 1, min custkey (=0, the true one) wins
+    assert got[1000000] == (0, 1, 1)
+    # custkey 15: k=3 replaces the '-' -> 'custx015'; only the true
+    # master is at dist 1
+    assert got[1000015] == (15, 1, 1)
+    con = _duck_for(str(d), "customer")
+    oracle_pd = con.execute(rx._ER_SQL).fetchdf()
+    assert not compare(out, oracle_pd)

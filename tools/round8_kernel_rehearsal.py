@@ -19,14 +19,18 @@ Graphs are deterministic (hash-of-sequence-id, no RNG state):
   accidental cross-block cycles). Verification: exactly N_BLOCKS SCCs,
   and the (block, scc_id) pairing is a bijection — distributed counts,
   no collect beyond scalars.
-- k-truss: truss peeling to fixpoint on the undirected planted graph
-  (triangle enumeration per round — the heaviest per-round kernel
-  here, so it rehearses at ``n_e / 4`` by default). Verification is
-  definitional: every surviving edge closes >= K-2 triangles INSIDE
-  the surviving subgraph (a full support recount over the result), and
-  the fixpoint confirm round is part of truss_frame itself.
+- k-truss: truss peeling to fixpoint on a DENSE-block planted graph
+  (block size 100, so intra-block density ~0.18 at the default edge
+  budget — the round-7 1000-vertex blocks are ~0.018 dense, where a
+  K=4 truss is empty and the verification vacuous; the peel must
+  instead SURVIVE something to prove the surviving-subgraph logic).
+  Verification is definitional: every surviving edge closes >= K-2
+  triangles INSIDE the surviving subgraph (a full support recount
+  over the result), and the fixpoint confirm round is part of
+  truss_frame itself.
 
-Usage: python tools/round8_kernel_rehearsal.py [n_vertices] [n_edges]
+Usage: python tools/round8_kernel_rehearsal.py [n_vertices] [n_edges] [kernels]
+``kernels`` is a comma list of mst,scc,truss (default: all).
 Results recorded in BASELINE.md next to the round-6/7 rehearsals.
 """
 
@@ -228,7 +232,10 @@ def rehearse_truss(spark, ce: DataFrame) -> None:
     e = ce.select("a", "b").localCheckpoint(eager=True)
     n0 = e.count()
     t0 = time.perf_counter()
-    truss = truss_frame(e).localCheckpoint(eager=True)
+    # the registered key's 14-round cap is tied to its unrolled SQL
+    # oracle; the rehearsal verifies definitionally (support recount
+    # below), so a deep peel chain just gets a deeper bound
+    truss = truss_frame(e, max_rounds=64).localCheckpoint(eager=True)
     wall = time.perf_counter() - t0
     n1 = truss.count()
     print(f"truss_frame (K={_TRUSS_K}): {wall:.1f}s, {n0} -> {n1} edges")
@@ -261,20 +268,51 @@ def rehearse_truss(spark, ce: DataFrame) -> None:
     )
 
 
+def dense_planted_graph(spark, n_v: int, n_e: int, bs: int = 100) -> DataFrame:
+    """``planted_graph`` with an explicit block size: same hash-of-id
+    construction, but small dense blocks so a K=4 truss actually
+    survives (see module docstring)."""
+    n_blocks = n_v // bs
+
+    def h(c: int):
+        return F.xxhash64(F.col("id") + F.lit(c))
+
+    blk = F.pmod(h(11), F.lit(n_blocks))
+    intra = F.pmod(h(13), F.lit(100)) < 90
+    e = spark.range(n_e).select(
+        F.when(intra, blk * bs + F.pmod(h(17), F.lit(bs)))
+        .otherwise(F.pmod(h(23), F.lit(n_v)))
+        .alias("a"),
+        F.when(intra, blk * bs + F.pmod(h(19), F.lit(bs)))
+        .otherwise(F.pmod(h(29), F.lit(n_v)))
+        .alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    return e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
 def main() -> None:
     n_v = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_e = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    kernels = (
+        set(sys.argv[3].split(",")) if len(sys.argv) > 3
+        else {"mst", "scc", "truss"}
+    )
     spark = get_spark(app_name="round8-kernel-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
-    sym = planted_graph(spark, n_v, n_e).localCheckpoint(eager=True)
-    ce = weighted_canonical(sym).localCheckpoint(eager=True)
-    print(f"graph: {n_v} vertices, {ce.count()} canonical weighted edges")
-    rehearse_mst(spark, ce)
-    rehearse_scc(spark, n_v, n_e)
-    # truss peels triangles — the per-round enumeration is the heavy
-    # part, rehearse at a quarter of the edge budget
-    sym_q = planted_graph(spark, n_v, n_e // 4).localCheckpoint(eager=True)
-    rehearse_truss(spark, weighted_canonical(sym_q))
+    if kernels & {"mst"}:
+        sym = planted_graph(spark, n_v, n_e).localCheckpoint(eager=True)
+        ce = weighted_canonical(sym).localCheckpoint(eager=True)
+        print(f"graph: {n_v} vertices, {ce.count()} canonical weighted edges")
+        rehearse_mst(spark, ce)
+    if "scc" in kernels:
+        rehearse_scc(spark, n_v, n_e)
+    if "truss" in kernels:
+        sym_d = dense_planted_graph(spark, n_v, n_e).localCheckpoint(
+            eager=True
+        )
+        rehearse_truss(spark, weighted_canonical(sym_d))
 
 
 if __name__ == "__main__":

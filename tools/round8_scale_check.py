@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 
 from graph_database_akkatyped_spark.caching import clear_frame_cache
 from graph_database_akkatyped_spark.catalog import load_table
-from graph_database_akkatyped_spark.operators import behavior, llm, sampling
+from graph_database_akkatyped_spark.operators import (
+    behavior,
+    llm,
+    relational_extras,
+    sampling,
+)
 from graph_database_akkatyped_spark.session import get_spark
 from graph_database_akkatyped_spark.streaming import sinks
 
@@ -57,9 +62,13 @@ QUERIES = {
     "timeseries_autocorr": behavior.QUERIES["timeseries_autocorr"],
     "timeseries_anomaly_mad": behavior.QUERIES["timeseries_anomaly_mad"],
     "text_bpe_merge": llm.QUERIES["text_bpe_merge"],
+    "text_bpe_encode": llm.QUERIES["text_bpe_encode"],
     "multimodal_audio_energy": llm.QUERIES["multimodal_audio_energy"],
     "corpus_curriculum_order": sampling.QUERIES["corpus_curriculum_order"],
     "stream_backfill_merge": sinks.QUERIES["stream_backfill_merge"],
+    "entity_resolve_blocked": relational_extras.QUERIES[
+        "entity_resolve_blocked"
+    ],
 }
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
@@ -103,6 +112,28 @@ def replicate(spark, n: int) -> str:
         .withColumn("text", rotated),
         ["doc_id"],
     ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    # customers: per-copy DIGIT rotation on c_name (copy k maps
+    # 0..9 -> rotate-by-k) — copy-disjoint names with identical edit
+    # distances and blocking structure; identical replicated names
+    # would couple copies N^2 through the variant join. The custkey
+    # stride is a multiple of 5, so the %5 dirty-batch fraction is
+    # invariant (%3 / %6 planted edits land on different members per
+    # copy, which only reshuffles WHICH ~third of the batch is dirty).
+    digits = "0123456789"
+    rname = F.col("c_name")
+    for k in range(1, n):
+        rname = F.when(
+            F.col("_copy") == k,
+            F.translate(
+                "c_name", digits, digits[k % 10:] + digits[: k % 10]
+            ),
+        ).otherwise(rname)
+    shift(
+        load_table(spark, SF_DIR, "customer")
+        .crossJoin(copies)
+        .withColumn("c_name", rname),
+        ["c_custkey"],
+    ).write.mode("overwrite").parquet(f"{out}/customer.parquet")
     return out
 
 
