@@ -1129,6 +1129,100 @@ FROM (
 """
 
 
+# --------------------------------------------------- bloom-prefiltered join
+
+_BLOOM_BITS = 8192  # m: bitmap width (128 longs)
+_BLOOM_HASHES = 3   # k: hash functions per key
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join with an explicit bloom-filter pre-pass: build an
+    m=8192-bit / k=3 bloom bitmap over the small side's join keys,
+    broadcast it as a 128-long literal array, and row-filter the big
+    side map-side BEFORE the join — the runtime row-level filtering
+    pattern (Spark's own spark.sql.optimizer.runtime.bloomFilter does
+    this inside the engine; here it is explicit so the plan shape is
+    inspectable and portable). Blooms have no false negatives, so the
+    result is EXACTLY the plain inner join — which is the oracle: the
+    optimization must be invisible in the answer.
+
+    The bitmap build is one distinct + explode over the SMALL side and
+    one bounded collect (<= m set-bit positions, same O(constant)
+    driver discipline as pack_lpt_shards' O(shards) collect). At 100 TB
+    the big-side scan drops non-matching rows at the scan/filter stage
+    — no shuffle of rows that would die in the join; the join itself
+    then broadcasts the small side.
+
+    Output is an exact-count/decimal-sum aggregate per order priority,
+    so the key's hash is insensitive to row order and join physical
+    strategy."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    small = cust.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey", "c_name")
+
+    def positions(key):
+        return [
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_HASHES)
+        ]
+
+    bits = sorted(
+        r.p
+        for r in small.select(
+            F.explode(F.array(*positions(F.col("c_custkey")))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_BITS // 64)
+    for p in bits:
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed int64 for the literal array
+    bitmap = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w) for w in words]
+    )
+    probe = orders.withColumn("_bm", bitmap)
+    member = None
+    for i in range(_BLOOM_HASHES):
+        pos = f"pmod(xxhash64(o_custkey, {i}), {_BLOOM_BITS})"
+        hit = F.expr(
+            f"(shiftright(element_at(_bm, cast({pos} / 64 AS INT) + 1), "
+            f"cast({pos} % 64 AS INT)) % 2) != 0"
+        )
+        member = hit if member is None else (member & hit)
+    filtered = probe.where(member).drop("_bm")
+    return (
+        filtered.join(
+            F.broadcast(small),
+            filtered["o_custkey"] == small["c_custkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec2double(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            ).alias("sum_price"),
+        )
+    )
+
+
+# the bloom pre-filter must be answer-invisible: the oracle is the
+# PLAIN inner join (no false negatives by construction)
+_BLOOM_JOIN_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR)
+            AS DOUBLE) AS sum_price
+FROM orders
+JOIN (SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000) s
+  ON o_custkey = s.c_custkey
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------- entity resolution
 
 _ER_MASK_WIDTH = 6  # masked neighborhood covers the last 6 characters
@@ -1271,6 +1365,7 @@ _ER_SQL = _er_oracle_sql()
 
 QUERIES = {
     "entity_resolve_blocked": entity_resolve_blocked,
+    "join_bloom_prefilter": join_bloom_prefilter,
     "agg_weighted_median": agg_weighted_median,
     "basket_association_rules": basket_association_rules,
     "revenue_pareto": revenue_pareto,
@@ -1294,6 +1389,7 @@ QUERIES = {
 
 ORACLES = {
     "entity_resolve_blocked": _ER_SQL,
+    "join_bloom_prefilter": _BLOOM_JOIN_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "basket_association_rules": _BASKET_SQL,
     "revenue_pareto": _PARETO_SQL,

@@ -432,3 +432,40 @@ def test_rebalance_assignments_are_broadcast(spark):
     assert plan.count("BroadcastNestedLoopJoin") >= 2, (
         "centroid tables not broadcast in the argmax passes"
     )
+
+
+def test_bloom_prefilter_invisible_and_pruning(spark):
+    """The bloom pre-pass must (1) change nothing in the answer — the
+    filtered-then-joined aggregate equals the plain broadcast join's
+    (no false negatives), (2) actually prune: the bloom membership
+    predicate filters the orders scan BEFORE the join, visible as an
+    xxhash64 filter in the plan, and the surviving row count at
+    sf0.01 is well under the full table."""
+    from graph_database_akkatyped_spark.operators import relational_extras as rx
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+    from pyspark.sql import functions as F
+
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    df = rx.join_bloom_prefilter(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "xxhash64" in plan, "bloom membership filter not in the plan"
+    assert "BroadcastHashJoin" in plan, "small side not broadcast"
+
+    got = {r.o_orderpriority: (r.n_orders, r.sum_price) for r in df.collect()}
+    cust = load_table(spark, SF_ORACLE, "customer")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    small = cust.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    plain = (
+        orders.join(
+            F.broadcast(small), orders["o_custkey"] == small["c_custkey"]
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want_n = {r.o_orderpriority: r.n for r in plain.collect()}
+    assert {k: v[0] for k, v in got.items()} == want_n
+    # pruning really happened: matching orders are a small fraction
+    assert sum(want_n.values()) < orders.count() / 2
