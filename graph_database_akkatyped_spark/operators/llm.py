@@ -4238,9 +4238,14 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sym"),
             )
         )
+        # cut() per round: within a round the adj subtree has three
+        # consumers (hits -> starts -> two joins back onto adj), so an
+        # uncut 3-round chain duplicates the upstream plan ~3x per
+        # level (45 exchanges in the static plan). The cut bounds the
+        # lineage at one vocab-sized frame per round.
         state = merged.select(
             "word", F.row_number().over(wseq).alias("pos"), "sym"
-        )
+        ).transform(cut)
     ntok = state.groupBy("word").agg(F.count(F.lit(1)).alias("ntok"))
     return (
         wdoc.join(ntok, "word")
