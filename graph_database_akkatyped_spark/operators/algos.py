@@ -512,7 +512,11 @@ def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame
         .transform(cut)
     )
     n_alive = alive.count()
-    for _ in range(max_rounds):
+    # max_rounds + 1 iterations, loud exhaustion — same discipline as
+    # truss_frame: a silent return at the cap is a SUPERSET of the true
+    # k-core that looks like an answer (the round-8b 1M rehearsal hit
+    # exactly this: peel depth 64+ left 22 under-degree survivors)
+    for _ in range(max_rounds + 1):
         live_edges = edges_sym.join(
             alive.withColumnRenamed("id", "a"), "a", "left_semi"
         ).join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
@@ -527,7 +531,10 @@ def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame
         if n_keep == n_alive:
             return keep
         alive, n_alive = keep.select("id"), n_keep
-    return keep
+    raise RuntimeError(
+        f"kcore_frame: no fixpoint within {max_rounds} peel rounds — "
+        "raise max_rounds (deep peeling cascade)"
+    )
 
 
 def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
