@@ -187,3 +187,110 @@ def test_dedup_lines_matches_python_replica(spark, texts, tmp_path_factory):
         assert r.kept_hash == hashlib.md5(
             "\n".join(kept).encode()
         ).hexdigest()
+
+
+@given(texts=st.lists(
+    st.text(alphabet="tablexy ", min_size=0, max_size=16),
+    min_size=1, max_size=8,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_bpe_encode_matches_python_replica(spark, texts, tmp_path_factory):
+    """text_bpe_encode == a direct python replica of greedy
+    left-to-right merge application for ANY corpus over the merge
+    table's alphabet (runs of merge characters, empty docs, words the
+    merges never touch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators import llm
+
+    d = tmp_path_factory.mktemp("bpe_prop")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(list(texts), pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = {
+        int(r.doc_id): (int(r.n_words), int(r.n_tokens))
+        for r in llm.text_bpe_encode(spark, str(d)).collect()
+    }
+
+    def merge_once(syms, ml, mr):
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == ml and syms[i + 1] == mr:
+                res.append(ml + mr)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        return res
+
+    def ntok(word):
+        syms = list(word)
+        for ml, mr in llm._BPE_MERGES:
+            syms = merge_once(syms, ml, mr)
+        return len(syms)
+
+    for doc_id, text in enumerate(texts):
+        words = [w for w in text.lower().split(" ") if w]
+        if not words:
+            assert doc_id not in out  # inner join drops empty docs
+            continue
+        assert out[doc_id] == (len(words), sum(ntok(w) for w in words)), (
+            doc_id, text)
+
+
+@given(
+    stems=st.lists(
+        st.text(alphabet="abx0", min_size=3, max_size=8),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_entity_resolve_structural_recall(spark, stems, tmp_path_factory):
+    """Masked-neighborhood blocking NEVER misses a planted tail
+    substitution: for ANY master table (names >= 6 chars, made distinct
+    by an index suffix), every dirty record gets exactly one match row
+    at distance <= its planted edit distance — including names that
+    already contain the substitute character 'x' (where the 'edit' can
+    be a no-op and the distance 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators import relational_extras as rx
+
+    names = [f"{t}{i:03d}" for i, t in enumerate(stems)]
+    d = tmp_path_factory.mktemp("er_prop")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(len(names)), pa.int64()),
+                "c_name": pa.array(names, pa.string()),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    out = {
+        int(r.r_id): (int(r.match_key), int(r.dist))
+        for r in rx.entity_resolve_blocked(spark, str(d)).collect()
+    }
+    dirty = [k for k in range(len(names)) if k % 5 == 0]
+    assert set(out) == {1000000 + k for k in dirty}
+    for k in dirty:
+        name = names[k]
+        if k % 3 == 0:
+            p = len(name) - (k % 6)  # 1-indexed edit position
+            expected = 0 if name[p - 1] == "x" else 1
+        else:
+            expected = 0
+        assert out[1000000 + k][1] <= expected, (k, name, out[1000000 + k])
