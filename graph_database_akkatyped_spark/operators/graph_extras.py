@@ -1313,54 +1313,6 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_doubling(verts: DataFrame, edges_sym: DataFrame,
-                 max_iter: int = 40) -> DataFrame:
-    """CC by min-label propagation WITH pointer doubling — O(log d)
-    rounds where plain propagation (cc_frame's Pregel) needs O(d).
-    Built for Borůvka's CONTRACTION graphs: each round's best-edge
-    picks form a pseudo-forest whose components can be long CHAINS of
-    merged super-vertices, and the round-8 rehearsal measured the
-    O(d) kernel spending 48 s on a 34-vertex chain (~30 fixed-cost
-    Pregel supersteps) while handling the 20k-vertex round-1 graph in
-    6 s. Each doubling step is one neighbor-min join + one label-of-
-    label lookup join (labels are vertex ids, so the label table IS
-    the lookup table) — a path of length d collapses in ~log2(d)
-    steps. Early exit on a converged step (no label changed).
-    Labels are component-min ids; Borůvka only needs a consistent
-    partition, so the label choice does not affect the picked edges.
-    Returns (id, component)."""
-    lab = cut(verts.select("id", F.col("id").alias("l")))
-    for _ in range(max_iter):
-        la = lab.select(F.col("id").alias("a"), F.col("l").alias("la"))
-        lb = lab.select(F.col("id").alias("b"), F.col("l").alias("lb"))
-        nmin = (
-            edges_sym.join(la, "a")
-            .join(lb, "b")
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("lb").alias("nm"))
-        )
-        prop = lab.join(nmin, "id", "left").select(
-            "id", F.least("l", F.coalesce("nm", "l")).alias("l")
-        )
-        look = prop.select(F.col("id").alias("k"), F.col("l").alias("kl"))
-        nxt = cut(
-            prop.join(look, prop["l"] == look["k"], "left").select(
-                prop["id"],
-                F.least(prop["l"], F.coalesce(look["kl"], prop["l"])).alias(
-                    "l"
-                ),
-            )
-        )
-        changed = (
-            nxt.join(lab.withColumnRenamed("l", "l0"), "id")
-            .where(F.col("l") != F.col("l0"))
-            .limit(1)
-            .count()
-        )
-        lab = nxt
-        if changed == 0:
-            break
-    return lab.select("id", F.col("l").alias("component"))
 
 
 def cc_twophase_frame(verts: DataFrame, edges_sym: DataFrame,
@@ -1372,7 +1324,8 @@ def cc_twophase_frame(verts: DataFrame, edges_sym: DataFrame,
     the kernel for high-diameter graphs (spanning trees, long chains
     of contracted super-vertices) where min-label propagation
     (cc_frame) pays O(diameter) supersteps and even pointer doubling
-    (_cc_doubling) measured 92 rounds on a 20k-vertex spanning tree;
+    measured 92 rounds on a 20k-vertex spanning tree (a doubling
+    kernel was tried and deleted in round 8 — this one dominates it);
     this kernel closes the same tree in a handful of rounds.
 
     Per round, each phase is one groupBy + one join over the CURRENT
@@ -1437,6 +1390,14 @@ def cc_twophase_frame(verts: DataFrame, edges_sym: DataFrame,
         e = e2
         if unchanged:
             break
+    else:
+        # the star read-off below is only correct AT the fixed point;
+        # reading a mid-contraction edge set would return wrong labels
+        # that look like an answer (same discipline as truss/kcore/scc)
+        raise RuntimeError(
+            f"cc_twophase_frame: no fixpoint within {max_iter} rounds — "
+            "raise max_iter (O(log^2 n) bound exceeded?)"
+        )
     # fixed point: stars rooted at component minima
     root = (
         e.select(F.col("v").alias("id"), F.col("u").alias("component"))
