@@ -1288,8 +1288,17 @@ def entity_resolve_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     cust.createOrReplaceTempView("customer")
     master_sql, dirty_sql = _er_sides_sql()
-    master = spark.sql(master_sql)
-    dirty = spark.sql(dirty_sql)
+    return er_match_frame(spark.sql(master_sql), spark.sql(dirty_sql))
+
+
+def er_match_frame(master: DataFrame, dirty: DataFrame) -> DataFrame:
+    """Frame-level matcher (the mis_frame pattern): ``master`` is
+    (c_custkey, c_name), ``dirty`` is (r_id, r_name); returns the
+    best-match rows of :func:`entity_resolve_blocked`. Per-r_id
+    independence: the candidate set and the best-match window both key
+    on r_id alone, so matching ANY partition of the dirty batch and
+    unioning equals matching the whole batch — the property the
+    streaming twin (stream_entity_resolve) relies on."""
     variants = [F.expr("name")] + [
         F.expr(_er_mask_expr("name", k)) for k in range(_ER_MASK_WIDTH)
     ]

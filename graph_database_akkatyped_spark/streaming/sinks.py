@@ -1079,6 +1079,122 @@ GROUP BY user_id, event_type
 """
 
 
+# ---------------------------------------- streaming entity resolution
+
+
+def _er_split_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The dirty registration batch (entity_resolve_blocked's right
+    side) rewritten as ``_N_SPLITS`` parquet files hash-split on r_id,
+    so the stream replays a genuine multi-micro-batch feed."""
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        _er_sides_sql,
+    )
+
+    def build(d: str) -> None:
+        load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+            "customer"
+        )
+        _, dirty_sql = _er_sides_sql()
+        spark.sql(dirty_sql).repartition(
+            _N_SPLITS, "r_id"
+        ).write.mode("overwrite").parquet(d)
+
+    return layout_dir("ersplit", sf_dir, build)
+
+
+def run_stream_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming entity resolution against a static master: the dirty
+    registration feed arrives in micro-batches; each batch runs the
+    masked-neighborhood match (er_match_frame) against the full
+    customer master and appends its matches, ledgered by batch id so a
+    replayed batch is skipped rather than double-matched.
+
+    Correctness is structural, not approximate: the matcher's
+    candidate set and best-match window key on r_id alone, and the
+    feed is hash-split on r_id — so the union of per-batch matches IS
+    the batch answer, and the oracle is entity_resolve_blocked's
+    oracle verbatim. This is the production ER shape: a master too
+    big to re-match arrives once; registrations trickle in."""
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        _er_sides_sql,
+        er_match_frame,
+    )
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    master_sql, _ = _er_sides_sql()
+    master = cut(spark.sql(master_sql))
+    split_dir = _er_split_dir(spark, sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    parts: list = []
+    applied: set[int] = set()
+    skipped = [0]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:  # ledger: replay must be a no-op
+            skipped[0] += 1
+            return
+        applied.add(batch_id)
+        parts.append((cut(er_match_frame(master, batch_df)), batch_id))
+
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_er_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(parts) >= 2, "feed did not split into micro-batches"
+    sink(parts[-1][0], parts[-1][1])  # ledger replay: must be skipped
+    assert skipped[0] >= 1
+    out = parts[0][0]
+    for frame, _bid in parts[1:]:
+        out = out.unionByName(frame)
+    snap = cut(out)
+    snap._er_parts = parts
+    snap._er_master = master
+    snap._er_ckpt = ckpt
+    return snap
+
+
+def stream_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered streaming-ER key; memoized with the same leak
+    hygiene as stream_ivf_assign (per-batch cut blocks and the master
+    cut freed, checkpoint dir removed). Oracle: the BATCH
+    entity_resolve_blocked SQL — the hash match proves the ledgered
+    incremental feed converges to the batch answer."""
+    holder: dict = {}
+
+    def build() -> DataFrame:
+        snap = run_stream_entity_resolve(spark, sf_dir)
+        holder["parts"] = snap._er_parts
+        holder["master"] = snap._er_master
+        holder["ckpt"] = snap._er_ckpt
+        return snap
+
+    out = memoized_checkpoint(spark, "stream_er", sf_dir, build)
+    if "parts" in holder:
+        stray = cut_block_ids(holder["master"])
+        for frame, _bid in holder["parts"]:
+            stray |= cut_block_ids(frame)
+        _unpersist_ids(spark, stray)
+        shutil.rmtree(holder["ckpt"], ignore_errors=True)
+    return out
+
+
+def _stream_er_oracle() -> str:
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        _ER_SQL,
+    )
+
+    return _ER_SQL
+
+
 QUERIES = {
     "stream_sink_idempotent": stream_sink_idempotent,
     "stream_graph_degree": stream_graph_degree,
@@ -1086,6 +1202,7 @@ QUERIES = {
     "stream_graph_pagerank": stream_graph_pagerank,
     "stream_ivf_assign": stream_ivf_assign,
     "stream_backfill_merge": stream_backfill_merge,
+    "stream_entity_resolve": stream_entity_resolve,
 }
 
 ORACLES = {
@@ -1093,6 +1210,7 @@ ORACLES = {
     "stream_backfill_merge": _BACKFILL_MERGE_SQL,
     "stream_graph_degree": _GRAPH_DEGREE_SQL,
     "stream_ivf_assign": _stream_ivf_oracle(),
+    "stream_entity_resolve": _stream_er_oracle(),
 }
 
 
