@@ -600,6 +600,117 @@ def user_directed_edges(
     )
 
 
+# ------------------------------------------- temporal reachability
+
+_TEMPORAL_HOPS = 6       # earliest arrival over paths of <= 6 edges
+_TEMPORAL_SEED_MOD = 300  # seeds: user_id % 300 == 0 (~V/300, scales)
+_TEMPORAL_EPOCH = "1990-01-01 00:00:00"  # seeds active before all data
+
+
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival TEMPORAL reachability (time-respecting paths):
+    from a deterministic seed set, which users does influence reach
+    within ``_TEMPORAL_HOPS`` contact hops, and when — where a contact
+    edge (src -> dst at time t) is usable only if t >= the arrival
+    time at src. This is the contagion / information-diffusion query a
+    static reachability (sql_recursive_reachability) cannot express:
+    paths must be monotone in time, so A->B->C counts only if B's
+    contact with C happens AFTER B was reached.
+
+    Kernel: Bellman-Ford rounds on the min-arrival label — round r
+    holds the earliest arrival over paths of <= r edges. Extending
+    only from the per-vertex MIN is lossless (an earlier arrival can
+    use every edge a later one can, since t >= arrival only gets
+    easier), which is what makes the label a scalar instead of a path
+    set. Each round is one equi-join on src + one grouped min — O(E)
+    per hop, lineage cut per round. The oracle replays the same hop
+    bound as a recursive CTE over (v, t, hop) states (UNION-deduped),
+    min-folded at the end — set-semantics equality with the BF labels
+    is exactly the dominance argument above.
+
+    Timed edges reuse the succession-contact construction of
+    ``user_directed_edges`` (same md5 sparsity gate) but KEEP the
+    contact hour as the edge timestamp instead of collapsing it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    a = ev.select(F.col("user_id").alias("src"), "event_type", "hour")
+    b = ev.select(
+        F.col("user_id").alias("dst"),
+        "event_type",
+        (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("hour"),
+        F.col("hour").alias("t"),
+    )
+    gate = (
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(src AS STRING), '_', "
+            "CAST(dst AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % 100
+        < _SCC_GATE_PCT
+    )
+    edges = cut(
+        a.join(b, ["event_type", "hour"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "t")
+        .distinct()
+        .where(gate)
+    )
+    arr = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % _TEMPORAL_SEED_MOD == 0)
+        .select(
+            F.col("user_id").alias("v"),
+            F.lit(_TEMPORAL_EPOCH).cast("timestamp").alias("arrival"),
+        )
+    )
+    for _ in range(_TEMPORAL_HOPS):
+        msgs = (
+            edges.join(
+                arr.select(F.col("v").alias("src"), "arrival"), "src"
+            )
+            .where(F.col("t") >= F.col("arrival"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("t").alias("arrival"))
+        )
+        arr = cut(
+            arr.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("arrival").alias("arrival"))
+        )
+    return arr.where(F.col("v") % _TEMPORAL_SEED_MOD != 0).select(
+        F.col("v").alias("user_id"), F.col("arrival").alias("earliest_ts")
+    )
+
+
+_TEMPORAL_REACH_SQL = f"""
+WITH RECURSIVE tedges AS MATERIALIZED (
+  SELECT src, dst, t FROM (
+    SELECT DISTINCT e1.user_id AS src, e2.user_id AS dst,
+           date_trunc('hour', CAST(e2.ts AS TIMESTAMP)) AS t
+    FROM events e1 JOIN events e2
+      ON e1.event_type = e2.event_type
+     AND date_trunc('hour', CAST(e2.ts AS TIMESTAMP))
+         = date_trunc('hour', CAST(e1.ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+     AND e1.user_id <> e2.user_id
+  )
+  WHERE CAST('0x' || substr(md5(CAST(src AS VARCHAR) || '_'
+          || CAST(dst AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {_SCC_GATE_PCT}
+),
+reach(v, t, hop) AS (
+  SELECT DISTINCT user_id, TIMESTAMP '{_TEMPORAL_EPOCH}', 0 FROM events
+  WHERE user_id % {_TEMPORAL_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, e.t, r.hop + 1
+  FROM reach r JOIN tedges e ON e.src = r.v AND e.t >= r.t
+  WHERE r.hop < {_TEMPORAL_HOPS}
+)
+SELECT v AS user_id, min(t) AS earliest_ts
+FROM reach WHERE v % {_TEMPORAL_SEED_MOD} <> 0 GROUP BY v
+"""
+
+
 def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
     """Strongly connected components by the distributed coloring
     algorithm (Orzan; the same family GraphX's SCC uses):
@@ -2328,6 +2439,7 @@ QUERIES = {
     "link_predict_resource_alloc": link_predict_resource_alloc,
     "gnn_sample_fanout": gnn_sample_fanout,
     "graph_mst_boruvka": graph_mst_boruvka,
+    "graph_temporal_reachability": graph_temporal_reachability,
     "graph_greedy_coloring": graph_greedy_coloring,
     "sssp_pred_tree": sssp_pred_tree,
     "graph_activity_timeline": graph_activity_timeline,
@@ -2350,6 +2462,7 @@ ORACLES = {
     "graph_eccentricity": _ECC_SQL,
     "path_shortest_bidirectional": _BIDIR_SQL,
     "graph_mst_boruvka": _mst_sql(),
+    "graph_temporal_reachability": _TEMPORAL_REACH_SQL,
     "graph_greedy_coloring": _coloring_sql(),
     "graph_random_walks": _walks_sql(),
     "graph_node2vec_walks": _n2v_sql(),

@@ -153,3 +153,66 @@ def test_scc_chain_topology_trims(spark):
     for i in range(1, n + 1):
         assert got[i] == (i, 1), (i, got[i])
     assert got[n + 1] == (n + 1, 2) and got[n + 2] == (n + 1, 2)
+
+
+def test_temporal_reachability_respects_time(spark, tmp_path_factory):
+    """Planted diffusion: a contact AFTER the carrier was reached
+    transmits; a contact BEFORE does not — the property that separates
+    temporal reachability from static reachability (where both paths
+    would count). Ids are searched so every planted (src, dst) pair
+    passes the md5 sparsity gate and only the seed is % 300 == 0."""
+    import hashlib
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        _SCC_GATE_PCT,
+        graph_temporal_reachability,
+    )
+
+    def gate(src, dst):
+        h = hashlib.md5(f"{src}_{dst}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 < _SCC_GATE_PCT
+
+    seed = 300  # % 300 == 0
+    b = next(x for x in range(1, 300) if gate(seed, x))
+    c = next(
+        x for x in range(1, 300)
+        if x != b and gate(b, x) and not gate(seed, x)
+    )
+    c2 = next(
+        x for x in range(1, 300)
+        if x not in (b, c) and gate(b, x) and not gate(seed, x)
+    )
+    h0 = datetime(2024, 3, 1, 0, 0)
+
+    def at(h):
+        return h0 + timedelta(hours=h)
+
+    # edge X->Y at t=h exists when X did et at h-1 and Y did et at h
+    rows = [
+        (seed, "x", at(0)), (b, "x", at(1)),      # seed->b @ h1
+        (b, "y", at(2)), (c, "y", at(3)),         # b->c  @ h3 >= h1: reached
+        (b, "z", at(-2)), (c2, "z", at(-1)),      # b->c2 @ h-1 < h1: NOT
+    ]
+    d = tmp_path_factory.mktemp("treach")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "ts": pa.array([r[2] for r in rows],
+                               pa.timestamp("us")),
+                "value": pa.array([1.0] * len(rows)),
+            }
+        ),
+        d / "events.parquet",
+    )
+    got = {
+        int(r.user_id): r.earliest_ts
+        for r in graph_temporal_reachability(spark, str(d)).collect()
+    }
+    assert got == {b: at(1), c: at(3)}, got  # c2 must be absent
