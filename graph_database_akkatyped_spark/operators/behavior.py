@@ -659,7 +659,125 @@ FROM devd d JOIN mad a USING (event_type)
 """
 
 
+_LTTB_BUCKETS = 60
+
+
+def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson
+    2013) of the daily-revenue series to ``_LTTB_BUCKETS`` points —
+    the standard shape-preserving downsample a dashboard runs before
+    plotting a long series. This is the PARALLEL variant: the triangle
+    anchor is the PREVIOUS BUCKET'S MEAN rather than the previously
+    selected point (true LTTB is a sequential scan; swapping the
+    anchor for the bucket mean removes the chain dependency with a
+    near-identical selection in practice, and is the variant used when
+    the series itself is distributed).
+
+    Exact-integer discipline: x = epoch-day index (BIGINT), y = daily
+    revenue in cents (exact DECIMAL -> BIGINT), bucket means are floor
+    divisions, and the triangle area comparator |(Ax−Cx)(By−Ay) −
+    (Ax−Bx)(Cy−Ay)| is a pure BIGINT expression — selection and hash
+    are partition-proof. First/last buckets pin their boundary points
+    (LTTB's endpoint rule). Ties break on x.
+
+    Shape: one groupBy day (map-side partial), one ntile window over
+    the TINY daily frame, one lag/lead over the 60-row bucket stats,
+    one per-bucket argmax window. The journal is scanned once; at
+    100 TB everything after the daily rollup is dashboard-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(30,2)") * 100).cast("long")
+        ).alias("y")
+    )
+    pts = daily.select(
+        F.datediff(F.to_date("d"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "y",
+    ).withColumn("b", F.ntile(_LTTB_BUCKETS).over(Window.orderBy("x")))
+    wb = Window.orderBy("b")
+    stats = (
+        pts.groupBy("b")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "b",
+            F.lag(F.expr("sx div cnt")).over(wb).alias("mxp"),
+            F.lag(F.expr("sy div cnt")).over(wb).alias("myp"),
+            F.lead(F.expr("sx div cnt")).over(wb).alias("mxn"),
+            F.lead(F.expr("sy div cnt")).over(wb).alias("myn"),
+        )
+    )
+    nb = pts.agg(F.max("b").alias("nb"))
+    j = pts.join(stats, "b").crossJoin(F.broadcast(nb))
+    a2 = F.abs(
+        (F.col("mxp") - F.col("mxn")) * (F.col("y") - F.col("myp"))
+        - (F.col("mxp") - F.col("x")) * (F.col("myn") - F.col("myp"))
+    )
+    key1 = (
+        F.when(F.col("b") == 1, F.col("x"))
+        .when(F.col("b") == F.col("nb"), -F.col("x"))
+        .otherwise(-a2)
+    )
+    w = Window.partitionBy("b").orderBy(key1, "x")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("x").alias("day_x"),
+            F.col("y").alias("cents"),
+        )
+    )
+
+
+_LTTB_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(d AS DATE))
+              AS BIGINT) AS x,
+         y,
+         ntile({_LTTB_BUCKETS}) OVER (ORDER BY d) AS b
+  FROM daily
+),
+stats AS (
+  SELECT b,
+         lag(sx // cnt)  OVER (ORDER BY b) AS mxp,
+         lag(sy // cnt)  OVER (ORDER BY b) AS myp,
+         lead(sx // cnt) OVER (ORDER BY b) AS mxn,
+         lead(sy // cnt) OVER (ORDER BY b) AS myn
+  FROM (SELECT b, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM pts GROUP BY b)
+),
+nb AS (SELECT max(b) AS nb FROM pts)
+SELECT b AS bucket, x AS day_x, y AS cents FROM (
+  SELECT p.b, p.x, p.y,
+         row_number() OVER (
+           PARTITION BY p.b
+           ORDER BY CASE WHEN p.b = 1 THEN p.x
+                         WHEN p.b = nb.nb THEN -p.x
+                         ELSE -abs((s.mxp - s.mxn) * (p.y - s.myp)
+                                   - (s.mxp - p.x) * (s.myn - s.myp))
+                    END, p.x) AS rn
+  FROM pts p JOIN stats s USING (b) CROSS JOIN nb
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "timeseries_downsample_lttb": timeseries_downsample_lttb,
     "events_markov_transitions": events_markov_transitions,
     "timeseries_ohlc": timeseries_ohlc,
     "events_burst_zscore": events_burst_zscore,
@@ -671,6 +789,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "timeseries_downsample_lttb": _LTTB_SQL,
     "timeseries_autocorr": _AUTOCORR_SQL,
     "timeseries_anomaly_mad": _MAD_SQL,
     "events_markov_transitions": _MARKOV_SQL,

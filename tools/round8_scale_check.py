@@ -48,6 +48,7 @@ from graph_database_akkatyped_spark.caching import clear_frame_cache
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.operators import (
     behavior,
+    graph_extras,
     llm,
     relational_extras,
     sampling,
@@ -68,6 +69,13 @@ QUERIES = {
     "stream_backfill_merge": sinks.QUERIES["stream_backfill_merge"],
     "entity_resolve_blocked": relational_extras.QUERIES[
         "entity_resolve_blocked"
+    ],
+    "join_bloom_prefilter": relational_extras.QUERIES[
+        "join_bloom_prefilter"
+    ],
+    "stream_entity_resolve": sinks.QUERIES["stream_entity_resolve"],
+    "graph_temporal_reachability": graph_extras.QUERIES[
+        "graph_temporal_reachability"
     ],
 }
 
