@@ -1236,6 +1236,100 @@ FROM (
 """
 
 
+_MAHAL_TOPK = 50
+_MAHAL_Q = 1_000_000  # 1e-6 coordinate quantization
+
+
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring by DIAGONAL Mahalanobis
+    distance — the curation pass that drops corrupt / out-of-domain
+    vectors before they poison an index or a training mix. Score =
+    Σ_d floor(1e6 · (x_d − μ_d)² / Σ_i (x_i,d − μ_d)²): each
+    dimension's squared deviation normalized by that dimension's total
+    squared deviation (∝ (x−μ)²/σ² with a constant 1/n factor, so the
+    RANKING is exactly diagonal Mahalanobis). Top-``_MAHAL_TOPK`` by
+    (score DESC, vec_id).
+
+    All-BIGINT discipline: coordinates quantize to 1e-6 ints
+    (q = floor(val·1e6), |q| ≤ 1e6 on unit-norm data), the mean is a
+    floor division (μ quantized to the same grid), deviations ≤ 2e6,
+    squares ≤ 4e12, per-dim sums ≤ 4e12·n — inside BIGINT through the
+    10x replica size — and each term is one integer division. No
+    doubles anywhere, so the score is partition- and engine-proof.
+    Zero-variance dimensions contribute 0 (guarded division).
+
+    100 TB shape: one posexplode (linear), per-dim stats are |dims|
+    rows broadcast back, one grouped sum per vector, TakeOrdered
+    top-k. Nothing quadratic, nothing iterative."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("val").cast("double") * _MAHAL_Q)
+        .cast("long")
+        .alias("q"),
+    )
+    stats = dims.groupBy("pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    withdev = dims.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        (F.col("q") - F.expr("s div n")).alias("dev"),
+    )
+    var = withdev.groupBy("pos").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("v")
+    )
+    terms = withdev.join(F.broadcast(var), "pos").select(
+        "vec_id",
+        F.when(
+            F.col("v") > 0,
+            F.expr(f"({_MAHAL_Q} * dev * dev) div v"),
+        )
+        .otherwise(F.lit(0))
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("vec_id")
+        .agg(F.sum("term").cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(_MAHAL_TOPK)
+    )
+
+
+_MAHAL_SQL = f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_MAHAL_Q})
+              AS BIGINT) AS q
+  FROM embeddings
+),
+stats AS (
+  SELECT pos, CAST(sum(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM dims GROUP BY pos
+),
+withdev AS MATERIALIZED (
+  SELECT vec_id, pos, q - (s // n) AS dev
+  FROM dims JOIN stats USING (pos)
+),
+var AS (
+  SELECT pos, CAST(sum(dev * dev) AS BIGINT) AS v
+  FROM withdev GROUP BY pos
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN v > 0
+                     THEN ({_MAHAL_Q} * dev * dev) // v
+                     ELSE 0 END) AS BIGINT) AS score
+FROM withdev JOIN var USING (pos)
+GROUP BY vec_id
+ORDER BY score DESC, vec_id
+LIMIT {_MAHAL_TOPK}
+"""
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — 4x storage
     compression before a 100 TB vector corpus is written back. Per-row
@@ -7028,6 +7122,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "text_minhash_signature": text_minhash_signature,
     "embedding_quantize": embedding_quantize,
+    "embedding_outlier_mahalanobis": embedding_outlier_mahalanobis,
     "corpus_training_manifest": corpus_training_manifest,
     "simsearch_topk": simsearch_topk,
     "simsearch_mmr": simsearch_mmr,
@@ -7107,6 +7202,7 @@ ORACLES = {
     "dedup_incremental": _DEDUP_INCR_SQL,
     "text_minhash_signature": _TEXT_MINHASH_SQL,
     "embedding_quantize": _EMB_QUANTIZE_SQL,
+    "embedding_outlier_mahalanobis": _MAHAL_SQL,
     "corpus_training_manifest": _CORPUS_MANIFEST_SQL,
     "simsearch_topk": _SIMSEARCH_TOPK_SQL,
     "simsearch_mmr": _mmr_sql(),

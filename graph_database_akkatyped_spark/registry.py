@@ -59,7 +59,7 @@ _SWEEP_ORDER = (
     # test_registry keeps the set exact.
     "text_bpe_encode", "entity_resolve_blocked", "join_bloom_prefilter",
     "stream_entity_resolve", "graph_temporal_reachability",
-    "timeseries_downsample_lttb",
+    "timeseries_downsample_lttb", "embedding_outlier_mahalanobis",
     "timeseries_autocorr", "timeseries_anomaly_mad", "text_bpe_merge",
     "multimodal_audio_energy", "corpus_curriculum_order",
     "stream_backfill_merge", "set_union", "set_intersect", "set_except",
