@@ -41,18 +41,19 @@ _MODULES = (
 _SWEEP_ORDER = (
     # driver-sweep priority, rotated for ROUND 8. The driver checks the
     # first ~50 keys per round. Block 1 layout:
-    # 1) the 6 NEW round-8 keys (autocorr, MAD anomaly, BPE merge step,
+    # 1) the 13 NEW round-8 keys — the 7 session-2 additions first
+    #    (bpe encode, batch+stream entity resolution, bloom prefilter,
+    #    temporal reachability, LTTB, Mahalanobis outliers), then the
+    #    6 session-1 additions (autocorr, MAD anomaly, BPE merge step,
     #    audio energy, curriculum order, backfill merge),
-    # 2) the 14 keys round 7's 50-key budget cut (the block-1 tail the
-    #    round-7 rotation comment promised would lead round 8),
-    # 3) the 11 keys whose oracle or implementation was touched this
+    # 2) the 14 keys round 7's 50-key budget cut,
+    # 3) the keys whose oracle or implementation was touched this
     #    round (line-dedup whitespace class, unroll-exhaustion
-    #    sentinels in the MST/JP/MIS oracles, the layout_dir cache
-    #    refactor under the IVF layout + stream replay splits),
-    # 4) the 6 keys whose only driver evidence is round 2, then the
-    #    round-3 cohort, cheapest/most-central first — the ~50-key
-    #    budget cuts inside this tier; whatever it cuts (the text/udf
-    #    tail) leads round 9.
+    #    sentinels, the layout_dir cache refactor, kcore exhaustion),
+    # 4) the oldest-evidence cohort — the ~50-key budget now cuts
+    #    ~7 keys deeper into this tier than planned (the 7 extra new
+    #    keys displace them); whatever CORRECTNESS_r08 shows was cut
+    #    (the fn_*/stream-window tail of block 3 onward) leads round 9.
     # RULE (unchanged): any NEW key must be added to block 1
     # explicitly — an unranked key sorts first (rank -1), which is
     # correct for new keys but must be a deliberate listing so
