@@ -776,7 +776,99 @@ SELECT b AS bucket, x AS day_x, y AS cents FROM (
 """
 
 
+_HOLT_SHIFT = 1 << 40  # positivity shift: floor == trunc on both engines
+
+_HOLT_SCHEMA = (
+    "event_type string, day timestamp, n long, level_q long, trend_q long"
+)
+
+
+def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over per-type
+    DAILY event counts — the forecasting workhorse one rung above
+    ``timeseries_ewma`` (which has no trend term and goes flat on
+    drift). α = 1/4, β = 1/2, classic init l₁ = x₁, b₁ = x₂ − x₁.
+
+    The clamped-free recurrence l_t = α·x_t + (1−α)(l+b) has a closed
+    form only in exact arithmetic WITHOUT rounding; we keep integer
+    milli-units with a floor at every step (x_q = 1000·n; l' =
+    (x_q + 3(l+b)) // 4; b' = ((l'−l) + b) // 2), which makes the
+    recursion genuinely sequential per series — exactly the shape
+    Spark's ``applyInPandas`` exists for: the journal-scale groupBy
+    pre-aggregate is the only pass over raw data; the Python loop runs
+    on |days| rows per series and series are the parallelism unit (a
+    100 TB journal has millions of series keys, one executor task
+    each; here 5 types × 30 days).
+
+    Division discipline: Python ``//`` FLOORS but DuckDB ``//``
+    TRUNCATES, and the fixture's trend terms go negative — so both
+    recurrence divisions carry a ``_HOLT_SHIFT`` positivity shift
+    ((num + k·S) // k − S), where floor == trunc and the two engines
+    (and any partitioning) agree bit-exactly. The oracle is a 30-step
+    recursive CTE replaying the identical shifted recurrence."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = (pdf["n"].astype("int64") * 1000).tolist()
+        lev, tr = [], []
+        l = x[0]
+        b = (x[1] - x[0]) if len(x) > 1 else 0
+        lev.append(l)
+        tr.append(b)
+        for t in range(1, len(x)):
+            s = _HOLT_SHIFT
+            l_new = (x[t] + 3 * (l + b) + 4 * s) // 4 - s
+            b = ((l_new - l) + b + 2 * s) // 2 - s
+            l = l_new
+            lev.append(l)
+            tr.append(b)
+        pdf["level_q"] = pd.Series(lev, dtype="int64")
+        pdf["trend_q"] = pd.Series(tr, dtype="int64")
+        return pdf[["event_type", "day", "n", "level_q", "trend_q"]]
+
+    return daily.groupBy("event_type").applyInPandas(holt, _HOLT_SCHEMA)
+
+
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY date_trunc('day', CAST(ts AS TIMESTAMP))
+         ) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) * 1000 AS x
+  FROM events
+  GROUP BY 1, 2
+),
+holt AS (
+  SELECT d1.event_type, CAST(1 AS BIGINT) AS t, d1.x AS level_q,
+         COALESCE(d2.x - d1.x, 0) AS trend_q
+  FROM daily d1
+  LEFT JOIN daily d2 ON d2.event_type = d1.event_type AND d2.t = 2
+  WHERE d1.t = 1
+  UNION ALL
+  SELECT h.event_type, h.t + 1,
+         (d.x + 3 * (h.level_q + h.trend_q) + 4 * {_HOLT_SHIFT}) // 4 - {_HOLT_SHIFT},
+         ((((d.x + 3 * (h.level_q + h.trend_q) + 4 * {_HOLT_SHIFT}) // 4 - {_HOLT_SHIFT})
+           - h.level_q + h.trend_q) + 2 * {_HOLT_SHIFT}) // 2 - {_HOLT_SHIFT}
+  FROM holt h
+  JOIN daily d ON d.event_type = h.event_type AND d.t = h.t + 1
+)
+SELECT d.event_type, d.day, d.n, h.level_q, h.trend_q
+FROM holt h
+JOIN daily d ON d.event_type = h.event_type AND d.t = h.t
+"""
+
+
 QUERIES = {
+    "timeseries_holt": timeseries_holt,
     "timeseries_downsample_lttb": timeseries_downsample_lttb,
     "events_markov_transitions": events_markov_transitions,
     "timeseries_ohlc": timeseries_ohlc,
@@ -789,6 +881,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "timeseries_holt": _HOLT_SQL,
     "timeseries_downsample_lttb": _LTTB_SQL,
     "timeseries_autocorr": _AUTOCORR_SQL,
     "timeseries_anomaly_mad": _MAD_SQL,

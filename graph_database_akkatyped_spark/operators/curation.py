@@ -936,8 +936,226 @@ LEFT JOIN hits h USING (vec_id)
 """
 
 
+_KANON_K = 5
+_KANON_SHIFT = 1_000_000  # cents; > |min balance|, keeps div = floor div
+
+
+def anonymize_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization over customer quasi-identifiers
+    (nation, market segment, account balance) — the privacy pass a
+    pipeline runs before user-derived records can enter a training
+    mix. Each record reports the LEAST-general level of a fixed
+    generalization ladder at which its equivalence class reaches
+    k = ``_KANON_K``:
+
+      L0 (nation, segment, $1000 balance bucket)
+      L1 (nation, segment, balance sign)
+      L2 (nation, segment)          -- balance fully generalized
+      L3 (region, segment)          -- nation -> region roll-up
+      L4 suppressed                 -- still < k at maximum generality
+
+    The guarantee is on the RELEASE, not the population: a class
+    resolved at level L counts only records NOT already resolved at a
+    finer level (records released at L0 leave their (nation, segment)
+    siblings behind — naive population counts would let an attacker
+    see a level-2 label shared by fewer than k released rows). So the
+    cascade runs on the class tables themselves: L0 class sizes; L1
+    sums only the n0 < k remainders; L2 sums the n1 < k remainders;
+    L3 rolls the n2 < k remainders up nation->region.
+
+    Shape: the cascade is four aggregates over CLASS tables (bounded
+    by the ladder's domain, orders of magnitude smaller than the
+    data); records join the final class table by their L0 key — one
+    broadcast join onto the record stream, linear at 100 TB, no
+    window over the raw table, no self-join. The nation->region
+    dimension is a broadcast of a 25-row table.
+
+    Exactness: balances become cents via DECIMAL(18,2) (exact both
+    engines); buckets use a +``_KANON_SHIFT`` shift so integer `div`
+    (truncate toward zero, Spark) and `//` (floor, DuckDB) agree on
+    the negative balances the fixture contains. All class labels are
+    strings built from exact integers."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        cust.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_regionkey").alias("regionkey"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "regionkey",
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("bal_c"),
+        )
+        .withColumn(
+            "b1000", F.expr(f"(bal_c + {_KANON_SHIFT}) div 100000")
+        )
+        .withColumn("neg", (F.col("bal_c") < 0).cast("int"))
+    )
+    k = _KANON_K
+    # cascade over CLASS tables: each level counts only the remainder
+    # (b1000 fixes the sign of bal_c, so neg/regionkey are constant
+    # within an L0 class and ride along for free)
+    c0 = base.groupBy("c_nationkey", "regionkey", "seg", "b1000", "neg").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    c1 = (
+        c0.where(F.col("n0") < k)
+        .groupBy("c_nationkey", "seg", "neg")
+        .agg(F.sum("n0").alias("n1"))
+    )
+    c2 = (
+        c1.where(F.col("n1") < k)
+        .groupBy("c_nationkey", "seg")
+        .agg(F.sum("n1").alias("n2"))
+    )
+    c3 = (
+        c2.where(F.col("n2") < k)
+        .join(
+            F.broadcast(
+                c0.select("c_nationkey", "regionkey").distinct()
+            ),
+            "c_nationkey",
+        )
+        .groupBy("regionkey", "seg")
+        .agg(F.sum("n2").alias("n3"))
+    )
+    classes = (
+        c0.join(F.broadcast(c1), ["c_nationkey", "seg", "neg"], "left")
+        .join(F.broadcast(c2), ["c_nationkey", "seg"], "left")
+        .join(F.broadcast(c3), ["regionkey", "seg"], "left")
+        .select(
+            "c_nationkey",
+            "regionkey",
+            "seg",
+            "b1000",
+            "neg",
+            "n0",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+            F.coalesce("n3", F.lit(0)).alias("n3"),
+        )
+    )
+    joined = base.join(
+        F.broadcast(classes),
+        ["c_nationkey", "regionkey", "seg", "b1000", "neg"],
+    )
+    level = (
+        F.when(F.col("n0") >= k, F.lit(0))
+        .when(F.col("n1") >= k, F.lit(1))
+        .when(F.col("n2") >= k, F.lit(2))
+        .when(F.col("n3") >= k, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    label = (
+        F.when(
+            F.col("gen_level") == 0,
+            F.concat_ws(
+                "|", "c_nationkey", "seg", F.col("b1000").cast("string")
+            ),
+        )
+        .when(
+            F.col("gen_level") == 1,
+            F.concat_ws(
+                "|", "c_nationkey", "seg", F.col("neg").cast("string")
+            ),
+        )
+        .when(F.col("gen_level") == 2, F.concat_ws("|", "c_nationkey", "seg"))
+        .when(
+            F.col("gen_level") == 3,
+            F.concat_ws("|", F.lit("r"), "regionkey", "seg"),
+        )
+        .otherwise(F.lit("*"))
+    )
+    class_n = (
+        F.when(F.col("gen_level") == 0, F.col("n0"))
+        .when(F.col("gen_level") == 1, F.col("n1"))
+        .when(F.col("gen_level") == 2, F.col("n2"))
+        .when(F.col("gen_level") == 3, F.col("n3"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        joined.withColumn("gen_level", level)
+        .select(
+            "c_custkey",
+            "gen_level",
+            label.alias("class_label"),
+            class_n.cast("long").alias("class_n"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_KANON_SQL = f"""
+WITH base AS (
+  SELECT c_custkey, c_nationkey, n_regionkey AS regionkey,
+         c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+base2 AS (
+  SELECT *,
+         (bal_c + {_KANON_SHIFT}) // 100000 AS b1000,
+         CASE WHEN bal_c < 0 THEN 1 ELSE 0 END AS neg
+  FROM base
+),
+c0 AS (SELECT c_nationkey, regionkey, seg, b1000, neg,
+              CAST(count(*) AS BIGINT) AS n0
+       FROM base2 GROUP BY 1, 2, 3, 4, 5),
+c1 AS (SELECT c_nationkey, seg, neg, CAST(sum(n0) AS BIGINT) AS n1
+       FROM c0 WHERE n0 < {_KANON_K} GROUP BY 1, 2, 3),
+c2 AS (SELECT c_nationkey, seg, CAST(sum(n1) AS BIGINT) AS n2
+       FROM c1 WHERE n1 < {_KANON_K} GROUP BY 1, 2),
+c3 AS (SELECT regionkey, seg, CAST(sum(n2) AS BIGINT) AS n3
+       FROM c2
+       JOIN (SELECT DISTINCT c_nationkey, regionkey FROM c0)
+         USING (c_nationkey)
+       WHERE n2 < {_KANON_K} GROUP BY 1, 2),
+lev AS (
+  SELECT b.*,
+         n0,
+         COALESCE(n1, 0) AS n1,
+         COALESCE(n2, 0) AS n2,
+         COALESCE(n3, 0) AS n3,
+         CASE WHEN n0 >= {_KANON_K} THEN 0
+              WHEN COALESCE(n1, 0) >= {_KANON_K} THEN 1
+              WHEN COALESCE(n2, 0) >= {_KANON_K} THEN 2
+              WHEN COALESCE(n3, 0) >= {_KANON_K} THEN 3
+              ELSE 4 END AS gen_level
+  FROM base2 b
+  JOIN c0 USING (c_nationkey, regionkey, seg, b1000, neg)
+  LEFT JOIN c1 USING (c_nationkey, seg, neg)
+  LEFT JOIN c2 USING (c_nationkey, seg)
+  LEFT JOIN c3 USING (regionkey, seg)
+)
+SELECT c_custkey,
+       gen_level,
+       CASE gen_level
+         WHEN 0 THEN concat_ws('|', c_nationkey, seg, b1000)
+         WHEN 1 THEN concat_ws('|', c_nationkey, seg, neg)
+         WHEN 2 THEN concat_ws('|', c_nationkey, seg)
+         WHEN 3 THEN concat_ws('|', 'r', regionkey, seg)
+         ELSE '*' END AS class_label,
+       CAST(CASE gen_level
+         WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2
+         WHEN 3 THEN n3 ELSE 0 END AS BIGINT) AS class_n
+FROM lev
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
+    "anonymize_k_anonymity": anonymize_k_anonymity,
     "tombstone_cascade": tombstone_cascade,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_semantic": decontam_semantic,
@@ -953,6 +1171,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_gopher_rules": _GOPHER_SQL,
+    "anonymize_k_anonymity": _KANON_SQL,
     "tombstone_cascade": _TOMBSTONE_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "decontam_semantic": _decontam_sem_sql(),

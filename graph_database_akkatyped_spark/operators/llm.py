@@ -4630,6 +4630,210 @@ FROM base
 """
 
 
+_READ_SHIFT = 100_000_000  # keeps both div numerators positive (floor==trunc)
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade and Flesch reading-ease per document — the
+    classic readability features a corpus-quality filter thresholds on
+    (too-low grade = fragment lists, too-high = OCR noise / legalese).
+    Syllables are approximated by vowel-group runs (``[aeiouy]+``),
+    sentences by terminal-punctuation runs (``[.!?]+``, min 1 — the
+    fixture corpus is unpunctuated, so every doc scores as one
+    sentence and the grade is driven by the syllable/word ratio).
+
+    Exact-integer discipline: both formulas are evaluated as ONE
+    integer division of milli-scaled integer polynomials —
+    FK_milli = (390·W² + 11800·Sy·S − 15590·W·S) / (W·S) and
+    FRE_milli = (206835·S·W − 1015·W² − 84600·Sy·S) / (S·W) — with a
+    +``_READ_SHIFT`` shift so the numerator stays positive (Spark
+    ``div`` truncates toward zero, DuckDB ``//`` floors; they agree
+    on non-negatives). W, S, Sy ≤ a few thousand per doc keeps every
+    product far inside BIGINT. Pure map — one regexp pass per doc, no
+    shuffle, trivially linear at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKS)).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long"),
+        ).alias("n_sents"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syll"),
+    )
+    fk_num = (
+        390 * F.col("n_words") * F.col("n_words")
+        + 11800 * F.col("n_syll") * F.col("n_sents")
+        - 15590 * F.col("n_words") * F.col("n_sents")
+        + _READ_SHIFT * F.col("n_words") * F.col("n_sents")
+    )
+    fre_num = (
+        206835 * F.col("n_sents") * F.col("n_words")
+        - 1015 * F.col("n_words") * F.col("n_words")
+        - 84600 * F.col("n_syll") * F.col("n_sents")
+        + _READ_SHIFT * F.col("n_words") * F.col("n_sents")
+    )
+    den = F.col("n_words") * F.col("n_sents")
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        fk_num.cast("long").alias("_fkn"),
+        fre_num.cast("long").alias("_fren"),
+        den.cast("long").alias("_den"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        (F.expr("_fkn div _den") - _READ_SHIFT).alias("fk_grade_milli"),
+        (F.expr("_fren div _den") - _READ_SHIFT).alias("fre_milli"),
+    )
+
+
+_READABILITY_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+'))
+                       AS BIGINT)) AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       (390 * n_words * n_words + 11800 * n_syll * n_sents
+        - 15590 * n_words * n_sents
+        + {_READ_SHIFT} * n_words * n_sents)
+         // (n_words * n_sents) - {_READ_SHIFT} AS fk_grade_milli,
+       (206835 * n_sents * n_words - 1015 * n_words * n_words
+        - 84600 * n_syll * n_sents
+        + {_READ_SHIFT} * n_words * n_sents)
+         // (n_words * n_sents) - {_READ_SHIFT} AS fre_milli
+FROM scored
+"""
+
+
+_DSIR_B = 1024  # hashed-feature buckets
+_DSIR_Q = 1_000_000_000  # 1e9 log-ratio quantization (sampling.py idiom)
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): importance
+    weights over hashed unigram features for resampling a raw
+    multilingual pool toward a TARGET distribution — here lang='en',
+    the published use case (select pretraining text matching a target
+    domain). Per bucket f: λ_f = ln p_target(f) − ln p_raw(f) with
+    add-one smoothing over ``_DSIR_B`` buckets; per doc: weight =
+    Σ_f c_f(doc)·λ_f. Docs are ranked and the top quartile flagged
+    ``selected`` (resampling's deterministic twin).
+
+    Token -> bucket uses the first 4 md5 hex digits mod ``_DSIR_B``
+    (the engine-portable hash family every dedup key here uses). The
+    per-bucket log-ratio is floored into a 1e9-scaled BIGINT before
+    it ever crosses a row boundary (sampling.quality_unigram_logprob
+    discipline), so the per-doc sum is exact integer math — engine-
+    and partition-order-proof. |λ_q| ≤ ~20e9, doc token counts ≤ 1e4:
+    far inside BIGINT.
+
+    Scale: the feature table is ≤``_DSIR_B`` rows — broadcast; one
+    token explode (linear), one hash agg per (doc, bucket), one
+    per-doc sum. The quartile flag is one ntile window over docs; on
+    100 TB swap it for a fixed threshold learned on a sample (same
+    note as the CCNet tercile key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_TOKS)).alias("tok"),
+    ).withColumn(
+        "b",
+        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+         % _DSIR_B).cast("int"),
+    )
+    counts = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_f"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_f"),
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_n"),
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("tgt_f") + 1).cast("double"))
+                - F.log((F.col("tgt_n") + _DSIR_B).cast("double"))
+                - F.log((F.col("raw_f") + 1).cast("double"))
+                + F.log((F.col("raw_n") + _DSIR_B).cast("double"))
+            )
+            * _DSIR_Q
+        )
+        .cast("long")
+        .alias("lam_q"),
+    )
+    perdoc = (
+        toks.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lam_q").alias("dsir_logweight_q"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    w = Window.orderBy(F.col("dsir_logweight_q").desc(), "doc_id")
+    return perdoc.select(
+        "doc_id",
+        "n_toks",
+        "dsir_logweight_q",
+        (F.ntile(4).over(w) == 1).alias("selected"),
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % {_DSIR_B}
+              AS INTEGER) AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+counts AS (
+  SELECT b, count(*) AS raw_f,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_f
+  FROM toks GROUP BY b
+),
+totals AS (
+  SELECT count(*) AS raw_n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_n
+  FROM toks
+),
+lam AS (
+  SELECT b,
+         CAST(floor((ln(CAST(tgt_f + 1 AS DOUBLE))
+                     - ln(CAST(tgt_n + {_DSIR_B} AS DOUBLE))
+                     - ln(CAST(raw_f + 1 AS DOUBLE))
+                     + ln(CAST(raw_n + {_DSIR_B} AS DOUBLE)))
+                    * {_DSIR_Q}) AS BIGINT) AS lam_q
+  FROM counts, totals
+),
+perdoc AS (
+  SELECT doc_id, CAST(sum(lam_q) AS BIGINT) AS dsir_logweight_q,
+         CAST(count(*) AS BIGINT) AS n_toks
+  FROM toks JOIN lam USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_toks, dsir_logweight_q,
+       ntile(4) OVER (ORDER BY dsir_logweight_q DESC, doc_id) = 1
+         AS selected
+FROM perdoc
+"""
+
+
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-lang top-20 token profile (from the
     labeled corpus), classify each doc by profile-overlap count, ties to
@@ -7159,6 +7363,8 @@ QUERIES = {
     "text_lang_stats": text_lang_stats,
     "text_sentiment_lexicon": text_sentiment_lexicon,
     "text_quality_score": text_quality_score,
+    "text_readability": text_readability,
+    "corpus_dsir_weights": corpus_dsir_weights,
     "text_langid_ngram": text_langid_ngram,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -7239,6 +7445,8 @@ ORACLES = {
     "text_lang_stats": _TEXT_LANG_STATS_SQL,
     "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,
+    "text_readability": _READABILITY_SQL,
+    "corpus_dsir_weights": _DSIR_SQL,
     "text_langid_ngram": _TEXT_LANGID_SQL,
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,

@@ -1372,6 +1372,102 @@ WHERE rn = 1
 _ER_SQL = _er_oracle_sql()
 
 
+_SKY_BUCKET_C = 100  # price-bucket width in cents (1 dollar)
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over the part catalog: minimize retail price,
+    maximize size — the "no other part is both cheaper and larger"
+    frontier, the classic multi-criteria OLAP operator (Börzsönyi et
+    al., ICDE 2001) that no single ORDER BY can express.
+
+    Distributed shape (the textbook two-phase skyline): (1) a LINEAR
+    bucket prefilter — group prices into ``_SKY_BUCKET_C``-cent
+    buckets, take each bucket's max size (map-side partial agg), and
+    prefix-max that tiny |buckets|-row frame so each point keeps only
+    ``best size in any strictly-cheaper bucket``; a point survives iff
+    its size strictly exceeds that (20 000 parts -> ~200 candidates at
+    sf0.1). (2) exact dominance anti-join on the candidate set only,
+    broadcast both sides. Soundness: any dominator of a candidate is
+    either in a strictly-cheaper bucket (then the prefix max already
+    pruned the candidate) or in the SAME bucket — in which case the
+    dominator's size >= the candidate's makes it a candidate too, so
+    the anti-join sees every dominator it needs. At 100 TB the
+    expensive pass is the one groupBy (linear, partial-agg friendly);
+    the window runs on |buckets| rows and the quadratic finish on the
+    frontier-sized candidate set.
+
+    Exact-integer discipline: prices become cents via DECIMAL(18,2)
+    (exact in both engines), so every comparison is BIGINT — no float
+    dominance ties anywhere. Ties: identical (price, size) points
+    don't dominate each other, so true duplicates all stay on the
+    frontier (strict-in-one dominance)."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        "p_size",
+    ).withColumn("pb", F.expr(f"price_c div {_SKY_BUCKET_C}"))
+    b = p.groupBy("pb").agg(F.max("p_size").alias("bmax"))
+    wb = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    pref = b.select("pb", F.max("bmax").over(wb).alias("below"))
+    cand = (
+        p.join(F.broadcast(pref), "pb")
+        .where(F.col("below").isNull() | (F.col("p_size") > F.col("below")))
+        .select("p_partkey", "price_c", "p_size")
+    )
+    i, j = cand.alias("i"), cand.alias("j")
+    frontier = i.join(
+        F.broadcast(j),
+        (F.col("j.price_c") <= F.col("i.price_c"))
+        & (F.col("j.p_size") >= F.col("i.p_size"))
+        & (
+            (F.col("j.price_c") < F.col("i.price_c"))
+            | (F.col("j.p_size") > F.col("i.p_size"))
+        ),
+        "left_anti",
+    )
+    return frontier.select("p_partkey", "price_c", "p_size").orderBy(
+        "price_c", "p_partkey"
+    )
+
+
+_SKYLINE_SQL = f"""
+WITH p AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_c,
+         p_size
+  FROM part
+),
+b AS (
+  SELECT price_c // {_SKY_BUCKET_C} AS pb, max(p_size) AS bmax
+  FROM p GROUP BY 1
+),
+pref AS (
+  SELECT pb,
+         max(bmax) OVER (ORDER BY pb
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS below
+  FROM b
+),
+cand AS (
+  SELECT p_partkey, price_c, p_size
+  FROM p JOIN pref ON p.price_c // {_SKY_BUCKET_C} = pref.pb
+  WHERE below IS NULL OR p_size > below
+)
+SELECT i.p_partkey, i.price_c, i.p_size
+FROM cand i
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand j
+  WHERE j.price_c <= i.price_c AND j.p_size >= i.p_size
+    AND (j.price_c < i.price_c OR j.p_size > i.p_size))
+ORDER BY i.price_c, i.p_partkey
+"""
+
+
 QUERIES = {
     "entity_resolve_blocked": entity_resolve_blocked,
     "join_bloom_prefilter": join_bloom_prefilter,
@@ -1394,9 +1490,11 @@ QUERIES = {
     "journal_intervals": journal_intervals,
     "funnel_conversion": funnel_conversion,
     "events_anomaly_hours": events_anomaly_hours,
+    "skyline_pareto": skyline_pareto,
 }
 
 ORACLES = {
+    "skyline_pareto": _SKYLINE_SQL,
     "entity_resolve_blocked": _ER_SQL,
     "join_bloom_prefilter": _BLOOM_JOIN_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,

@@ -58,6 +58,8 @@ _SWEEP_ORDER = (
     # explicitly — an unranked key sorts first (rank -1), which is
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
+    "skyline_pareto", "anonymize_k_anonymity", "text_readability",
+    "corpus_dsir_weights", "timeseries_holt", "sink_bucketed_join",
     "text_bpe_encode", "entity_resolve_blocked", "join_bloom_prefilter",
     "stream_entity_resolve", "graph_temporal_reachability",
     "timeseries_downsample_lttb", "embedding_outlier_mahalanobis",

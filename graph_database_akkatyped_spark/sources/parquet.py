@@ -107,7 +107,8 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_bucketed(
-    df, table: str, key: str, buckets: int = 8, sort: bool = True
+    df, table: str, key: str, buckets: int = 8, sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist a table bucketed (and sorted) by its join key.
 
@@ -115,11 +116,55 @@ def write_bucketed(
     the same key by the same bucket count join WITHOUT an Exchange —
     the shuffle is paid once at write time instead of on every query.
     Proven by tests/test_bucketing.py (plan contains no Exchange).
-    """
+
+    ``path`` makes the table EXTERNAL (data under the given dir) so a
+    vanilla driver session never writes a ./spark-warehouse into the
+    working directory."""
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join as a first-class operator: orders and
+    customer are both written bucketed (and sorted) on the customer
+    key, then joined WITHOUT a query-time shuffle — the write-time
+    shuffle is paid once and every subsequent join on that key reads
+    co-located buckets (SortMergeJoin with zero Exchange below it;
+    asserted in tests/test_round8b.py). THE layout decision for a
+    100 TB fact table that is joined on the same key by every
+    dashboard query.
+
+    The ``merge`` hint pins the strategy so the demonstration doesn't
+    silently degrade to a broadcast join on small fixtures. Output is
+    the per-segment order count + exact-decimal total price (the only
+    post-join Exchange is the tiny aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    t_orders, t_cust = f"orders_bkt{tag}", f"customer_bkt{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(
+            orders, t_orders, "o_custkey",
+            path=tempfile.mkdtemp(prefix="spark_graft_bkt_o_"),
+        )
+        write_bucketed(
+            cust.withColumnRenamed("c_custkey", "o_custkey"),
+            t_cust, "o_custkey",
+            path=tempfile.mkdtemp(prefix="spark_graft_bkt_c_"),
+        )
+    from graph_database_akkatyped_spark.numerics import dsum
+
+    j = spark.table(t_orders).hint("merge").join(
+        spark.table(t_cust), "o_custkey"
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("total_price"),
+    )
 
 
 QUERIES = {
@@ -130,6 +175,7 @@ QUERIES = {
     "sink_json_roundtrip": sink_json_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
     "sink_partitioned_pruned": sink_partitioned_pruned,
+    "sink_bucketed_join": sink_bucketed_join,
 }
 
 ORACLES = {
@@ -148,5 +194,12 @@ ORACLES = {
     "sink_partitioned_pruned": (
         "SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice "
         "FROM orders WHERE o_orderpriority = '1-URGENT'"
+    ),
+    "sink_bucketed_join": (
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) "
+        "AS DOUBLE) AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
     ),
 }
