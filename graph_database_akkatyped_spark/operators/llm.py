@@ -4718,6 +4718,141 @@ FROM scored
 """
 
 
+_RAKE_Q = 1_000_000  # per-word deg/freq ratio quantization
+_RAKE_TOPK = 3
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    deg(w)/freq(w) over the doc's candidates (deg = Σ length of
+    phrases containing w); a phrase scores the sum of its member-word
+    scores; top-``_RAKE_TOPK`` phrases per document. The standard
+    unsupervised keyword pass a corpus pipeline runs to build
+    document tags / retrieval side-indexes.
+
+    Determinism: word scores are floored to ``_RAKE_Q``-scaled
+    BIGINTs ((1e6·deg) div freq — positive, so Spark trunc and DuckDB
+    ``//`` agree) before the per-phrase sum; phrase text is
+    reassembled position-sorted (array_sort struct / string_agg ORDER
+    BY), and the top-k window breaks ties lexicographically.
+
+    Scale shape: one posexplode (linear), the segment id is a running
+    stopword count per doc (window partitioned by doc_id — the
+    journal's natural partitioning), phrase/word stats are per-doc
+    groupBys, and the only join is words->word-scores on (doc, tok),
+    an equi-join co-partitioned with everything else on doc_id. No
+    corpus-global state at all, so it parallelizes perfectly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "tok")
+    ).withColumn(
+        "is_stop", F.col("tok").isin(*_STOPWORDS).cast("int")
+    )
+    wseg = Window.partitionBy("doc_id").orderBy("pos")
+    words = (
+        toks.withColumn("seg", F.sum("is_stop").over(wseg))
+        .where(F.col("is_stop") == 0)
+        .select("doc_id", "seg", "pos", "tok")
+    )
+    phrases = words.groupBy("doc_id", "seg").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstats = (
+        words.join(phrases.select("doc_id", "seg", "plen"), ["doc_id", "seg"])
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("wdeg"),
+        )
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(f"({_RAKE_Q} * wdeg) div freq").alias("wscore_q"),
+        )
+    )
+    pscore = (
+        words.join(wstats, ["doc_id", "tok"])
+        .groupBy("doc_id", "seg")
+        .agg(F.sum("wscore_q").alias("score_q"))
+    )
+    dedup = (
+        phrases.join(pscore, ["doc_id", "seg"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.max("score_q").alias("score_q"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), "phrase"
+    )
+    return (
+        dedup.withColumn("rnk", F.row_number().over(wtop))
+        .where(F.col("rnk") <= _RAKE_TOPK)
+        .select("doc_id", "phrase", "n_occ", "score_q", "rnk")
+    )
+
+
+_RAKE_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+segged AS MATERIALIZED (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN tok IN ({_STOP_SQL_LIST}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM toks
+),
+words AS MATERIALIZED (
+  SELECT doc_id, seg, pos, tok FROM segged
+  WHERE tok NOT IN ({_STOP_SQL_LIST})
+),
+phrases AS MATERIALIZED (
+  SELECT doc_id, seg,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM words GROUP BY doc_id, seg
+),
+wstats AS (
+  SELECT w.doc_id, w.tok,
+         ({_RAKE_Q} * CAST(sum(p.plen) AS BIGINT))
+           // CAST(count(*) AS BIGINT) AS wscore_q
+  FROM words w JOIN phrases p USING (doc_id, seg)
+  GROUP BY w.doc_id, w.tok
+),
+pscore AS (
+  SELECT w.doc_id, w.seg,
+         CAST(sum(s.wscore_q) AS BIGINT) AS score_q
+  FROM words w JOIN wstats s ON s.doc_id = w.doc_id AND s.tok = w.tok
+  GROUP BY w.doc_id, w.seg
+),
+dedup AS (
+  SELECT p.doc_id, p.phrase,
+         max(ps.score_q) AS score_q,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM phrases p JOIN pscore ps USING (doc_id, seg)
+  GROUP BY p.doc_id, p.phrase
+)
+SELECT doc_id, phrase, n_occ, score_q, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_q DESC, phrase
+  ) AS INTEGER) AS rnk
+  FROM dedup)
+WHERE rnk <= {_RAKE_TOPK}
+"""
+
+
 _DSIR_B = 1024  # hashed-feature buckets
 _DSIR_Q = 1_000_000_000  # 1e9 log-ratio quantization (sampling.py idiom)
 
@@ -5508,6 +5643,131 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_body_bytes long, checksum string"
         ),
     )
+
+
+_VD_MAGIC = b"VD01"
+_VD_MAX_FRAMES = 32
+_VD_CUT_THRESH = 96  # |luma delta| above this = scene cut
+
+
+def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over a binary frame-track column:
+    each document synthesizes a deterministic ``VD01`` container
+    (magic, 2-byte big-endian frame count, one luma byte per frame —
+    frame k's luma is the first md5 byte of ``tok_k|doc_id``, packed
+    JVM-side), then an Arrow-batched ``mapInPandas`` decodes the
+    track and segments scenes where |Δluma| > ``_VD_CUT_THRESH`` —
+    the frame-differencing pass every video-curation pipeline runs
+    before sampling clips (swap the luma track for decoded Y-plane
+    means and the code is unchanged).
+
+    Oracle strategy (same as ``multimodal_decode``): every output is
+    independently recomputable WITHOUT the container — the oracle
+    rebuilds the luma sequence from the md5 formula and replays the
+    lag/threshold logic in SQL, so a wrong header offset, frame
+    order, or byte slice in the Python decoder flips the hash.
+
+    100 TB shape: token explode is linear and capped at
+    ``_VD_MAX_FRAMES`` frames/doc; the pack is one per-doc groupBy;
+    the decode is map-only over the binary column (bytes cross to
+    Python once per Arrow batch); output is narrow typed metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    frames = (
+        docs.select(
+            "doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "tok")
+        )
+        .where(F.col("pos") < _VD_MAX_FRAMES)
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(
+                F.md5(F.concat_ws("|", "tok", "doc_id")), 1, 2
+            ).alias("hexb"),
+        )
+    )
+    packed = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "hexb"))),
+                lambda x: x["hexb"],
+            ),
+            "",
+        ).alias("track_hex"),
+    )
+    payload = packed.select(
+        "doc_id",
+        F.concat(
+            F.lit(_VD_MAGIC), be16(F.col("n_frames")), F.unhex("track_hex")
+        ).alias("payload"),
+    )
+
+    def cut_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                assert b[:4] == _VD_MAGIC, "bad container magic"
+                n = int.from_bytes(b[4:6], "big")
+                track = b[6 : 6 + n]
+                assert len(track) == n, "truncated frame track"
+                cuts, first_cut, sum_abs = 0, -1, 0
+                for k in range(1, n):
+                    d = abs(track[k] - track[k - 1])
+                    sum_abs += d
+                    if d > _VD_CUT_THRESH:
+                        cuts += 1
+                        if first_cut < 0:
+                            first_cut = k
+                rows.append((int(doc_id), n, cuts, first_cut, sum_abs))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_cuts",
+                    "first_cut_frame", "sum_absdiff",
+                ],
+            )
+
+    return payload.mapInPandas(
+        cut_batches,
+        schema=(
+            "doc_id long, n_frames int, n_cuts int, "
+            "first_cut_frame int, sum_absdiff long"
+        ),
+    )
+
+
+_VIDEO_CUT_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+luma AS MATERIALIZED (
+  SELECT doc_id, pos,
+         CAST('0x' || substr(md5(tok || '|' || CAST(doc_id AS VARCHAR)),
+                             1, 2) AS INTEGER) AS y
+  FROM toks WHERE pos < {_VD_MAX_FRAMES}
+),
+diffs AS (
+  SELECT doc_id, pos,
+         abs(y - lag(y) OVER (PARTITION BY doc_id ORDER BY pos)) AS d
+  FROM luma
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_frames,
+       CAST(count(*) FILTER (WHERE d > {_VD_CUT_THRESH}) AS INTEGER)
+         AS n_cuts,
+       CAST(COALESCE(min(pos) FILTER (WHERE d > {_VD_CUT_THRESH}), -1)
+            AS INTEGER) AS first_cut_frame,
+       CAST(COALESCE(sum(d), 0) AS BIGINT) AS sum_absdiff
+FROM diffs
+GROUP BY doc_id
+"""
 
 
 _AU_MAGIC = b"AU01"
@@ -7364,6 +7624,7 @@ QUERIES = {
     "text_sentiment_lexicon": text_sentiment_lexicon,
     "text_quality_score": text_quality_score,
     "text_readability": text_readability,
+    "text_keyword_rake": text_keyword_rake,
     "corpus_dsir_weights": corpus_dsir_weights,
     "text_langid_ngram": text_langid_ngram,
     "text_token_count": text_token_count,
@@ -7375,6 +7636,7 @@ QUERIES = {
     "split_train_test": split_train_test,
     "multimodal_enrich": multimodal_enrich_checked,
     "multimodal_decode": multimodal_decode,
+    "multimodal_video_scenecut": multimodal_video_scenecut,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -7446,6 +7708,7 @@ ORACLES = {
     "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,
     "text_readability": _READABILITY_SQL,
+    "text_keyword_rake": _RAKE_SQL,
     "corpus_dsir_weights": _DSIR_SQL,
     "text_langid_ngram": _TEXT_LANGID_SQL,
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,
@@ -7457,6 +7720,7 @@ ORACLES = {
     "split_train_test": _SPLIT_SQL,
     "multimodal_enrich": _MULTIMODAL_ENRICH_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_video_scenecut": _VIDEO_CUT_SQL,
     "multimodal_audio_energy": _AUDIO_ENERGY_SQL,
     "multimodal_phash_dedup": _PHASH_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,

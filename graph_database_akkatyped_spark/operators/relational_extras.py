@@ -1372,6 +1372,212 @@ WHERE rn = 1
 _ER_SQL = _er_oracle_sql()
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view -> purchase funnel:
+    per user, the seconds from FIRST view to the FIRST purchase after
+    it; reported per user-cohort (user_id % 10) as exact discrete
+    median / p90 / max — the latency companion to
+    ``funnel_conversion``'s stage counts (conversion RATE without
+    conversion TIME hides a dying funnel whose conversions are
+    drifting later).
+
+    Percentiles are DISCRETE order statistics picked by row_number at
+    ceil(q·n) (ties broken by user_id), not interpolated — integer
+    seconds in, integer seconds out, so the hash oracle is exact on
+    both engines (no quantile_cont IEEE-midpoint coupling). Shape: two
+    filtered per-user aggregates joined on user_id (the journal's
+    bucket key), then a window over the cohort-sized converted set —
+    linear at 100 TB, no self-join of raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_buy = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.min("t_view").alias("t_view"))
+    )
+    deltas = first_buy.select(
+        "user_id",
+        F.pmod(F.col("user_id"), F.lit(10)).alias("cohort"),
+        # exact micros first, ONE division after the subtraction —
+        # unix_timestamp() would floor each side separately and drift
+        # a second against the oracle's subtract-then-truncate
+        F.expr(
+            "(unix_micros(t_buy) - unix_micros(t_view)) div 1000000"
+        ).alias("delta_s"),
+    )
+    w = Window.partitionBy("cohort").orderBy("delta_s", "user_id")
+    ranked = deltas.select(
+        "cohort",
+        "delta_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cohort")).alias("n"),
+    )
+    return ranked.groupBy("cohort").agg(
+        F.max("n").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("delta_s"))
+        ).alias("median_s"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 9 / 10), F.col("delta_s")
+            )
+        ).alias("p90_s"),
+        F.max("delta_s").alias("max_s"),
+    )
+
+
+_FUNNEL_TIME_SQL = """
+WITH first_view AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+first_buy AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_buy,
+         min(v.t_view) AS t_view
+  FROM events e JOIN first_view v USING (user_id)
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+  GROUP BY e.user_id
+),
+deltas AS (
+  SELECT user_id, user_id % 10 AS cohort,
+         (epoch_us(t_buy) - epoch_us(t_view)) // 1000000 AS delta_s
+  FROM first_buy
+),
+ranked AS (
+  SELECT cohort, delta_s, user_id,
+         row_number() OVER (PARTITION BY cohort
+                            ORDER BY delta_s, user_id) AS rn,
+         count(*) OVER (PARTITION BY cohort) AS n
+  FROM deltas
+)
+SELECT cohort,
+       CAST(max(n) AS BIGINT) AS n_converted,
+       max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                THEN delta_s END) AS median_s,
+       max(CASE WHEN rn = CAST(ceil(n * 9 / 10.0) AS BIGINT)
+                THEN delta_s END) AS p90_s,
+       max(delta_s) AS max_s
+FROM ranked
+GROUP BY cohort
+"""
+
+
+_REC_SCALE = 1_000_000_000  # 1e9 cosine² quantization
+_REC_TOPK = 5
+
+
+def recommend_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: for every
+    part, the top-``_REC_TOPK`` co-purchased parts by cosine similarity
+    cooc(i,j)/√(deg(i)·deg(j)) — the classic "customers who bought
+    this also bought" recommender (Linden et al., item-to-item CF).
+
+    No square root anywhere: cosine is RANKED via its square,
+    score_q = (1e9·cooc²) div (deg_i·deg_j), a single integer division
+    of BIGINTs (monotone in cosine since all terms are positive), so
+    the ranking is engine- and partition-proof. Headroom: 1e9·cooc²
+    needs cooc ≤ 3e4 (fixture max is tiny; a 100 TB run with hotter
+    pairs widens to DECIMAL(38,0) — the PageRank/zipf recipe).
+
+    Scale shape: baskets are distinct (order, part) rows; the pair
+    join is an equi-join on order key, output Σ_orders k²/2 with
+    k ≈ 4 items per TPC-H order — LINEAR in orders, not quadratic in
+    parts (a hot basket at 100 TB is capped upstream the same way
+    ``bipartite_copurchase`` caps hot parts). Degrees join back via
+    broadcast of the |parts|-row degree table; top-k is one window
+    over the pair aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select("l_orderkey", "l_partkey").distinct()
+    deg = oi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pi"),
+            F.col("b.l_partkey").alias("pj"),
+        )
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("pj").alias("pi"), F.col("pi").alias("pj"), "cooc"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("pi"),
+                                   F.col("deg").alias("di"))),
+            "pi",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("pj"),
+                                   F.col("deg").alias("dj"))),
+            "pj",
+        )
+        .select(
+            "pi",
+            "pj",
+            "cooc",
+            F.expr(f"({_REC_SCALE} * cooc * cooc) div (di * dj)").alias(
+                "score_q"
+            ),
+        )
+    )
+    w = Window.partitionBy("pi").orderBy(
+        F.col("score_q").desc(), F.col("cooc").desc(), "pj"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _REC_TOPK)
+        .select("pi", "pj", "cooc", "score_q", "rnk")
+    )
+
+
+_RECOMMEND_SQL = f"""
+WITH oi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+deg AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg FROM oi GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS pi, b.l_partkey AS pj,
+         CAST(count(*) AS BIGINT) AS cooc
+  FROM oi a JOIN oi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT pi, pj, cooc FROM pairs
+  UNION ALL
+  SELECT pj, pi, cooc FROM pairs
+),
+scored AS (
+  SELECT pi, pj, cooc,
+         ({_REC_SCALE} * cooc * cooc) // (di.deg * dj.deg) AS score_q
+  FROM sym
+  JOIN deg di ON di.l_partkey = pi
+  JOIN deg dj ON dj.l_partkey = pj
+)
+SELECT pi, pj, cooc, score_q, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY pi ORDER BY score_q DESC, cooc DESC, pj
+  ) AS INTEGER) AS rnk
+  FROM scored)
+WHERE rnk <= {_REC_TOPK}
+"""
+
+
 _SKY_BUCKET_C = 100  # price-bucket width in cents (1 dollar)
 
 
@@ -1491,10 +1697,14 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "events_anomaly_hours": events_anomaly_hours,
     "skyline_pareto": skyline_pareto,
+    "recommend_item_cosine": recommend_item_cosine,
+    "funnel_time_to_convert": funnel_time_to_convert,
 }
 
 ORACLES = {
+    "funnel_time_to_convert": _FUNNEL_TIME_SQL,
     "skyline_pareto": _SKYLINE_SQL,
+    "recommend_item_cosine": _RECOMMEND_SQL,
     "entity_resolve_blocked": _ER_SQL,
     "join_bloom_prefilter": _BLOOM_JOIN_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,

@@ -39,27 +39,30 @@ _MODULES = (
 )
 
 _SWEEP_ORDER = (
-    # driver-sweep priority, rotated for ROUND 8. The driver checks the
-    # first ~50 keys per round. Block 1 layout:
-    # 1) the 13 NEW round-8 keys — the 7 session-2 additions first
-    #    (bpe encode, batch+stream entity resolution, bloom prefilter,
-    #    temporal reachability, LTTB, Mahalanobis outliers), then the
-    #    6 session-1 additions (autocorr, MAD anomaly, BPE merge step,
+    # driver-sweep priority, rotated for ROUND 8 (refreshed by
+    # session 3). The driver checks the first ~50 keys per round.
+    # Block 1 layout:
+    # 1) the 14 NEW session-3 keys (skyline, the anonymize_* privacy
+    #    family, readability, RAKE, DSIR, Holt, bucketed join,
+    #    item-CF recommender, video scene-cut, funnel timing, ANF +
+    #    its accuracy twin) — zero driver evidence yet,
+    # 2) the 13 session-1/2 round-8 keys (bpe encode, entity
+    #    resolution batch+stream, bloom prefilter, temporal
+    #    reachability, LTTB, Mahalanobis, autocorr, MAD, BPE merge,
     #    audio energy, curriculum order, backfill merge),
-    # 2) the 14 keys round 7's 50-key budget cut,
-    # 3) the keys whose oracle or implementation was touched this
-    #    round (line-dedup whitespace class, unroll-exhaustion
-    #    sentinels, the layout_dir cache refactor, kcore exhaustion),
-    # 4) the oldest-evidence cohort — the ~50-key budget now cuts
-    #    ~7 keys deeper into this tier than planned (the 7 extra new
-    #    keys displace them); whatever CORRECTNESS_r08 shows was cut
-    #    (the fn_*/stream-window tail of block 3 onward) leads round 9.
+    # 3) the keys round 7's 50-key budget cut, then the touched and
+    #    oldest-evidence cohorts; whatever CORRECTNESS_r08 shows was
+    #    cut (the fn_*/stream-window tail onward) leads round 9.
     # RULE (unchanged): any NEW key must be added to block 1
     # explicitly — an unranked key sorts first (rank -1), which is
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
     "skyline_pareto", "anonymize_k_anonymity", "text_readability",
     "corpus_dsir_weights", "timeseries_holt", "sink_bucketed_join",
+    "recommend_item_cosine", "text_keyword_rake",
+    "multimodal_video_scenecut", "funnel_time_to_convert",
+    "anonymize_dp_counts", "graph_neighborhood_anf",
+    "graph_anf_accuracy", "anonymize_pseudonymize",
     "text_bpe_encode", "entity_resolve_blocked", "join_bloom_prefilter",
     "stream_entity_resolve", "graph_temporal_reachability",
     "timeseries_downsample_lttb", "embedding_outlier_mahalanobis",

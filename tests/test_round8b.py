@@ -113,6 +113,134 @@ def test_sink_bucketed_join_plan_is_shuffle_free_below_the_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_recommend_item_cosine_invariants(spark):
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        _REC_TOPK,
+        recommend_item_cosine,
+    )
+
+    out = recommend_item_cosine(spark, SF_SMOKE).toPandas()
+    assert (out.groupby("pi").size() <= _REC_TOPK).all()
+    assert (out.cooc >= 1).all() and (out.score_q >= 0).all()
+    # per-item ranks are 1..n without gaps and ordered by score
+    for _, g in out.groupby("pi"):
+        g = g.sort_values("rnk")
+        assert list(g.rnk) == list(range(1, len(g) + 1))
+        assert (g.score_q.diff().dropna() <= 0).all()
+
+
+def test_rake_phrases_are_stopword_free_runs(spark):
+    from graph_database_akkatyped_spark.operators.llm import (
+        _STOPWORDS,
+        text_keyword_rake,
+    )
+
+    out = text_keyword_rake(spark, SF_ORACLE).toPandas()
+    assert len(out) > 0
+    for phrase in out.phrase:
+        assert phrase and not any(w in _STOPWORDS for w in phrase.split())
+    assert (out.groupby("doc_id").size() <= 3).all()
+
+
+def test_video_scenecut_decodes_the_whole_track(spark):
+    from graph_database_akkatyped_spark.operators.llm import (
+        _VD_MAX_FRAMES,
+        multimodal_video_scenecut,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").toPandas()
+    n_toks = {
+        int(r.doc_id): min(len(r.text.split(" ")), _VD_MAX_FRAMES)
+        for r in docs.itertuples()
+    }
+    out = multimodal_video_scenecut(spark, SF_ORACLE).toPandas()
+    assert len(out) == len(docs)
+    for r in out.itertuples():
+        assert int(r.n_frames) == n_toks[int(r.doc_id)]
+        assert 0 <= r.n_cuts < r.n_frames
+        assert (r.first_cut_frame == -1) == (r.n_cuts == 0)
+
+
+def test_funnel_time_percentiles_are_ordered(spark):
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        funnel_time_to_convert,
+    )
+
+    out = funnel_time_to_convert(spark, SF_ORACLE).toPandas()
+    assert len(out) > 0
+    assert (out.median_s > 0).all()
+    assert (out.median_s <= out.p90_s).all()
+    assert (out.p90_s <= out.max_s).all()
+
+
+def test_dp_counts_noise_is_laplace_bounded(spark):
+    from graph_database_akkatyped_spark.operators.curation import (
+        anonymize_dp_counts,
+    )
+
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet").toPandas()
+    true_n = cust.groupby(["c_nationkey", "c_mktsegment"]).size()
+    out = anonymize_dp_counts(spark, SF_ORACLE).toPandas()
+    assert len(out) == len(true_n)
+    for r in out.itertuples():
+        n = true_n[(r.nationkey, r.seg)]
+        # Laplace(b=1): |noise| > 20 has probability e^-20
+        assert abs(r.noisy_milli6 / 1e6 - n) < 20
+
+
+def test_anf_estimates_track_exact_two_hop_sizes(spark):
+    from graph_database_akkatyped_spark.operators.graph_build import (
+        user_edges_sym,
+    )
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        graph_neighborhood_anf,
+    )
+
+    edges = user_edges_sym(spark, SF_SMOKE).toPandas()
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(edges.a, edges.b):
+        adj.setdefault(int(a), set()).add(int(b))
+    exact = {}
+    for v in adj:
+        hop1 = adj[v] | {v}
+        hop2 = set(hop1)
+        for u in hop1:
+            hop2 |= adj.get(u, set())
+        exact[v] = len(hop2)
+    out = graph_neighborhood_anf(spark, SF_SMOKE).toPandas()
+    est_total = out.est_ppm.sum() / 1e6
+    exact_total = sum(exact.get(int(v), 1) for v in out.user_id)
+    # 8 FM sketches: per-vertex error is coarse, the AGGREGATE must
+    # land within 2x of truth (and it does, comfortably)
+    assert exact_total / 2 <= est_total <= exact_total * 2
+
+
+def test_anf_accuracy_twin_brackets_the_estimate(spark):
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        graph_anf_accuracy,
+    )
+
+    out = graph_anf_accuracy(spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    assert (out.exact_n >= 1).all()
+    # median per-vertex ratio (basis points) should sit around 1e4;
+    # 8 FM sketches put almost all mass inside [0.25x, 4x]
+    med = out.ratio_bp.median()
+    assert 2500 <= med <= 40000, med
+
+
+def test_pseudonymize_preserves_referential_integrity(spark):
+    from graph_database_akkatyped_spark.operators.curation import (
+        anonymize_pseudonymize,
+    )
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").toPandas()
+    out = anonymize_pseudonymize(spark, SF_ORACLE).toPandas()
+    assert out.n_events.sum() == len(ev)
+    assert len(out) == ev.user_id.nunique()  # no pseudonym collisions
+    assert (out.pseudo_id != out.index).all()  # ids replaced, not raw
+
+
 def test_holt_tracks_level_on_smoke_fixture(spark):
     out = timeseries_holt(spark, SF_SMOKE).toPandas()
     assert (out.groupby("event_type")["day"].count() >= 1).all()
