@@ -936,6 +936,126 @@ LEFT JOIN hits h USING (vec_id)
 """
 
 
+_PSEUDO_SALT = "corpus-release-2024"  # rotate per release
+
+
+def anonymize_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of user identifiers across the event
+    journal — the third leg of the privacy family (k-anonymity hides
+    in crowds, DP bounds leakage, pseudonymization REPLACES the
+    identifier while preserving referential integrity so joins and
+    sessionization still work on the released data). Each user_id maps
+    to the first 60 bits of md5(salt|user_id); the salt rotates per
+    release, so pseudonyms are stable WITHIN a release and unlinkable
+    ACROSS releases (swap md5 for keyed HMAC-SHA256 in production —
+    same query shape).
+
+    Output: per-pseudonym activity summary (event count, distinct
+    types, first/last hour) — the released table never carries the raw
+    id, and the groupBy proves integrity: rows per pseudonym ==
+    rows per original user. Map + one hash aggregate, linear at
+    100 TB; the pseudonym expression is a pure per-row function, so it
+    parallelizes with zero state."""
+    ev = load_table(spark, sf_dir, "events")
+    pseudo = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(_PSEUDO_SALT), "user_id")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ev.withColumn("pseudo_id", pseudo)
+        .groupBy("pseudo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.date_trunc("hour", F.min("ts")).alias("first_hour"),
+            F.date_trunc("hour", F.max("ts")).alias("last_hour"),
+        )
+    )
+
+
+_PSEUDO_SQL = f"""
+SELECT CAST('0x' || substr(md5('{_PSEUDO_SALT}' || '|' ||
+                            CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+         AS pseudo_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS first_hour,
+       date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS last_hour
+FROM events
+GROUP BY 1
+"""
+
+
+_DP_EPS_INV = 1  # b = sensitivity/epsilon = 1/1 (count queries)
+_DP_Q = 1_000_000  # milli^2 noise quantization
+
+
+def anonymize_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the customer (nation, segment)
+    contingency table: Laplace(b = 1/ε, ε = 1) noise on every count —
+    the other standard privacy mechanism next to
+    ``anonymize_k_anonymity`` (k-anonymity hides individuals in
+    crowds; DP bounds what ANY release reveals about one record).
+
+    The noise draw is DERANDOMIZED for testability: u comes from the
+    md5 of the class label ((h + 0.5)/2^60 with h the first 60
+    md5 bits — an exact dyadic rational, so ``1 − 2|u − ½|`` is
+    computed EXACTLY in IEEE on both engines), and the Laplace inverse
+    CDF's single ``ln`` is floored into a ``_DP_Q``-scaled BIGINT
+    before it touches the count (sampling.py's logprob discipline). A
+    production deployment swaps the seeded hash for a CSPRNG — the
+    query shape (one groupBy, one map over the |classes|-row
+    aggregate) is unchanged and stays linear at 100 TB.
+
+    Output: class label and the noisy count in ``_DP_Q`` units
+    (noisy_milli6 = 1e6·n + noise_q) — the TRUE count never appears
+    in the release."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    label = F.concat_ws("|", "nationkey", "seg")
+    h = F.conv(F.substring(F.md5(label), 1, 15), 16, 10).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 60))
+    t = 1.0 - 2.0 * F.abs(u - 0.5)  # exact dyadic in (0, 1]
+    sign = F.when(u >= 0.5, F.lit(-1)).otherwise(F.lit(1))
+    noise_q = (
+        sign * F.floor(-F.log(t) * _DP_Q * _DP_EPS_INV)
+    ).cast("long")
+    return classes.select(
+        "nationkey",
+        "seg",
+        (F.col("n") * _DP_Q + noise_q).alias("noisy_milli6"),
+    )
+
+
+_DP_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+seeded AS (
+  SELECT nationkey, seg, n,
+         (CAST(CAST('0x' || substr(md5(concat_ws('|', nationkey, seg)),
+                                   1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+           / {float(1 << 60)} AS u
+  FROM classes
+)
+SELECT nationkey, seg,
+       n * {_DP_Q}
+       + CAST(CASE WHEN u >= 0.5 THEN -1 ELSE 1 END
+              * floor(-ln(1.0 - 2.0 * abs(u - 0.5))
+                      * {_DP_Q} * {_DP_EPS_INV}) AS BIGINT)
+         AS noisy_milli6
+FROM seeded
+"""
+
+
 _KANON_K = 5
 _KANON_SHIFT = 1_000_000  # cents; > |min balance|, keeps div = floor div
 
@@ -1156,6 +1276,8 @@ ORDER BY c_custkey
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "anonymize_k_anonymity": anonymize_k_anonymity,
+    "anonymize_dp_counts": anonymize_dp_counts,
+    "anonymize_pseudonymize": anonymize_pseudonymize,
     "tombstone_cascade": tombstone_cascade,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_semantic": decontam_semantic,
@@ -1172,6 +1294,8 @@ QUERIES = {
 ORACLES = {
     "quality_gopher_rules": _GOPHER_SQL,
     "anonymize_k_anonymity": _KANON_SQL,
+    "anonymize_dp_counts": _DP_SQL,
+    "anonymize_pseudonymize": _PSEUDO_SQL,
     "tombstone_cascade": _TOMBSTONE_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "decontam_semantic": _decontam_sem_sql(),

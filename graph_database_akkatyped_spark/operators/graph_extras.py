@@ -2432,7 +2432,219 @@ unc{r} AS MATERIALIZED (
     )
 
 
+_ANF_M = 8  # Flajolet-Martin sketches per vertex
+_ANF_K = 2  # neighborhood radius
+# est(r̄) = 2^(r_sum/8) / 0.77351 in ppm, split as 2^(r_sum div 8) ·
+# C[r_sum % 8] with C_f = round(1e6 · 2^(f/8) / 0.77351) — pure
+# integers, no pow() at query time on either engine
+_ANF_C = tuple(
+    round(1_000_000 * 2 ** (f / _ANF_M) / 0.77351) for f in range(_ANF_M)
+)
+
+
+def graph_neighborhood_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF — the Approximate Neighborhood Function (Palmer, Gibbons &
+    Faloutsos, KDD 2002): per-vertex estimated |{u : dist(u,v) ≤ K}|
+    via ``_ANF_M`` Flajolet–Martin bitmask sketches OR-propagated
+    ``_ANF_K`` rounds along edges. THE scalable answer to
+    "how big is every vertex's k-hop neighborhood": exact k-hop
+    (``khop_neighbors``) materializes frontier sets that explode on
+    dense graphs, while ANF carries a constant 8×64 bits per vertex —
+    O(K·|E|) with bit_or as the only aggregate, the shape that
+    survives a 100 TB edge list.
+
+    Fully deterministic: the FM bit for (v, sketch m) is the number of
+    trailing zeros of the first 60 md5 bits of ``v|m`` (engine-portable
+    hash family); propagation is bitwise OR (order-free!); R = index
+    of the lowest ZERO bit via the ``(~mask) & (mask+1)`` power-of-two
+    trick + bit_count; and the 2^(r̄) estimate is decomposed into a
+    shift and an integer constant table (``_ANF_C``) so no pow() is
+    evaluated at query time. The oracle replays both rounds as
+    unrolled bit_or CTEs.
+
+    Output per vertex: r_sum (Σ_m R_m, exact integer) and est_ppm
+    (neighborhood-size estimate ×1e6, exact integer)."""
+    verts = user_vertices(spark, sf_dir)
+    edges = user_edges_sym(spark, sf_dir)
+    return anf_frame(verts, edges).select(
+        F.col("v").alias("user_id"), "r_sum", "est_ppm"
+    )
+
+
+def anf_frame(verts: DataFrame, edges_sym: DataFrame) -> DataFrame:
+    """ANF kernel on an arbitrary graph: ``verts``: (id),
+    ``edges_sym``: (a, b) symmetric. Returns (v, r_sum, est_ppm).
+    See :func:`graph_neighborhood_anf` for the full contract; the 1M
+    rehearsal (tools/round8c_kernel_rehearsal.py) drives this frame
+    directly."""
+    edges = edges_sym
+    sketches = verts.select(
+        F.col("id").alias("v"),
+        F.explode(F.array(*[F.lit(m) for m in range(_ANF_M)])).alias("m"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "v", "m")), 1, 15), 16, 10
+    ).cast("long")
+    masks = sketches.withColumn("h", h).select(
+        "v",
+        "m",
+        F.expr(
+            "shiftleft(1L, least(bit_count((h & -h) - 1), 40))"
+        ).alias("mask"),
+    )
+    for _ in range(_ANF_K):
+        nbr = (
+            edges.join(masks.withColumnRenamed("v", "a"), "a")
+            .select(F.col("b").alias("v"), "m", "mask")
+        )
+        masks = (
+            masks.unionByName(nbr)
+            .groupBy("v", "m")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+            .transform(cut)
+        )
+    r = F.expr("bit_count(((~mask) & (mask + 1)) - 1)")
+    per_v = masks.select("v", r.alias("r")).groupBy("v").agg(
+        F.sum("r").cast("long").alias("r_sum")
+    )
+    c_case = "CASE " + " ".join(
+        f"WHEN r_sum % {_ANF_M} = {f} THEN {c}L"
+        for f, c in enumerate(_ANF_C)
+    ) + " END"
+    return per_v.select(
+        "v",
+        "r_sum",
+        F.expr(
+            f"shiftleft(1L, int(r_sum div {_ANF_M})) * ({c_case})"
+        ).alias("est_ppm"),
+    )
+
+
+def _anf_sql() -> str:
+    c_case = "CASE " + " ".join(
+        f"WHEN r_sum % {_ANF_M} = {f} THEN CAST({c} AS BIGINT)"
+        for f, c in enumerate(_ANF_C)
+    ) + " END"
+    rounds = []
+    for k in range(1, _ANF_K + 1):
+        prev = "m0" if k == 1 else f"m{k - 1}"
+        rounds.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT v, m, bit_or(mask) AS mask FROM (
+    SELECT v, m, mask FROM {prev}
+    UNION ALL
+    SELECT e.b AS v, p.m, p.mask
+    FROM uedges e JOIN {prev} p ON p.v = e.a
+  ) GROUP BY v, m)"""
+        )
+    return f"""
+WITH {USER_EDGES_CTE},
+sk AS (
+  SELECT verts.v, s.m,
+         CAST('0x' || substr(md5(CAST(verts.v AS VARCHAR) || '|' ||
+                                 CAST(s.m AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM verts CROSS JOIN (SELECT unnest(range({_ANF_M})) AS m) s
+),
+m0 AS MATERIALIZED (
+  SELECT v, m,
+         (CAST(1 AS BIGINT) << least(bit_count((h & -h) - 1), 40)) AS mask
+  FROM sk
+),
+{','.join(rounds)},
+perv AS (
+  SELECT v, CAST(sum(bit_count(((~mask) & (mask + 1)) - 1)) AS BIGINT)
+           AS r_sum
+  FROM m{_ANF_K} GROUP BY v
+)
+SELECT v AS user_id, r_sum,
+       (CAST(1 AS BIGINT) << CAST(r_sum // {_ANF_M} AS INTEGER))
+         * ({c_case}) AS est_ppm
+FROM perv
+"""
+
+
+_ANF_SAMPLE_MOD = 29  # accuracy twin: audit every 29th vertex
+
+
+def graph_anf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy scorecard for ``graph_neighborhood_anf`` — the recall
+    twin every approximate operator here ships with (the simsearch
+    recall pattern): on a deterministic vertex sample
+    (user_id % ``_ANF_SAMPLE_MOD`` == 0), compute the EXACT 2-hop
+    neighborhood size by frontier expansion and report it next to the
+    sketch estimate as an integer basis-point ratio
+    (est/exact × 10⁴). The exact pass runs only on the sample —
+    bounded work regardless of graph size — which is exactly how a
+    100 TB deployment audits its sketches.
+
+    est_ppm and exact_n are both exact integers; ratio_bp is one
+    BIGINT division (positive, trunc == floor)."""
+    edges = user_edges_sym(spark, sf_dir)
+    sample = user_vertices(spark, sf_dir).where(
+        F.pmod(F.col("id"), F.lit(_ANF_SAMPLE_MOD)) == 0
+    ).select(F.col("id").alias("seed"))
+    hop1 = (
+        edges.join(sample.withColumnRenamed("seed", "a"), "a")
+        .select(F.col("a").alias("seed"), F.col("b").alias("v"))
+        .unionByName(sample.select("seed", F.col("seed").alias("v")))
+        .distinct()
+    )
+    hop2 = (
+        hop1.join(edges.withColumnRenamed("a", "v"), "v")
+        .select("seed", F.col("b").alias("v"))
+        .unionByName(hop1)
+        .distinct()
+    )
+    exact = hop2.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = graph_neighborhood_anf(spark, sf_dir).where(
+        F.pmod(F.col("user_id"), F.lit(_ANF_SAMPLE_MOD)) == 0
+    )
+    return exact.join(
+        est, exact["seed"] == est["user_id"]
+    ).select(
+        "user_id",
+        "exact_n",
+        "est_ppm",
+        F.expr("(est_ppm * 10000) div (exact_n * 1000000)").alias(
+            "ratio_bp"
+        ),
+    )
+
+
+def _anf_accuracy_sql() -> str:
+    anf = _anf_sql()
+    # reuse the full ANF oracle as a subquery; exact 2-hop via two
+    # semi-join expansions over the same uedges CTE
+    return f"""
+WITH {USER_EDGES_CTE},
+sample AS (SELECT v AS seed FROM verts WHERE v % {_ANF_SAMPLE_MOD} = 0),
+hop1 AS (
+  SELECT DISTINCT seed, v FROM (
+    SELECT s.seed, e.b AS v FROM sample s JOIN uedges e ON e.a = s.seed
+    UNION ALL SELECT seed, seed AS v FROM sample)
+),
+hop2 AS (
+  SELECT DISTINCT seed, v FROM (
+    SELECT h.seed, e.b AS v FROM hop1 h JOIN uedges e ON e.a = h.v
+    UNION ALL SELECT seed, v FROM hop1)
+),
+exact AS (
+  SELECT seed, CAST(count(*) AS BIGINT) AS exact_n FROM hop2 GROUP BY seed
+),
+anf AS ({anf})
+SELECT a.user_id, x.exact_n, a.est_ppm,
+       (a.est_ppm * 10000) // (x.exact_n * 1000000) AS ratio_bp
+FROM anf a JOIN exact x ON x.seed = a.user_id
+WHERE a.user_id % {_ANF_SAMPLE_MOD} = 0
+"""
+
+
 QUERIES = {
+    "graph_neighborhood_anf": graph_neighborhood_anf,
+    "graph_anf_accuracy": graph_anf_accuracy,
     "graph_mis_luby": graph_mis_luby,
     "pagerank_personalized": pagerank_personalized,
     "link_predict_jaccard": link_predict_jaccard,
@@ -2455,6 +2667,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_neighborhood_anf": _anf_sql(),
+    "graph_anf_accuracy": _anf_accuracy_sql(),
     "graph_mis_luby": _mis_sql(),
     "link_predict_jaccard": _LINK_PREDICT_SQL,
     "link_predict_resource_alloc": _LINK_PREDICT_RA_SQL,
