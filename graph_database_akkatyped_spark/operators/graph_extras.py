@@ -2564,6 +2564,227 @@ FROM perv
 """
 
 
+_RICH_CLUB_KS = (2, 4, 8, 16, 32)
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the user graph (Colizza et al.
+    2006): among vertices with degree > k, the fraction of possible
+    edges actually present — "do the hubs talk to each other". One
+    row per threshold in ``_RICH_CLUB_KS``: club size n_k, club
+    directed-edge count e_k, and φ in parts-per-million
+    (1e6·e_k div (n_k·(n_k−1)), BIGINT division, symmetric edges so
+    both numerator and denominator count ordered pairs).
+
+    Shape: degrees are one groupBy over the edge list; each threshold
+    is a semi-join of the edge list against the (tiny) club vertex
+    set — at 100 TB the club sets shrink as k grows, so the five
+    audits are five broadcast semi-joins over one cached degree
+    frame. No quadratic anything: e_k comes from counting EXISTING
+    edges inside the club, never from enumerating possible ones."""
+    edges = user_edges_sym(spark, sf_dir)
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    out = None
+    for k in _RICH_CLUB_KS:
+        club = deg.where(F.col("deg") > k).select("a")
+        n_k = club.agg(F.count(F.lit(1)).alias("n_k"))
+        e_k = (
+            edges.join(F.broadcast(club), "a")
+            .join(
+                F.broadcast(club.withColumnRenamed("a", "b")), "b"
+            )
+            .agg(F.count(F.lit(1)).alias("e_k"))
+        )
+        row = n_k.crossJoin(e_k).select(
+            F.lit(k).alias("k"),
+            "n_k",
+            "e_k",
+            F.when(
+                F.col("n_k") > 1,
+                F.expr("(1000000 * e_k) div (n_k * (n_k - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("phi_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _rich_club_sql() -> str:
+    parts = []
+    for k in _RICH_CLUB_KS:
+        parts.append(
+            f"""SELECT {k} AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM club{k}) AS n_k,
+       (SELECT CAST(count(*) AS BIGINT) FROM uedges e
+        WHERE EXISTS (SELECT 1 FROM club{k} c WHERE c.v = e.a)
+          AND EXISTS (SELECT 1 FROM club{k} c WHERE c.v = e.b)) AS e_k"""
+        )
+        parts[-1] = parts[-1]
+    clubs = ",\n".join(
+        f"""club{k} AS MATERIALIZED (
+  SELECT a AS v FROM uedges GROUP BY a HAVING count(*) > {k})"""
+        for k in _RICH_CLUB_KS
+    )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {USER_EDGES_CTE},
+{clubs},
+raw AS ({union})
+SELECT k, n_k, e_k,
+       CAST(CASE WHEN n_k > 1
+                 THEN (1000000 * e_k) // (n_k * (n_k - 1))
+                 ELSE 0 END AS BIGINT) AS phi_ppm
+FROM raw
+"""
+
+
+_EFFDIAM_K = 3  # rounds tracked for the N(k) curve
+_EFFDIAM_BP = 9000  # effective diameter: first k with N(k) >= 90% N(K)
+
+
+def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter via the ANF curve (the headline application
+    in the ANF paper): track the total estimated reachable-pair count
+    N(k) = Σ_v |N_k(v)| for k = 1..``_EFFDIAM_K`` and report the first
+    k where N(k) reaches ``_EFFDIAM_BP``/10⁴ of N(K) — "90% of all
+    reachable pairs are within k hops", the small-world number for the
+    user graph. Same O(K·|E|) bit_or propagation as
+    ``graph_neighborhood_anf``; this key just snapshots the per-round
+    totals instead of only the last round.
+
+    All-integer: per-round totals sum the exact est_ppm integers;
+    reach_bp is one BIGINT division; the flag is a comparison. Output:
+    one row per k (k, total_est_ppm, reach_bp, is_effective_diameter)."""
+    verts = user_vertices(spark, sf_dir)
+    edges = user_edges_sym(spark, sf_dir)
+    sketches = verts.select(
+        F.col("id").alias("v"),
+        F.explode(F.array(*[F.lit(m) for m in range(_ANF_M)])).alias("m"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "v", "m")), 1, 15), 16, 10
+    ).cast("long")
+    masks = sketches.withColumn("h", h).select(
+        "v",
+        "m",
+        F.expr(
+            "shiftleft(1L, least(bit_count((h & -h) - 1), 40))"
+        ).alias("mask"),
+    )
+    c_case = "CASE " + " ".join(
+        f"WHEN r_sum % {_ANF_M} = {f} THEN {c}L"
+        for f, c in enumerate(_ANF_C)
+    ) + " END"
+    rounds = None
+    for k in range(1, _EFFDIAM_K + 1):
+        nbr = (
+            edges.join(masks.withColumnRenamed("v", "a"), "a")
+            .select(F.col("b").alias("v"), "m", "mask")
+        )
+        masks = (
+            masks.unionByName(nbr)
+            .groupBy("v", "m")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+            .transform(cut)
+        )
+        r = F.expr("bit_count(((~mask) & (mask + 1)) - 1)")
+        total = (
+            masks.select("v", r.alias("r"))
+            .groupBy("v")
+            .agg(F.sum("r").cast("long").alias("r_sum"))
+            .select(
+                F.expr(
+                    f"shiftleft(1L, int(r_sum div {_ANF_M})) * ({c_case})"
+                ).alias("est_ppm")
+            )
+            .agg(F.sum("est_ppm").cast("long").alias("total_est_ppm"))
+            .select(F.lit(k).alias("k"), "total_est_ppm")
+        )
+        rounds = total if rounds is None else rounds.unionByName(total)
+    out = rounds.withColumn(
+        "reach_bp",
+        F.expr(f"(total_est_ppm * 10000) div "
+               f"max(total_est_ppm) OVER ()"),
+    )
+    weff = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    return out.select(
+        "k",
+        "total_est_ppm",
+        "reach_bp",
+        (
+            (F.col("reach_bp") >= _EFFDIAM_BP)
+            & F.coalesce(
+                F.max((F.col("reach_bp") >= _EFFDIAM_BP).cast("int")).over(
+                    weff
+                ) == 0,
+                F.lit(True),
+            )
+        ).alias("is_effective_diameter"),
+    )
+
+
+def _effdiam_sql() -> str:
+    c_case = "CASE " + " ".join(
+        f"WHEN r_sum % {_ANF_M} = {f} THEN CAST({c} AS BIGINT)"
+        for f, c in enumerate(_ANF_C)
+    ) + " END"
+    rounds = []
+    totals = []
+    for k in range(1, _EFFDIAM_K + 1):
+        prev = "m0" if k == 1 else f"m{k - 1}"
+        rounds.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT v, m, bit_or(mask) AS mask FROM (
+    SELECT v, m, mask FROM {prev}
+    UNION ALL
+    SELECT e.b AS v, p.m, p.mask
+    FROM uedges e JOIN {prev} p ON p.v = e.a
+  ) GROUP BY v, m)"""
+        )
+        totals.append(
+            f"""SELECT {k} AS k,
+       CAST(sum((CAST(1 AS BIGINT) << CAST(r_sum // {_ANF_M} AS INTEGER))
+                * ({c_case})) AS BIGINT) AS total_est_ppm
+FROM (SELECT v, CAST(sum(bit_count(((~mask) & (mask + 1)) - 1)) AS BIGINT)
+             AS r_sum
+      FROM m{k} GROUP BY v)"""
+        )
+    union = "\nUNION ALL\n".join(totals)
+    return f"""
+WITH {USER_EDGES_CTE},
+sk AS (
+  SELECT verts.v, s.m,
+         CAST('0x' || substr(md5(CAST(verts.v AS VARCHAR) || '|' ||
+                                 CAST(s.m AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM verts CROSS JOIN (SELECT unnest(range({_ANF_M})) AS m) s
+),
+m0 AS MATERIALIZED (
+  SELECT v, m,
+         (CAST(1 AS BIGINT) << least(bit_count((h & -h) - 1), 40)) AS mask
+  FROM sk
+),
+{','.join(rounds)},
+curve AS ({union}),
+scored AS (
+  SELECT k, total_est_ppm,
+         (total_est_ppm * 10000)
+           // (SELECT max(total_est_ppm) FROM curve) AS reach_bp
+  FROM curve
+)
+SELECT k, total_est_ppm, reach_bp,
+       reach_bp >= {_EFFDIAM_BP}
+       AND COALESCE(max(CASE WHEN reach_bp >= {_EFFDIAM_BP} THEN 1
+                             ELSE 0 END)
+             OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) = 0,
+             TRUE) AS is_effective_diameter
+FROM scored
+"""
+
+
 _ANF_SAMPLE_MOD = 29  # accuracy twin: audit every 29th vertex
 
 
@@ -2645,6 +2866,8 @@ WHERE a.user_id % {_ANF_SAMPLE_MOD} = 0
 QUERIES = {
     "graph_neighborhood_anf": graph_neighborhood_anf,
     "graph_anf_accuracy": graph_anf_accuracy,
+    "graph_effective_diameter": graph_effective_diameter,
+    "graph_rich_club": graph_rich_club,
     "graph_mis_luby": graph_mis_luby,
     "pagerank_personalized": pagerank_personalized,
     "link_predict_jaccard": link_predict_jaccard,
@@ -2669,6 +2892,8 @@ QUERIES = {
 ORACLES = {
     "graph_neighborhood_anf": _anf_sql(),
     "graph_anf_accuracy": _anf_accuracy_sql(),
+    "graph_effective_diameter": _effdiam_sql(),
+    "graph_rich_club": _rich_club_sql(),
     "graph_mis_luby": _mis_sql(),
     "link_predict_jaccard": _LINK_PREDICT_SQL,
     "link_predict_resource_alloc": _LINK_PREDICT_RA_SQL,

@@ -4718,6 +4718,72 @@ FROM scored
 """
 
 
+_NORM_Q = 1_000_000  # 1e-6 coordinate quantization (Mahalanobis grid)
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-hygiene audit over the embedding corpus — the embeddings
+    twin of ``data_quality_fk_audit``: one row of corpus-level checks
+    an index build gates on (a single NaN or zero vector silently
+    poisons IVF centroids and cosine ranks downstream).
+
+    Checks: row count, dimension consistency (min/max length), NaN /
+    null-element vectors, zero-norm vectors, and the quantized-norm²
+    envelope (min/max of Σ q_d² with q = floor(1e6·x) — exact BIGINTs
+    on the Mahalanobis grid, so the envelope is engine- and
+    partition-proof). Single map + one global aggregate; trivially
+    linear at 100 TB with a 1-row output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _NORM_Q).cast("long"),
+    )
+    per = emb.select(
+        F.size("embedding").alias("dim"),
+        F.exists(
+            "embedding", lambda x: F.isnan(x.cast("double")) | x.isNull()
+        ).cast("int").alias("has_bad"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("norm2_q"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum("has_bad").cast("long").alias("n_bad_vecs"),
+        F.sum((F.col("norm2_q") == 0).cast("int")).cast("long").alias(
+            "n_zero_norm"
+        ),
+        F.min("norm2_q").alias("min_norm2_q"),
+        F.max("norm2_q").alias("max_norm2_q"),
+    )
+
+
+_NORM_AUDIT_SQL = f"""
+WITH per AS (
+  SELECT len(embedding) AS dim,
+         CASE WHEN len(list_filter(embedding,
+                x -> isnan(CAST(x AS DOUBLE)) OR x IS NULL)) > 0
+              THEN 1 ELSE 0 END AS has_bad,
+         list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_NORM_Q}) AS BIGINT)
+                * CAST(floor(CAST(x AS DOUBLE) * {_NORM_Q}) AS BIGINT)))
+           AS norm2_q
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(dim) AS INTEGER) AS min_dim,
+       CAST(max(dim) AS INTEGER) AS max_dim,
+       CAST(sum(has_bad) AS BIGINT) AS n_bad_vecs,
+       CAST(sum(CASE WHEN norm2_q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(min(norm2_q) AS BIGINT) AS min_norm2_q,
+       CAST(max(norm2_q) AS BIGINT) AS max_norm2_q
+FROM per
+"""
+
+
 _RAKE_Q = 1_000_000  # per-word deg/freq ratio quantization
 _RAKE_TOPK = 3
 
@@ -7625,6 +7691,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_readability": text_readability,
     "text_keyword_rake": text_keyword_rake,
+    "embedding_norm_audit": embedding_norm_audit,
     "corpus_dsir_weights": corpus_dsir_weights,
     "text_langid_ngram": text_langid_ngram,
     "text_token_count": text_token_count,
@@ -7709,6 +7776,7 @@ ORACLES = {
     "text_quality_score": _TEXT_QUALITY_SQL,
     "text_readability": _READABILITY_SQL,
     "text_keyword_rake": _RAKE_SQL,
+    "embedding_norm_audit": _NORM_AUDIT_SQL,
     "corpus_dsir_weights": _DSIR_SQL,
     "text_langid_ngram": _TEXT_LANGID_SQL,
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,

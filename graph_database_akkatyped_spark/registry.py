@@ -42,10 +42,11 @@ _SWEEP_ORDER = (
     # driver-sweep priority, rotated for ROUND 8 (refreshed by
     # session 3). The driver checks the first ~50 keys per round.
     # Block 1 layout:
-    # 1) the 14 NEW session-3 keys (skyline, the anonymize_* privacy
+    # 1) the 19 NEW session-3 keys (skyline, the anonymize_* privacy
     #    family, readability, RAKE, DSIR, Holt, bucketed join,
     #    item-CF recommender, video scene-cut, funnel timing, ANF +
-    #    its accuracy twin) — zero driver evidence yet,
+    #    accuracy twin + effective diameter, rich club, spatial grid
+    #    join, FK/embedding audits) — zero driver evidence yet,
     # 2) the 13 session-1/2 round-8 keys (bpe encode, entity
     #    resolution batch+stream, bloom prefilter, temporal
     #    reachability, LTTB, Mahalanobis, autocorr, MAD, BPE merge,
@@ -62,7 +63,9 @@ _SWEEP_ORDER = (
     "recommend_item_cosine", "text_keyword_rake",
     "multimodal_video_scenecut", "funnel_time_to_convert",
     "anonymize_dp_counts", "graph_neighborhood_anf",
-    "graph_anf_accuracy", "anonymize_pseudonymize",
+    "graph_anf_accuracy", "anonymize_pseudonymize", "join_spatial_grid",
+    "data_quality_fk_audit", "graph_effective_diameter",
+    "graph_rich_club", "embedding_norm_audit",
     "text_bpe_encode", "entity_resolve_blocked", "join_bloom_prefilter",
     "stream_entity_resolve", "graph_temporal_reachability",
     "timeseries_downsample_lttb", "embedding_outlier_mahalanobis",

@@ -241,6 +241,85 @@ def test_pseudonymize_preserves_referential_integrity(spark):
     assert (out.pseudo_id != out.index).all()  # ids replaced, not raw
 
 
+def test_spatial_grid_pair_total_matches_brute_force(spark):
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        _GRID_EPS_Q,
+        join_spatial_grid,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").toPandas()
+    import math
+
+    pts = [
+        (int(v), math.floor(e[0] * 1e6), math.floor(e[1] * 1e6))
+        for v, e in zip(emb.vec_id, emb.embedding)
+    ]
+    brute = sum(
+        1
+        for i, (vi, xi, yi) in enumerate(pts)
+        for vj, xj, yj in pts[i + 1:]
+        if abs(xi - xj) <= _GRID_EPS_Q and abs(yi - yj) <= _GRID_EPS_Q
+    )
+    out = join_spatial_grid(spark, SF_ORACLE).toPandas()
+    assert out.n_pairs.sum() == brute
+    assert out.n_pts.sum() == len(pts)
+
+
+def test_fk_audit_is_clean_on_fixtures_and_counts_rows(spark):
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        data_quality_fk_audit,
+    )
+
+    out = data_quality_fk_audit(spark, SF_ORACLE).toPandas()
+    assert len(out) == 6
+    assert (out.n_orphans == 0).all()  # driver fixtures are referentially clean
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").count()
+    assert out[out.fk == "lineitem.l_orderkey"].n_child.iloc[0] == li
+
+
+def test_effective_diameter_curve_is_monotone(spark):
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        graph_effective_diameter,
+    )
+
+    out = (
+        graph_effective_diameter(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.k) == [1, 2, 3]
+    # N(k) never shrinks: masks only gain bits round over round
+    assert (out.total_est_ppm.diff().dropna() >= 0).all()
+    assert out.reach_bp.iloc[-1] == 10000
+    assert out.is_effective_diameter.sum() == 1  # exactly one flagged
+
+
+def test_rich_club_phi_is_a_valid_density(spark):
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        graph_rich_club,
+    )
+
+    out = graph_rich_club(spark, SF_SMOKE).toPandas().sort_values("k")
+    assert list(out.k) == [2, 4, 8, 16, 32]
+    assert (out.phi_ppm <= 1_000_000).all()  # density can't exceed 1
+    assert (out.n_k.diff().dropna() <= 0).all()  # clubs shrink with k
+
+
+def test_embedding_norm_audit_is_clean_on_fixture(spark):
+    from graph_database_akkatyped_spark.operators.llm import (
+        embedding_norm_audit,
+    )
+
+    out = embedding_norm_audit(spark, SF_ORACLE).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_vecs == 500
+    assert r.min_dim == r.max_dim  # consistent dimensionality
+    assert r.n_bad_vecs == 0 and r.n_zero_norm == 0
+    assert 0 < r.min_norm2_q <= r.max_norm2_q
+
+
 def test_holt_tracks_level_on_smoke_fixture(spark):
     out = timeseries_holt(spark, SF_SMOKE).toPandas()
     assert (out.groupby("event_type")["day"].count() >= 1).all()
