@@ -70,6 +70,11 @@ QUERIES = {
     "multimodal_video_scenecut": llm.QUERIES["multimodal_video_scenecut"],
     "timeseries_holt": behavior.QUERIES["timeseries_holt"],
     "sink_bucketed_join": sources_parquet.QUERIES["sink_bucketed_join"],
+    "join_spatial_grid": relational_extras.QUERIES["join_spatial_grid"],
+    "data_quality_fk_audit": relational_extras.QUERIES[
+        "data_quality_fk_audit"
+    ],
+    "embedding_norm_audit": llm.QUERIES["embedding_norm_audit"],
 }
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
@@ -126,6 +131,28 @@ def replicate(spark, n: int) -> str:
     load_table(spark, SF_DIR, "nation").write.mode("overwrite").parquet(
         f"{out}/nation.parquet"
     )
+    shift(
+        load_table(spark, SF_DIR, "supplier").crossJoin(copies),
+        ["s_suppkey"],
+    ).write.mode("overwrite").parquet(f"{out}/supplier.parquet")
+    load_table(spark, SF_DIR, "region").write.mode("overwrite").parquet(
+        f"{out}/region.parquet"
+    )
+    # embeddings: vec_id stride + a +2.0*copy coordinate shift on the
+    # first two dims — copy-disjoint grid cells, so the spatial join
+    # stays linear in copies instead of coupling them pairwise
+    shift(
+        load_table(spark, SF_DIR, "embeddings")
+        .crossJoin(copies)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (v, i) -> CAST(CASE WHEN i < 2 "
+                "THEN v + 2.0 * _copy ELSE v END AS FLOAT))"
+            ),
+        ),
+        ["vec_id"],
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     return out
 
 
