@@ -2463,10 +2463,19 @@ def graph_neighborhood_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled bit_or CTEs.
 
     Output per vertex: r_sum (Σ_m R_m, exact integer) and est_ppm
-    (neighborhood-size estimate ×1e6, exact integer)."""
-    verts = user_vertices(spark, sf_dir)
-    edges = user_edges_sym(spark, sf_dir)
-    return anf_frame(verts, edges).select(
+    (neighborhood-size estimate ×1e6, exact integer). The result frame
+    is memoized per (session, sf_dir) — the accuracy twin and any
+    downstream consumer fetch the same checkpointed sketch table
+    instead of re-propagating (the scc/hits discipline)."""
+    def build() -> DataFrame:
+        verts = user_vertices(spark, sf_dir)
+        edges = _memoized(
+            spark, "uedges_sym", sf_dir,
+            lambda: user_edges_sym(spark, sf_dir),
+        )
+        return anf_frame(verts, edges)
+
+    return _memoized(spark, "anf", sf_dir, build).select(
         F.col("v").alias("user_id"), "r_sum", "est_ppm"
     )
 
@@ -2582,8 +2591,10 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits are five broadcast semi-joins over one cached degree
     frame. No quadratic anything: e_k comes from counting EXISTING
     edges inside the club, never from enumerating possible ones."""
-    edges = user_edges_sym(spark, sf_dir)
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
+    deg = cut(edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg")))
     out = None
     for k in _RICH_CLUB_KS:
         club = deg.where(F.col("deg") > k).select("a")
@@ -2658,7 +2669,9 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach_bp is one BIGINT division; the flag is a comparison. Output:
     one row per k (k, total_est_ppm, reach_bp, is_effective_diameter)."""
     verts = user_vertices(spark, sf_dir)
-    edges = user_edges_sym(spark, sf_dir)
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
     sketches = verts.select(
         F.col("id").alias("v"),
         F.explode(F.array(*[F.lit(m) for m in range(_ANF_M)])).alias("m"),
@@ -2801,7 +2814,9 @@ def graph_anf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     est_ppm and exact_n are both exact integers; ratio_bp is one
     BIGINT division (positive, trunc == floor)."""
-    edges = user_edges_sym(spark, sf_dir)
+    edges = _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
     sample = user_vertices(spark, sf_dir).where(
         F.pmod(F.col("id"), F.lit(_ANF_SAMPLE_MOD)) == 0
     ).select(F.col("id").alias("seed"))
