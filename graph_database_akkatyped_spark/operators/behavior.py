@@ -867,8 +867,96 @@ JOIN daily d ON d.event_type = h.event_type AND d.t = h.t
 """
 
 
+def timeseries_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest for ``timeseries_holt`` — the accuracy
+    twin every forecaster here ships with (the recall-twin
+    discipline): at each step t ≥ 2 the forecast is l_{t−1} + b_{t−1};
+    the key reports per-series step count, total absolute error, max
+    error and MAE (all in the same exact milli-units as the smoother,
+    MAE as one BIGINT division). A forecasting key without a measured
+    error is a vibe, not an operator.
+
+    Same applyInPandas shape as the smoother (the recursion is the
+    cost; the error is one extra subtraction per step); the oracle
+    joins the recursive-CTE Holt states at t−1 to the observation at
+    t — no new recursion."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = (pdf["n"].astype("int64") * 1000).tolist()
+        l = x[0]
+        b = (x[1] - x[0]) if len(x) > 1 else 0
+        n_steps, tot, mx = 0, 0, 0
+        s = _HOLT_SHIFT
+        for t in range(1, len(x)):
+            err = abs(x[t] - (l + b))
+            n_steps += 1
+            tot += err
+            mx = max(mx, err)
+            l_new = (x[t] + 3 * (l + b) + 4 * s) // 4 - s
+            b = ((l_new - l) + b + 2 * s) // 2 - s
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_steps": pd.Series([n_steps], dtype="int64"),
+                "total_abs_err_q": pd.Series([tot], dtype="int64"),
+                "max_abs_err_q": pd.Series([mx], dtype="int64"),
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        backtest,
+        "event_type string, n_steps long, total_abs_err_q long, "
+        "max_abs_err_q long",
+    )
+    return out.select(
+        "event_type",
+        "n_steps",
+        "total_abs_err_q",
+        "max_abs_err_q",
+        F.expr("total_abs_err_q div n_steps").alias("mae_q"),
+    )
+
+
+_HOLT_BACKTEST_SQL = f"""
+WITH holt_states AS ({_HOLT_SQL.replace("SELECT d.event_type, d.day, d.n, h.level_q, h.trend_q",
+                                        "SELECT d.event_type, d.day, d.n, h.t, h.level_q, h.trend_q")}),
+daily2 AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(count(*) AS BIGINT) * 1000 AS x,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY date_trunc('day', CAST(ts AS TIMESTAMP)))
+           AS BIGINT) AS t
+  FROM events GROUP BY 1, 2
+),
+errs AS (
+  SELECT d.event_type,
+         abs(d.x - (h.level_q + h.trend_q)) AS err
+  FROM daily2 d
+  JOIN holt_states h
+    ON h.event_type = d.event_type AND h.t = d.t - 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(sum(err) AS BIGINT) AS total_abs_err_q,
+       CAST(max(err) AS BIGINT) AS max_abs_err_q,
+       CAST(sum(err) AS BIGINT) // CAST(count(*) AS BIGINT) AS mae_q
+FROM errs
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "timeseries_holt": timeseries_holt,
+    "timeseries_holt_backtest": timeseries_holt_backtest,
     "timeseries_downsample_lttb": timeseries_downsample_lttb,
     "events_markov_transitions": events_markov_transitions,
     "timeseries_ohlc": timeseries_ohlc,
@@ -882,6 +970,7 @@ QUERIES = {
 
 ORACLES = {
     "timeseries_holt": _HOLT_SQL,
+    "timeseries_holt_backtest": _HOLT_BACKTEST_SQL,
     "timeseries_downsample_lttb": _LTTB_SQL,
     "timeseries_autocorr": _AUTOCORR_SQL,
     "timeseries_anomaly_mad": _MAD_SQL,

@@ -4718,6 +4718,52 @@ FROM scored
 """
 
 
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — tokens emitted per word
+    under the fixed BPE merge table (``text_bpe_encode``): the
+    standard tokenizer-fairness metric (a tokenizer trained on English
+    fragments under-merged languages into more tokens per word, which
+    inflates their training/serving cost and shrinks their effective
+    context). One row per lang: word/token totals and fertility in
+    milli-units ((1000·Σtokens) div Σwords — one BIGINT division).
+
+    Shape: the encode pass is the heavy part and is already
+    vocab-bounded (merges run on the distinct-word dictionary); this
+    key adds one broadcast join to the 2-column doc->lang map and a
+    |langs|-row aggregate."""
+    enc = text_bpe_encode(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        enc.join(F.broadcast(docs), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "total_words",
+            "total_tokens",
+            F.expr("(1000 * total_tokens) div total_words").alias(
+                "fertility_milli"
+            ),
+        )
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    return f"""
+WITH enc AS ({_BPE_ENCODE_SQL})
+SELECT d.lang,
+       CAST(sum(e.n_words) AS BIGINT) AS total_words,
+       CAST(sum(e.n_tokens) AS BIGINT) AS total_tokens,
+       (1000 * CAST(sum(e.n_tokens) AS BIGINT))
+         // CAST(sum(e.n_words) AS BIGINT) AS fertility_milli
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 _NORM_Q = 1_000_000  # 1e-6 coordinate quantization (Mahalanobis grid)
 
 
@@ -7686,6 +7732,7 @@ QUERIES = {
     "text_zipf_fit": text_zipf_fit,
     "text_bpe_merge": text_bpe_merge,
     "text_bpe_encode": text_bpe_encode,
+    "text_bpe_fertility": text_bpe_fertility,
     "text_lang_stats": text_lang_stats,
     "text_sentiment_lexicon": text_sentiment_lexicon,
     "text_quality_score": text_quality_score,
@@ -7771,6 +7818,7 @@ ORACLES = {
     "text_zipf_fit": _ZIPF_SQL,
     "text_bpe_merge": _BPE_SQL,
     "text_bpe_encode": _BPE_ENCODE_SQL,
+    "text_bpe_fertility": _bpe_fertility_sql(),
     "text_lang_stats": _TEXT_LANG_STATS_SQL,
     "text_sentiment_lexicon": _TEXT_SENTIMENT_SQL,
     "text_quality_score": _TEXT_QUALITY_SQL,

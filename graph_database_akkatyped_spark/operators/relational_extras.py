@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from graph_database_akkatyped_spark.catalog import load_table
-from graph_database_akkatyped_spark.numerics import dec2double
+from graph_database_akkatyped_spark.numerics import (
+    dec2double,
+    dsum,
+    sql_dsum,
+)
 
 
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1635,6 +1639,143 @@ GROUP BY cohort
 """
 
 
+_AGING_BUCKETS_D = (30, 90, 365)  # aging thresholds in days
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging report: non-finished orders bucketed
+    by age (days from o_orderdate to the corpus's max order date —
+    the deterministic as-of point), per (priority, bucket): order
+    count and exact-decimal value at risk. The receivables/backlog
+    report every ops dashboard has, and a deliberately
+    broadcast-scalar shape: the as-of date is ONE row joined back via
+    crossJoin(broadcast), so the whole report is a single pruned scan
+    + one groupBy — no window, no self-join, linear at 100 TB.
+
+    Ages are exact integer days ((as_of_us − order_us) div 86400e6,
+    both sides non-negative); bucket edges are closed-open
+    [0,30) [30,90) [90,365) [365,∞) labeled by their lower edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    as_of = orders.agg(F.max("o_orderdate").alias("as_of"))
+    open_orders = orders.where(F.col("o_orderstatus") != "F").crossJoin(
+        F.broadcast(as_of)
+    )
+    # o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+    # cast to TIMESTAMP is the identity and unix_micros stays exact
+    age_d = F.expr(
+        "(unix_micros(cast(as_of as timestamp))"
+        " - unix_micros(cast(o_orderdate as timestamp))) div 86400000000"
+    )
+    lo, mid, hi = _AGING_BUCKETS_D
+    bucket = (
+        F.when(age_d < lo, F.lit(0))
+        .when(age_d < mid, F.lit(lo))
+        .when(age_d < hi, F.lit(mid))
+        .otherwise(F.lit(hi))
+    )
+    return (
+        open_orders.select(
+            "o_orderpriority",
+            bucket.cast("long").alias("age_bucket_d"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderpriority", "age_bucket_d")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("value_at_risk"),
+        )
+    )
+
+
+_BACKLOG_SQL = f"""
+WITH as_of AS (SELECT max(o_orderdate) AS as_of FROM orders),
+open_orders AS (
+  SELECT o_orderpriority, o_totalprice,
+         (epoch_us(a.as_of) - epoch_us(o_orderdate)) // 86400000000
+           AS age_d
+  FROM orders, as_of a
+  WHERE o_orderstatus <> 'F'
+)
+SELECT o_orderpriority,
+       CAST(CASE WHEN age_d < {_AGING_BUCKETS_D[0]} THEN 0
+                 WHEN age_d < {_AGING_BUCKETS_D[1]}
+                   THEN {_AGING_BUCKETS_D[0]}
+                 WHEN age_d < {_AGING_BUCKETS_D[2]}
+                   THEN {_AGING_BUCKETS_D[1]}
+                 ELSE {_AGING_BUCKETS_D[2]} END AS BIGINT) AS age_bucket_d,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS value_at_risk
+FROM open_orders
+GROUP BY 1, 2
+"""
+
+
+def skyline_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BRAND Pareto frontier (min price, max size) — the grouped
+    twin of ``skyline_pareto`` with a deliberately different physical
+    shape: inside a group the 2D skyline is two window functions, no
+    self-join at all. A point survives iff its size strictly exceeds
+    the max size over all STRICTLY cheaper same-brand points (RANGE
+    frame ending 1 cent before current) AND it has the max size at
+    its exact price (same-price domination; exact duplicates tie and
+    all survive). At 100 TB the brand is the partition key — each
+    group's frontier computes independently with zero cross-group
+    traffic, the shape a window gets for free and a self-join never
+    does.
+
+    Exact-integer discipline: prices in DECIMAL-derived cents, sizes
+    BIGINT — dominance is pure integer comparison on both engines."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_below = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_c")
+    return (
+        p.withColumn("best_below", F.max("size").over(w_below))
+        .withColumn("best_same", F.max("size").over(w_same))
+        .where(
+            (
+                F.col("best_below").isNull()
+                | (F.col("size") > F.col("best_below"))
+            )
+            & (F.col("size") == F.col("best_same"))
+        )
+        .select("p_brand", "p_partkey", "price_c", "size")
+    )
+
+
+_SKY_GROUPED_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+scored AS (
+  SELECT p_brand, p_partkey, price_c, size,
+         max(size) OVER (PARTITION BY p_brand ORDER BY price_c
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS best_below,
+         max(size) OVER (PARTITION BY p_brand, price_c) AS best_same
+  FROM p
+)
+SELECT p_brand, p_partkey, price_c, size
+FROM scored
+WHERE (best_below IS NULL OR size > best_below) AND size = best_same
+"""
+
+
 _REC_SCALE = 1_000_000_000  # 1e9 cosine² quantization
 _REC_TOPK = 5
 
@@ -1873,12 +2014,16 @@ QUERIES = {
     "funnel_time_to_convert": funnel_time_to_convert,
     "join_spatial_grid": join_spatial_grid,
     "data_quality_fk_audit": data_quality_fk_audit,
+    "skyline_grouped": skyline_grouped,
+    "orders_backlog_aging": orders_backlog_aging,
 }
 
 ORACLES = {
     "funnel_time_to_convert": _FUNNEL_TIME_SQL,
     "join_spatial_grid": _SPATIAL_SQL,
     "data_quality_fk_audit": _FK_AUDIT_SQL,
+    "skyline_grouped": _SKY_GROUPED_SQL,
+    "orders_backlog_aging": _BACKLOG_SQL,
     "skyline_pareto": _SKYLINE_SQL,
     "recommend_item_cosine": _RECOMMEND_SQL,
     "entity_resolve_blocked": _ER_SQL,

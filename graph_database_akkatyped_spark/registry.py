@@ -65,7 +65,8 @@ _SWEEP_ORDER = (
     "anonymize_dp_counts", "graph_neighborhood_anf",
     "graph_anf_accuracy", "anonymize_pseudonymize", "join_spatial_grid",
     "data_quality_fk_audit", "graph_effective_diameter",
-    "graph_rich_club", "embedding_norm_audit",
+    "graph_rich_club", "embedding_norm_audit", "text_bpe_fertility",
+    "skyline_grouped", "timeseries_holt_backtest", "orders_backlog_aging",
     "text_bpe_encode", "entity_resolve_blocked", "join_bloom_prefilter",
     "stream_entity_resolve", "graph_temporal_reachability",
     "timeseries_downsample_lttb", "embedding_outlier_mahalanobis",

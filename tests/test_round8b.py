@@ -320,6 +320,59 @@ def test_embedding_norm_audit_is_clean_on_fixture(spark):
     assert 0 < r.min_norm2_q <= r.max_norm2_q
 
 
+def test_skyline_grouped_matches_per_brand_brute_force(spark):
+    from graph_database_akkatyped_spark.operators.relational_extras import (
+        skyline_grouped,
+    )
+
+    part = spark.read.parquet(f"{SF_ORACLE}/part.parquet").toPandas()
+    expected = set()
+    for brand, g in part.groupby("p_brand"):
+        pts = list(
+            zip(
+                g.p_partkey.astype("int64"),
+                (g.p_retailprice * 100).round().astype("int64"),
+                g.p_size.astype("int64"),
+            )
+        )
+        for key, price, sz in pts:
+            if not any(
+                (p2 <= price) and (s2 >= sz) and ((p2 < price) or (s2 > sz))
+                for _, p2, s2 in pts
+            ):
+                expected.add((brand, int(key)))
+    out = skyline_grouped(spark, SF_ORACLE).toPandas()
+    got = set(zip(out.p_brand, out.p_partkey.astype("int64")))
+    assert got == expected
+
+
+def test_holt_backtest_error_is_consistent_with_the_smoother(spark):
+    from graph_database_akkatyped_spark.operators.behavior import (
+        timeseries_holt,
+        timeseries_holt_backtest,
+    )
+
+    holt = timeseries_holt(spark, SF_SMOKE).toPandas()
+    bt = timeseries_holt_backtest(spark, SF_SMOKE).toPandas()
+    counts = holt.groupby("event_type").size()
+    for r in bt.itertuples():
+        assert r.n_steps == counts[r.event_type] - 1
+        assert 0 <= r.mae_q <= r.max_abs_err_q <= r.total_abs_err_q
+
+
+def test_bpe_fertility_covers_every_language(spark):
+    from graph_database_akkatyped_spark.operators.llm import (
+        text_bpe_fertility,
+    )
+
+    out = text_bpe_fertility(spark, SF_ORACLE).toPandas()
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").toPandas()
+    assert set(out.lang) == set(docs.lang)
+    # BPE can only MERGE characters: at least 1 token per word, and
+    # fewer tokens than raw characters
+    assert (out.fertility_milli >= 1000).all()
+
+
 def test_holt_tracks_level_on_smoke_fixture(spark):
     out = timeseries_holt(spark, SF_SMOKE).toPandas()
     assert (out.groupby("event_type")["day"].count() >= 1).all()

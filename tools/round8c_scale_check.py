@@ -75,6 +75,14 @@ QUERIES = {
         "data_quality_fk_audit"
     ],
     "embedding_norm_audit": llm.QUERIES["embedding_norm_audit"],
+    "skyline_grouped": relational_extras.QUERIES["skyline_grouped"],
+    "orders_backlog_aging": relational_extras.QUERIES[
+        "orders_backlog_aging"
+    ],
+    "timeseries_holt_backtest": behavior.QUERIES[
+        "timeseries_holt_backtest"
+    ],
+    "text_bpe_fertility": llm.QUERIES["text_bpe_fertility"],
 }
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
