@@ -67,6 +67,7 @@ _SWEEP_ORDER = (
     "data_quality_fk_audit", "graph_effective_diameter",
     "graph_rich_club", "embedding_norm_audit", "text_bpe_fertility",
     "skyline_grouped", "timeseries_holt_backtest", "orders_backlog_aging",
+    "stream_holt_state",
     "text_bpe_encode", "entity_resolve_blocked", "join_bloom_prefilter",
     "stream_entity_resolve", "graph_temporal_reachability",
     "timeseries_downsample_lttb", "embedding_outlier_mahalanobis",

@@ -1195,6 +1195,173 @@ def _stream_er_oracle() -> str:
     return _ER_SQL
 
 
+# ---------------------------------------------- streaming Holt smoother
+
+_HOLT_SPLITS = 3  # sequential 10-day journal slices
+
+
+def _holt_split_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The 30-day journal rewritten as ``_HOLT_SPLITS`` SEQUENTIAL
+    time-range parquet files (days [1,10], [11,20], [21,30]) with
+    ascending modification times, so the file stream replays history
+    in order — an ORDER-SENSITIVE replay layout, unlike the hash
+    splits every other stream key uses (their folds are commutative;
+    a smoothing recursion is not)."""
+    import os
+    import time as _time
+
+    def build(d: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        lo = ev.agg(F.min("ts")).collect()[0][0]
+        bounds = [10, 20, 10_000]  # days per slice boundary (open top)
+        prev = 0
+        for i, hi in enumerate(bounds):
+            part = ev.where(
+                (F.datediff(F.col("ts"), F.lit(lo)) >= prev)
+                & (F.datediff(F.col("ts"), F.lit(lo)) < hi)
+            )
+            tmp = tempfile.mkdtemp(prefix="spark_graft_holtslice_")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            dst = f"{d}/slice_{i:03d}.parquet"
+            shutil.move(f"{tmp}/{src}", dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # ascending mtimes pin FileStreamSource's oldest-first order
+            t = _time.time() - 300 + i * 10
+            os.utime(dst, (t, t))
+            prev = hi
+
+    return layout_dir("holtsplit", sf_dir, build)
+
+
+class StreamingHoltStore:
+    """Driver-held Holt state per event_type: (last day index, level,
+    trend) in exact milli-units plus the emitted fitted rows and a
+    batch-id ledger. Each micro-batch is REDUCED to its (type, day,
+    count) partial aggregate before it reaches the store — O(types ×
+    days-in-batch) state per trigger, never O(history) — and the
+    recursion advances only through days CONTIGUOUS with what was
+    already processed (an out-of-order slice fails loudly instead of
+    silently smoothing a permuted series). Replayed batch ids are
+    skipped (the idempotent-MERGE ledger contract of
+    ``stream_sink_idempotent``)."""
+
+    def __init__(self) -> None:
+        from graph_database_akkatyped_spark.operators.behavior import (
+            _HOLT_SHIFT,
+        )
+
+        self._shift = _HOLT_SHIFT
+        self.state: dict[str, tuple] = {}  # type -> (day, l, b)
+        self.pending: dict[str, tuple] = {}  # type -> (day0, x0, n0)
+        self.rows: list[tuple] = []
+        self.applied: set[int] = set()
+        self.n_skipped_replays = 0
+
+    def apply(self, pdf, batch_id: int) -> None:
+        if batch_id in self.applied:
+            self.n_skipped_replays += 1
+            return
+        self.applied.add(batch_id)
+        s = self._shift
+        for et, g in pdf.groupby("event_type"):
+            g = g.sort_values("day")
+            for day, n in zip(g["day"], g["n"]):
+                x = int(n) * 1000
+                if et in self.state:
+                    last_day, l, b = self.state[et]
+                    assert day > last_day, (
+                        f"out-of-order day {day} after {last_day} for {et}"
+                    )
+                    l_new = (x + 3 * (l + b) + 4 * s) // 4 - s
+                    b = ((l_new - l) + b + 2 * s) // 2 - s
+                    l = l_new
+                    self.state[et] = (day, l, b)
+                    self.rows.append((et, day.to_pydatetime(), int(n), l, b))
+                elif et in self.pending:
+                    day0, x0, n0 = self.pending.pop(et)
+                    assert day > day0, "out-of-order first pair"
+                    l, b = x0, x - x0  # classic init l1=x1, b1=x2-x1
+                    self.rows.append((et, day0.to_pydatetime(), n0, l, b))
+                    l_new = (x + 3 * (l + b) + 4 * s) // 4 - s
+                    b = ((l_new - l) + b + 2 * s) // 2 - s
+                    l = l_new
+                    self.state[et] = (day, l, b)
+                    self.rows.append((et, day.to_pydatetime(), int(n), l, b))
+                else:
+                    # first observation: the init trend needs day 2,
+                    # so day 1 is buffered, not emitted
+                    self.pending[et] = (day, x, int(n))
+
+
+def run_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full ordered streaming run of the Holt smoother over the
+    journal replay; returns the fitted (event_type, day, n, level_q,
+    trend_q) table, which must hash-match the BATCH recursion
+    (``timeseries_holt``'s oracle) — the convergence proof that the
+    incremental state machine equals the from-scratch smoother."""
+    split_dir = _holt_split_dir(spark, sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    store = StreamingHoltStore()
+    last: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = (
+            batch_df.groupBy(
+                "event_type", F.date_trunc("day", "ts").alias("day")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .toPandas()
+        )
+        last.append((pdf, batch_id))
+        store.apply(pdf, batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_holt_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert len(store.applied) >= _HOLT_SPLITS
+    pdf, batch_id = last[-1]
+    store.apply(pdf, batch_id)  # ledger replay: must be a no-op
+    assert store.n_skipped_replays >= 1
+    assert not store.pending, "a series never saw its second day"
+    out = spark.createDataFrame(
+        store.rows,
+        "event_type string, day timestamp, n long, level_q long, "
+        "trend_q long",
+    )
+    return out
+
+
+def stream_holt_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered streaming-Holt key (memoized). The oracle is the
+    batch recursive-CTE smoother — hash equality proves the ordered
+    incremental replay converges to the from-scratch answer, including
+    the two-day init buffering and the ledger-gated replay skip."""
+    return memoized_checkpoint(
+        spark, "stream_holt", sf_dir, lambda: run_stream_holt(spark, sf_dir)
+    )
+
+
+def _stream_holt_oracle() -> str:
+    from graph_database_akkatyped_spark.operators.behavior import _HOLT_SQL
+
+    return _HOLT_SQL
+
+
 QUERIES = {
     "stream_sink_idempotent": stream_sink_idempotent,
     "stream_graph_degree": stream_graph_degree,
@@ -1203,6 +1370,7 @@ QUERIES = {
     "stream_ivf_assign": stream_ivf_assign,
     "stream_backfill_merge": stream_backfill_merge,
     "stream_entity_resolve": stream_entity_resolve,
+    "stream_holt_state": stream_holt_state,
 }
 
 ORACLES = {
@@ -1211,6 +1379,7 @@ ORACLES = {
     "stream_graph_degree": _GRAPH_DEGREE_SQL,
     "stream_ivf_assign": _stream_ivf_oracle(),
     "stream_entity_resolve": _stream_er_oracle(),
+    "stream_holt_state": _stream_holt_oracle(),
 }
 
 

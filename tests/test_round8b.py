@@ -373,6 +373,46 @@ def test_bpe_fertility_covers_every_language(spark):
     assert (out.fertility_milli >= 1000).all()
 
 
+def test_streaming_holt_store_ledger_and_ordering_guards():
+    import pandas as pd
+
+    from graph_database_akkatyped_spark.streaming.sinks import (
+        StreamingHoltStore,
+    )
+
+    days = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"])
+    b0 = pd.DataFrame(
+        {"event_type": ["x", "x"], "day": days[:2], "n": [10, 14]}
+    )
+    b1 = pd.DataFrame({"event_type": ["x"], "day": days[2:], "n": [12]})
+    store = StreamingHoltStore()
+    store.apply(b0, 0)
+    store.apply(b1, 1)
+    assert len(store.rows) == 3
+    # replay of an applied batch is a ledger no-op
+    store.apply(b1, 1)
+    assert store.n_skipped_replays == 1 and len(store.rows) == 3
+    # exact-match against the batch recurrence (init l1=x1, b1=x2-x1,
+    # then advance through day 2 and day 3)
+    s = store._shift
+    l, b = 10_000, 4_000
+    for x in (14_000, 12_000):
+        l_new = (x + 3 * (l + b) + 4 * s) // 4 - s
+        b = ((l_new - l) + b + 2 * s) // 2 - s
+        l = l_new
+    assert store.rows[-1][3] == l and store.rows[-1][4] == b
+    # out-of-order slice fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        store.apply(
+            pd.DataFrame(
+                {"event_type": ["x"], "day": days[:1], "n": [9]}
+            ),
+            2,
+        )
+
+
 def test_holt_tracks_level_on_smoke_fixture(spark):
     out = timeseries_holt(spark, SF_SMOKE).toPandas()
     assert (out.groupby("event_type")["day"].count() >= 1).all()
