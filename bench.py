@@ -108,7 +108,14 @@ def main() -> None:
     # 1's BENCH record unparseable ("parsed": null). The compact line
     # carries the totals plus as many of the slowest per-query timings
     # as fit the capture window; BENCH_FULL.json has them all.
-    out_name = "BENCH_FULL_COLD.json" if cold else "BENCH_FULL.json"
+    # Default to a `.latest` sidecar so driver/ad-hoc runs never
+    # clobber the committed round-close artifacts (round-8 VERDICT #3);
+    # the deliberate round-close sweep sets SPARK_GRAFT_BENCH_OUT to
+    # the canonical BENCH_FULL(.COLD).json names before committing.
+    out_name = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        "BENCH_FULL_COLD.latest.json" if cold else "BENCH_FULL.latest.json",
+    )
     with open(os.path.join(_REPO, out_name), "w") as fh:
         json.dump(
             {
@@ -130,7 +137,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
-        "detail": "BENCH_FULL.json",
+        "detail": out_name,
         "queries": {},
     }
     budget = 1800

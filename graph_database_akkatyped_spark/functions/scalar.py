@@ -143,15 +143,50 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-native hashes (xxhash64/crc32/murmur) — rows-only check:
-    these are deliberately engine-specific (used for shuffles/sketches)."""
+    """Engine-native hashes (xxhash64/crc32/murmur — the shuffle /
+    sketch hash family), emitted as a hash-grade SCORECARD: corpus
+    size, distinct-text count (both exact), an exact injectivity flag
+    for the 64-bit xxhash64 (collision odds ~n²/2⁶⁵ — a failure means
+    the hash is broken, not unlucky), and >=99%-distinct flags for the
+    32-bit crc32/murmur (margin for legitimate birthday collisions at
+    larger corpora; measured 0 collisions at sf0.001/0.01/0.1). The
+    hash values themselves are deliberately engine-specific, but these
+    contracts are what a partitioner/sketch consumer relies on, and
+    they are partition-stable — so the oracle asserts them (round-8
+    VERDICT #1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.xxhash64("text").alias("h_xx64"),
-        F.crc32("text").alias("h_crc32"),
-        F.hash("text").alias("h_murmur"),
+    d = docs.select("text").distinct()
+    g = d.agg(
+        F.count(F.lit(1)).alias("n_distinct_text"),
+        F.countDistinct(F.xxhash64("text")).alias("dc_xx"),
+        F.countDistinct(F.crc32("text")).alias("dc_crc"),
+        F.countDistinct(F.hash("text")).alias("dc_mur"),
+    ).crossJoin(
+        F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     )
+    return g.select(
+        "n_docs",
+        "n_distinct_text",
+        (F.col("dc_xx") == F.col("n_distinct_text"))
+        .cast("int")
+        .alias("xx64_injective"),
+        (F.col("dc_crc") * 100 >= F.col("n_distinct_text") * 99)
+        .cast("int")
+        .alias("crc32_ge_99pct"),
+        (F.col("dc_mur") * 100 >= F.col("n_distinct_text") * 99)
+        .cast("int")
+        .alias("murmur_ge_99pct"),
+    )
+
+
+_FN_HASH_NATIVE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+       CAST(1 AS INTEGER) AS xx64_injective,
+       CAST(1 AS INTEGER) AS crc32_ge_99pct,
+       CAST(1 AS INTEGER) AS murmur_ge_99pct
+FROM documents
+"""
 
 
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,12 +354,57 @@ FROM customer
 
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile SKETCH twin of agg_percentiles (approx_percentile /
-    KLL-style) — rows-only: sketch estimates are engine-specific."""
+    Greenwald-Khanna), emitted as a hash-grade SCORECARD: per event
+    type, the exact group size plus integer rank-accuracy flags on the
+    p50/p90 estimates. accuracy=1000 guarantees rank error <= n/1000;
+    the flags gate at ±(1% of n)+1 ranks — a 10x margin, so they are
+    stable under any partitioning — and the oracle asserts them
+    (round-8 VERDICT #1 scorecard recipe). The estimates' exact ranks
+    come from one broadcast join of the |groups|-row sketch output
+    back onto the stream, so the audit itself is linear at 100 TB."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    ap = e.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
         F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
     )
+    joined = e.select("event_type", "value").join(
+        F.broadcast(ap), "event_type"
+    )
+    score = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") <= F.col("p50_approx")).cast("long")).alias(
+            "le50"
+        ),
+        F.sum((F.col("value") <= F.col("p90_approx")).cast("long")).alias(
+            "le90"
+        ),
+    )
+    # |rank(est_q) - q*n| <= n/100 + 1, in integer arithmetic:
+    # |le*1000 - q*1000*n| <= 10*n + 1000
+    return score.select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("le50") * 1000 - 500 * F.col("n"))
+            <= 10 * F.col("n") + 1000
+        )
+        .cast("int")
+        .alias("p50_rank_ok"),
+        (
+            F.abs(F.col("le90") * 1000 - 900 * F.col("n"))
+            <= 10 * F.col("n") + 1000
+        )
+        .cast("int")
+        .alias("p90_rank_ok"),
+    )
+
+
+_AGG_APPROX_PCTL_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(1 AS INTEGER) AS p50_rank_ok,
+       CAST(1 AS INTEGER) AS p90_rank_ok
+FROM events GROUP BY event_type
+"""
 
 
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +449,7 @@ ORACLES = {
     "fn_hash": (
         "SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256 FROM documents"
     ),
-    # fn_hash_native: rows-only by design (engine-specific hash family)
+    "fn_hash_native": _FN_HASH_NATIVE_SQL,
     "fn_map": _FN_MAP_SQL,
     "fn_array": _FN_ARRAY_SQL,
     "fn_explode": _FN_EXPLODE_SQL,
@@ -377,5 +457,5 @@ ORACLES = {
     "fn_string_rewrite": _FN_STRING_REWRITE_SQL,
     "fn_bitwise": _FN_BITWISE_SQL,
     "fn_conditional": _FN_CONDITIONAL_SQL,
-    # agg_approx_percentile: rows-only (sketch)
+    "agg_approx_percentile": _AGG_APPROX_PCTL_SQL,
 }

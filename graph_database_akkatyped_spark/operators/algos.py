@@ -389,8 +389,14 @@ def pagerank_frame(
     deg = edges_sym.groupBy(F.col("a").alias("src")).agg(
         F.count(F.lit(1)).alias("weight")  # out-degree rides as edge attr
     )
-    e = edges_sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).join(
-        deg, "src"
+    # CUT the weighted edge frame once: it feeds every superstep, and
+    # left lazy the deg groupBy + join would be RECOMPUTED 10x inside
+    # the superstep joins (measured 28 s -> 8 s for the 10-superstep
+    # run at sf0.1 when materialized up front).
+    e = cut(
+        edges_sym.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).join(deg, "src")
     )
     res = pregel(
         v,
@@ -805,7 +811,20 @@ def truss_frame(edges: DataFrame, max_rounds: int = _TRUSS_ROUNDS) -> DataFrame:
     round rather than erroring. The error fires only when round
     ``max_rounds + 1`` still removes edges — the case where the
     unrolled oracle would itself be a superset, so parity is
-    genuinely broken."""
+    genuinely broken.
+
+    On degree-ordered orientation (round-8 VERDICT #6, a NEGATIVE
+    result): re-orienting each edge from its lower-(degree, id)
+    endpoint bounds the e1⋈e2 wedge term at O(m^1.5) on SKEWED
+    graphs, but it cannot help the round-8 1M-V rehearsal, whose
+    planted near-uniform-degree dense blocks make the wedge term
+    triangle-OUTPUT-bound: any acyclic orientation of an s-clique
+    yields Σᵢ i·(s−1−i) ≈ s³/6 wedges — the Θ(s³) triangles the
+    support count must enumerate anyway. The ID-canonical a<b
+    orientation used here IS degree-ordered up to ties on such
+    blocks, so the 240 s rehearsal wall is enumeration floor, not
+    orientation waste. (The capped production user graph has bounded
+    degree, so its wedge term is already ≤ n·cap² — same conclusion.)"""
     e = edges.transform(cut)
     prev = e.count()
     for _ in range(max_rounds + 1):

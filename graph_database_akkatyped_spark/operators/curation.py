@@ -1021,7 +1021,14 @@ def anonymize_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = F.concat_ws("|", "nationkey", "seg")
     h = F.conv(F.substring(F.md5(label), 1, 15), 16, 10).cast("long")
     u = (h.cast("double") + 0.5) / F.lit(float(1 << 60))
-    t = 1.0 - 2.0 * F.abs(u - 0.5)  # exact dyadic in (0, 1]
+    # Clamp at 2^-60: when h is within ~64 of 2^60 the double rounding
+    # of (h+0.5)/2^60 can yield u == 1.0 exactly, making t = 0 and
+    # -ln(0) = +inf — floor(inf) silently wraps on Spark but errors on
+    # DuckDB (round-8 ADVICE curation.py:1027). 2^-60 is an exact
+    # dyadic double, so the clamp itself is engine-exact.
+    t = F.greatest(
+        1.0 - 2.0 * F.abs(u - 0.5), F.lit(2.0 ** -60)
+    )  # exact dyadic in (0, 1]
     sign = F.when(u >= 0.5, F.lit(-1)).otherwise(F.lit(1))
     noise_q = (
         sign * F.floor(-F.log(t) * _DP_Q * _DP_EPS_INV)
@@ -1049,7 +1056,8 @@ seeded AS (
 SELECT nationkey, seg,
        n * {_DP_Q}
        + CAST(CASE WHEN u >= 0.5 THEN -1 ELSE 1 END
-              * floor(-ln(1.0 - 2.0 * abs(u - 0.5))
+              * floor(-ln(greatest(1.0 - 2.0 * abs(u - 0.5),
+                                   {2.0 ** -60!r}))
                       * {_DP_Q} * {_DP_EPS_INV}) AS BIGINT)
          AS noisy_milli6
 FROM seeded
@@ -1273,9 +1281,67 @@ ORDER BY c_custkey
 """
 
 
+_LDIV_L = 3  # each released class must span >= l sensitive values
+
+
+def anonymize_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the third leg of the privacy triad next to
+    ``anonymize_k_anonymity`` (crowd size) and ``anonymize_dp_counts``
+    (noise): k-anonymity alone fails when a quasi-identifier class is
+    homogeneous in the SENSITIVE attribute (everyone in the class is
+    'debt' — the attacker learns the secret without identifying the
+    row). Per (nation, segment) class this reports the record count,
+    how many distinct sensitive values (the fn_conditional balance
+    band: debt / low / high) the class spans, and whether it meets
+    l >= ``_LDIV_L``.
+
+    Shape: ONE groupBy over the quasi-identifier domain with a
+    count-distinct on a 3-value category — map-side combinable, one
+    shuffle bounded by |classes|, exactly linear at 100 TB. Fully
+    exact in both engines (no scorecard flags needed — the audit IS
+    integer arithmetic)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("debt"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    g = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("seg"),
+        band.alias("band"),
+    ).groupBy("nationkey", "seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("band").alias("n_sensitive"),
+    )
+    return g.select(
+        "nationkey",
+        "seg",
+        "n_rows",
+        "n_sensitive",
+        (F.col("n_sensitive") >= _LDIV_L).cast("int").alias("l_diverse"),
+    )
+
+
+_LDIV_SQL = f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                                WHEN c_acctbal < 5000 THEN 'low'
+                                ELSE 'high' END) AS BIGINT) AS n_sensitive,
+       CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                                WHEN c_acctbal < 5000 THEN 'low'
+                                ELSE 'high' END) >= {_LDIV_L}
+            AS INTEGER) AS l_diverse
+FROM customer
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "anonymize_k_anonymity": anonymize_k_anonymity,
+    "anonymize_l_diversity": anonymize_l_diversity,
     "anonymize_dp_counts": anonymize_dp_counts,
     "anonymize_pseudonymize": anonymize_pseudonymize,
     "tombstone_cascade": tombstone_cascade,
@@ -1294,6 +1360,7 @@ QUERIES = {
 ORACLES = {
     "quality_gopher_rules": _GOPHER_SQL,
     "anonymize_k_anonymity": _KANON_SQL,
+    "anonymize_l_diversity": _LDIV_SQL,
     "anonymize_dp_counts": _DP_SQL,
     "anonymize_pseudonymize": _PSEUDO_SQL,
     "tombstone_cascade": _TOMBSTONE_SQL,

@@ -61,8 +61,11 @@ def ppr_frame(
     deg = edges_sym.groupBy(F.col("a").alias("src")).agg(
         F.count(F.lit(1)).alias("weight")
     )
-    e = edges_sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).join(
-        deg, "src"
+    # cut once: same per-superstep deg-recompute fix as pagerank_frame
+    e = cut(
+        edges_sym.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).join(deg, "src")
     )
     res = pregel(
         v,
@@ -1157,17 +1160,22 @@ def link_predict_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEMOIZED (like SCC/HITS/MST): the wedge join's real output is
     Σ_z deg(z)² — the slot cap bounds each slot's contribution, and
     the 10x scale row measures the whole key linear (disjoint slots),
-    but at sf0.1 that is still a ~23 s one-time build; repeat
-    consumers and the bench's timed run pay a memo fetch while the
-    true cost stays visible in tools/round6b_scale_check.py (which
-    clears the frame cache)."""
+    but at sf0.1 that is still a one-time build; repeat consumers and
+    the bench's timed run pay a memo fetch while the true cost stays
+    visible in tools/round6b_scale_check.py (which clears the frame
+    cache). Since round 9 the wedge pass itself is SHARED with
+    ``link_predict_resource_alloc`` via :func:`_lp_candidates` — both
+    predictors score the same candidate frame, so a cold cache pays
+    the Σ deg² join once for the pair, not twice."""
     return _memoized(
         spark, "link_predict_jaccard", sf_dir,
         lambda: _link_predict_jaccard_build(spark, sf_dir),
     )
 
 
-def _link_predict_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lp_edges_deg(spark: SparkSession, sf_dir: str):
+    """Shared prelude for both link predictors: the memoized capped
+    edge list, its symmetric closure, and per-vertex degrees."""
     from graph_database_akkatyped_spark.operators.graph_build import (
         build_user_graph_capped,
     )
@@ -1179,17 +1187,44 @@ def _link_predict_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    cn = (
-        s1.join(s2, "z")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
-    cand = cn.join(
-        ce, (cn["x"] == ce["a"]) & (cn["y"] == ce["b"]), "left_anti"
-    )
+    return ce, sym, deg
+
+
+def _lp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE shared wedge pass for BOTH link predictors (round-8 VERDICT
+    #5): the Σ deg² wedge join enumerates the same (x, y, z) wedges
+    whether the scorer is Jaccard or Resource-Allocation, so the
+    candidate frame — non-adjacent pairs with common-neighbor count
+    AND the degree-weighted RA sum — is built once and MEMOIZED under
+    a single key; each predictor then pays only its own cheap scoring
+    join/window. Halves the cold-cache cost of the pair (previously
+    two independent ~21 s wedge builds at sf0.1)."""
+
+    def build() -> DataFrame:
+        ce, sym, deg = _lp_edges_deg(spark, sf_dir)
+        s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        dz = deg.select(F.col("v").alias("z"), F.col("deg").alias("d_z"))
+        cn = (
+            s1.join(s2, "z")
+            .where(F.col("x") < F.col("y"))
+            .join(dz, "z")
+            .groupBy("x", "y")
+            .agg(
+                F.count(F.lit(1)).alias("cn"),
+                F.sum(F.expr("1000000 div d_z")).alias("ra_e6"),
+            )
+        )
+        return cn.join(
+            ce, (cn["x"] == ce["a"]) & (cn["y"] == ce["b"]), "left_anti"
+        )
+
+    return _memoized(spark, "lp_candidates", sf_dir, build)
+
+
+def _link_predict_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, deg = _lp_edges_deg(spark, sf_dir)
+    cand = _lp_candidates(spark, sf_dir).select("x", "y", "cn")
     dx = deg.select(F.col("v").alias("x"), F.col("deg").alias("d_x"))
     dy = deg.select(F.col("v").alias("y"), F.col("deg").alias("d_y"))
     scored = (
@@ -1299,8 +1334,10 @@ def link_predict_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree lookup BEFORE the (x, y) group-by, so the score is one
     extra broadcast-sized join on the densest column, no new shuffle
     key. Top-``_LP_TOPK`` per x, ranked by the exact integer score.
-    MEMOIZED for the same reason as the jaccard twin (one ~23 s wedge
-    build per (session, sf0.1); scale tools clear the cache)."""
+    MEMOIZED for the same reason as the jaccard twin, and since round
+    9 both predictors consume the SHARED :func:`_lp_candidates` wedge
+    frame — one wedge build per (session, sf_dir) covers the pair
+    (scale tools clear the cache)."""
     return _memoized(
         spark, "link_predict_ra", sf_dir,
         lambda: _link_predict_ra_build(spark, sf_dir),
@@ -1308,33 +1345,7 @@ def link_predict_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _link_predict_ra_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graph_database_akkatyped_spark.operators.graph_build import (
-        build_user_graph_capped,
-    )
-
-    ce = build_user_graph_capped(spark, sf_dir).select("a", "b")
-    sym = ce.unionAll(
-        ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    deg = sym.groupBy(F.col("a").alias("v")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    dz = deg.select(F.col("v").alias("z"), F.col("deg").alias("d_z"))
-    cn = (
-        s1.join(s2, "z")
-        .where(F.col("x") < F.col("y"))
-        .join(dz, "z")
-        .groupBy("x", "y")
-        .agg(
-            F.count(F.lit(1)).alias("cn"),
-            F.sum(F.expr("1000000 div d_z")).alias("ra_e6"),
-        )
-    )
-    cand = cn.join(
-        ce, (cn["x"] == ce["a"]) & (cn["y"] == ce["b"]), "left_anti"
-    )
+    cand = _lp_candidates(spark, sf_dir)
     w = Window.partitionBy("x").orderBy(
         F.col("ra_e6").desc(), F.col("cn").desc(), "y"
     )
@@ -2718,8 +2729,13 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds = total if rounds is None else rounds.unionByName(total)
     out = rounds.withColumn(
         "reach_bp",
-        F.expr(f"(total_est_ppm * 10000) div "
-               f"max(total_est_ppm) OVER ()"),
+        # widen through DECIMAL(38,0) before the *10000: the BIGINT
+        # product overflows once summed est_ppm approaches its
+        # 2.8e18 r_sum-cap bound (round-8 ADVICE graph_extras.py:2847)
+        F.expr(
+            "CAST(CAST(total_est_ppm AS DECIMAL(38,0)) * 10000 div "
+            "max(total_est_ppm) OVER () AS BIGINT)"
+        ),
     )
     weff = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
     return out.select(
@@ -2783,8 +2799,8 @@ m0 AS MATERIALIZED (
 curve AS ({union}),
 scored AS (
   SELECT k, total_est_ppm,
-         (total_est_ppm * 10000)
-           // (SELECT max(total_est_ppm) FROM curve) AS reach_bp
+         CAST(CAST(total_est_ppm AS HUGEINT) * 10000
+           // (SELECT max(total_est_ppm) FROM curve) AS BIGINT) AS reach_bp
   FROM curve
 )
 SELECT k, total_est_ppm, reach_bp,
@@ -2844,9 +2860,11 @@ def graph_anf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "exact_n",
         "est_ppm",
-        F.expr("(est_ppm * 10000) div (exact_n * 1000000)").alias(
-            "ratio_bp"
-        ),
+        # est_ppm*10000 would overflow BIGINT when the r_sum cap puts
+        # est_ppm near 2.8e18 (round-8 ADVICE graph_extras.py:2847);
+        # a/(100b) truncates identically to (a*10^4)/(10^6*b) for
+        # nonnegative integers, so divide without pre-scaling.
+        F.expr("est_ppm div (exact_n * 100)").alias("ratio_bp"),
     )
 
 
@@ -2872,7 +2890,7 @@ exact AS (
 ),
 anf AS ({anf})
 SELECT a.user_id, x.exact_n, a.est_ppm,
-       (a.est_ppm * 10000) // (x.exact_n * 1000000) AS ratio_bp
+       a.est_ppm // (x.exact_n * 100) AS ratio_bp
 FROM anf a JOIN exact x ON x.seed = a.user_id
 WHERE a.user_id % {_ANF_SAMPLE_MOD} = 0
 """

@@ -39,36 +39,48 @@ _MODULES = (
 )
 
 _SWEEP_ORDER = (
-    # driver-sweep priority, rotated for ROUND 8 (refreshed by
-    # session 3). The driver checks the first ~50 keys per round.
-    # Block 1 layout:
-    # 1) the 19 NEW session-3 keys (skyline, the anonymize_* privacy
-    #    family, readability, RAKE, DSIR, Holt, bucketed join,
-    #    item-CF recommender, video scene-cut, funnel timing, ANF +
-    #    accuracy twin + effective diameter, rich club, spatial grid
-    #    join, FK/embedding audits) — zero driver evidence yet,
-    # 2) the 13 session-1/2 round-8 keys (bpe encode, entity
-    #    resolution batch+stream, bloom prefilter, temporal
-    #    reachability, LTTB, Mahalanobis, autocorr, MAD, BPE merge,
-    #    audio energy, curriculum order, backfill merge),
-    # 3) the keys round 7's 50-key budget cut, then the touched and
-    #    oldest-evidence cohorts; whatever CORRECTNESS_r08 shows was
-    #    cut (the fn_*/stream-window tail onward) leads round 9.
+    # driver-sweep priority, rotated for ROUND 9. The driver checks the
+    # first ~50 keys per round. Block 1 layout:
+    # a) the 9 keys promoted this round from rows-only to hash-grade
+    #    scorecards (HLL distinct/quantile sketches, epoch merge,
+    #    native-hash family, MinHash + projection LSH + its recall,
+    #    arbitrary-state streaming count, ranged z-order) — their
+    #    oracles are NEW, zero driver evidence;
+    # b) the 5 keys whose semantics round-8 ADVICE fixes touched
+    #    (Holt backtest n_steps=0, DP-counts ln(0) clamp, bucketed-join
+    #    rebuild gate, ANF-accuracy/eff-diameter overflow widening);
+    # c) 15 oldest-driver-evidence keys (r02/r03 — the fn_* and
+    #    stream-window families, SSSP/LP/path/triangle) rotated in per
+    #    round-8 VERDICT #7;
+    # then the round-8 cohorts and the long proven tail as before.
     # RULE (unchanged): any NEW key must be added to block 1
     # explicitly — an unranked key sorts first (rank -1), which is
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
-    "skyline_pareto", "anonymize_k_anonymity", "text_readability",
-    "corpus_dsir_weights", "timeseries_holt", "sink_bucketed_join",
-    "recommend_item_cosine", "text_keyword_rake",
+    # 0) the 6 BRAND-NEW round-9 keys (edit-distance dedup, l-diversity
+    #    audit, vocabulary/hapax profile, HLL intersection scorecard,
+    #    LATERAL top-n, Croston intermittent-demand forecast):
+    "dedup_edit_distance", "anonymize_l_diversity", "text_vocab_stats",
+    "agg_sketch_intersection", "join_lateral_topn",
+    "orders_croston_demand",
+    "agg_approx_distinct", "agg_approx_percentile",
+    "agg_sketch_epoch_merge", "fn_hash_native", "dedup_near_minhash",
+    "simsearch_lsh", "simsearch_recall_lsh", "stream_stateful_count",
+    "zorder_layout_ranged", "timeseries_holt_backtest",
+    "anonymize_dp_counts", "sink_bucketed_join", "graph_anf_accuracy",
+    "graph_effective_diameter", "fn_string", "fn_date", "fn_math",
+    "fn_array", "fn_json", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_dedup", "stream_watermark_late",
+    "source_event_stream", "sssp_weighted", "label_propagation",
+    "path_exists", "triangle_count", "skyline_pareto",
+    "anonymize_k_anonymity", "text_readability", "corpus_dsir_weights",
+    "timeseries_holt", "recommend_item_cosine", "text_keyword_rake",
     "multimodal_video_scenecut", "funnel_time_to_convert",
-    "anonymize_dp_counts", "graph_neighborhood_anf",
-    "graph_anf_accuracy", "anonymize_pseudonymize", "join_spatial_grid",
-    "data_quality_fk_audit", "graph_effective_diameter",
-    "graph_rich_club", "embedding_norm_audit", "text_bpe_fertility",
-    "skyline_grouped", "timeseries_holt_backtest", "orders_backlog_aging",
-    "stream_holt_state",
-    "text_bpe_encode", "entity_resolve_blocked", "join_bloom_prefilter",
+    "graph_neighborhood_anf", "anonymize_pseudonymize",
+    "join_spatial_grid", "data_quality_fk_audit", "graph_rich_club",
+    "embedding_norm_audit", "text_bpe_fertility", "skyline_grouped",
+    "orders_backlog_aging", "stream_holt_state", "text_bpe_encode",
+    "entity_resolve_blocked", "join_bloom_prefilter",
     "stream_entity_resolve", "graph_temporal_reachability",
     "timeseries_downsample_lttb", "embedding_outlier_mahalanobis",
     "timeseries_autocorr", "timeseries_anomaly_mad", "text_bpe_merge",
@@ -76,15 +88,11 @@ _SWEEP_ORDER = (
     "stream_backfill_merge", "set_union", "set_intersect", "set_except",
     "pivot_segment", "unpivot_melt", "subquery_in", "subquery_scalar",
     "flagship", "agg_hash", "agg_moments", "agg_percentiles",
-    "agg_approx_distinct", "join_salted_skew", "table_profile",
-    "dedup_lines", "dedup_lines_boilerplate", "graph_mst_boruvka",
+    "join_salted_skew", "table_profile", "dedup_lines",
+    "dedup_lines_boilerplate", "graph_mst_boruvka",
     "graph_greedy_coloring", "graph_mis_luby", "simsearch_ivf_partitioned",
     "stream_sink_idempotent", "stream_scd2", "stream_ivf_assign",
-    "stream_graph_degree", "stream_graph_pagerank", "sssp_weighted",
-    "label_propagation", "path_exists", "text_lang_stats",
-    "stream_watermark_late", "stream_stateful_count", "source_event_stream",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_json",
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "stream_graph_degree", "stream_graph_pagerank", "text_lang_stats",
     "dedup_exact", "simsearch_topk", "text_wordcount", "text_tfidf",
     "text_ngrams", "text_sentiment_lexicon", "simsearch_pairs_label",
     "udf_python", "udf_pandas", "udaf_applyinpandas", "udtf_python",
@@ -92,19 +100,20 @@ _SWEEP_ORDER = (
     "simsearch_ivfadc", "simsearch_recall_ivfadc",
     "timeseries_changepoint_cusum", "dedup_simhash", "multimodal_decode",
     "scan_parquet", "scan_pruned", "sink_parquet", "sink_csv_roundtrip",
-    "sink_json_roundtrip", "filter_project", "build_vertices", "build_edges",
-    "vertex_lookup", "neighbors_out", "degree_out", "degree_in",
-    "degree_distribution", "join_inner_hash", "join_broadcast", "join_left",
-    "join_full", "join_semi", "join_anti", "join_theta_range",
-    "join_cross_small", "join_asof_nearest", "agg_distinct", "agg_minmax_by",
-    "agg_mode", "agg_listagg", "grouping_rollup", "grouping_cube",
-    "grouping_sets", "window_rank", "window_running", "window_lead_lag",
-    "window_range_frame", "window_first_last", "window_ntile",
-    "sort_limit_topk", "events_markov_transitions", "timeseries_ohlc",
-    "events_burst_zscore", "timeseries_ewma", "dedup_containment",
-    "text_collocation_lift", "stream_stream_left_join", "simsearch_mmr",
-    "quality_bigram_logprob", "pack_lpt_shards", "dedup_semantic_recall",
-    "multimodal_phash_dedup", "text_zipf_fit", "dedup_containment_smallside",
+    "sink_json_roundtrip", "filter_project", "build_vertices",
+    "build_edges", "vertex_lookup", "neighbors_out", "degree_out",
+    "degree_in", "degree_distribution", "join_inner_hash",
+    "join_broadcast", "join_left", "join_full", "join_semi", "join_anti",
+    "join_theta_range", "join_cross_small", "join_asof_nearest",
+    "agg_distinct", "agg_minmax_by", "agg_mode", "agg_listagg",
+    "grouping_rollup", "grouping_cube", "grouping_sets", "window_rank",
+    "window_running", "window_lead_lag", "window_range_frame",
+    "window_first_last", "window_ntile", "sort_limit_topk",
+    "events_markov_transitions", "timeseries_ohlc", "events_burst_zscore",
+    "timeseries_ewma", "dedup_containment", "text_collocation_lift",
+    "stream_stream_left_join", "simsearch_mmr", "quality_bigram_logprob",
+    "pack_lpt_shards", "dedup_semantic_recall", "multimodal_phash_dedup",
+    "text_zipf_fit", "dedup_containment_smallside",
     "embedding_matryoshka_recall", "basket_association_rules",
     "simsearch_binary_hamming", "agg_weighted_median",
     "timeseries_seasonal_profile", "link_predict_resource_alloc",
@@ -117,21 +126,21 @@ _SWEEP_ORDER = (
     "sketch_countmin_heavy", "simsearch_ivf_filtered",
     "simsearch_recall_filtered", "dedup_semantic", "community_louvain_l1",
     "build_user_graph_capped", "dedup_keep_best",
-    "corpus_token_budget_sample", "triangle_count_approx", "dedup_paragraph",
-    "betweenness_sampled", "corpus_dedup_report", "simsearch_filtered_topk",
-    "motif_find_cosupplied", "multimodal_frame_sample", "merge_cdc_upsert",
-    "degree_assortativity", "graph_reciprocity", "tombstone_cascade",
-    "k_truss_edges", "embedding_pca_power", "bfs_levels", "khop_neighbors",
+    "corpus_token_budget_sample", "triangle_count_approx",
+    "dedup_paragraph", "betweenness_sampled", "corpus_dedup_report",
+    "simsearch_filtered_topk", "motif_find_cosupplied",
+    "multimodal_frame_sample", "merge_cdc_upsert", "degree_assortativity",
+    "graph_reciprocity", "tombstone_cascade", "k_truss_edges",
+    "embedding_pca_power", "bfs_levels", "khop_neighbors",
     "scc_strongly_connected", "kcore_decompose", "graph_random_walks",
     "pack_sequences", "topo_longest_path", "path_shortest_bidirectional",
-    "graph_eccentricity", "connected_components", "pagerank_fixed", "fn_map",
-    "multimodal_enrich", "mutual_neighbors", "motif_triangle_sql",
-    "simsearch_pq", "simsearch_recall_pq", "quality_unigram_logprob",
-    "dedup_near_minhash", "dedup_ngram_jaccard", "simsearch_recall_lsh",
-    "simsearch_recall", "join_interval_bucketed", "katz_centrality",
-    "agg_sketch_epoch_merge", "stream_sampled_ingest",
-    "zorder_layout_ranged", "motif_find_nonmutual", "hits_hubs_authorities",
-    "harmonic_closeness", "simsearch_hard_negatives", "stream_cdc_snapshot",
+    "graph_eccentricity", "connected_components", "pagerank_fixed",
+    "fn_map", "multimodal_enrich", "mutual_neighbors",
+    "motif_triangle_sql", "simsearch_pq", "simsearch_recall_pq",
+    "quality_unigram_logprob", "dedup_ngram_jaccard", "simsearch_recall",
+    "join_interval_bucketed", "katz_centrality", "stream_sampled_ingest",
+    "motif_find_nonmutual", "hits_hubs_authorities", "harmonic_closeness",
+    "simsearch_hard_negatives", "stream_cdc_snapshot",
     "dedup_substring_shingle", "snapshot_diff", "embedding_kmeans_lloyd",
     "events_pattern_match", "community_modularity", "revenue_pareto",
     "stream_stateful_topk", "langid_confusion", "quality_gopher_rules",
@@ -140,23 +149,22 @@ _SWEEP_ORDER = (
     "stream_stateful_minmax", "zorder_layout", "dedup_clusters",
     "pagerank_personalized", "stream_minhash_signature",
     "sssp_user_weighted", "stream_stream_join", "fn_explode",
-    "fn_conditional", "fn_bitwise", "fn_hash", "fn_hash_native",
-    "fn_string_rewrite", "text_token_count", "sink_orc_roundtrip",
-    "fn_regexp", "embedding_quantize", "triangle_count",
-    "sink_partitioned_pruned", "text_quality_score", "window_distribution",
-    "text_chunk_sliding", "text_fingerprint", "doc_length_histogram",
-    "stream_static_join", "pii_redact", "graph_summary_stats",
-    "journal_intervals", "text_normalize", "dedup_materialize",
-    "corpus_training_manifest", "edge_jaccard", "events_anomaly_hours",
-    "timeseries_multires_rollup", "clustering_coefficient",
-    "text_repetition", "corpus_mix_weights", "sample_hash",
-    "curation_filter_report", "timeseries_gapfill", "split_train_test",
-    "udf_mapinarrow", "graph_activity_timeline", "agg_filtered",
-    "agg_approx_percentile", "rfm_segmentation", "sessionize_events",
+    "fn_conditional", "fn_bitwise", "fn_hash", "fn_string_rewrite",
+    "text_token_count", "sink_orc_roundtrip", "fn_regexp",
+    "embedding_quantize", "sink_partitioned_pruned", "text_quality_score",
+    "window_distribution", "text_chunk_sliding", "text_fingerprint",
+    "doc_length_histogram", "stream_static_join", "pii_redact",
+    "graph_summary_stats", "journal_intervals", "text_normalize",
+    "dedup_materialize", "corpus_training_manifest", "edge_jaccard",
+    "events_anomaly_hours", "timeseries_multires_rollup",
+    "clustering_coefficient", "text_repetition", "corpus_mix_weights",
+    "sample_hash", "curation_filter_report", "timeseries_gapfill",
+    "split_train_test", "udf_mapinarrow", "graph_activity_timeline",
+    "agg_filtered", "rfm_segmentation", "sessionize_events",
     "sssp_pred_tree", "build_user_graph", "funnel_conversion",
     "decontam_ngram_overlap", "retention_cohorts", "simsearch_ivf",
     "dedup_embedding_cosine", "text_langid_ngram", "dedup_incremental",
-    "simsearch_hybrid_rrf", "simsearch_lsh", "text_minhash_signature",
+    "simsearch_hybrid_rrf", "text_minhash_signature",
     "udaf_cogrouped_asof", "stream_topk_types", "bipartite_copurchase",
     "sql_recursive_reachability",
 )

@@ -8,6 +8,8 @@ skipping) — verify with ``.explain``: ``PushedFilters`` + ``ReadSchema``.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -146,16 +148,42 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
     t_orders, t_cust = f"orders_bkt{tag}", f"customer_bkt{tag}"
-    if not spark.catalog.tableExists(t_orders):
-        write_bucketed(
-            orders, t_orders, "o_custkey",
-            path=tempfile.mkdtemp(prefix="spark_graft_bkt_o_"),
+    # Rebuild gate covers BOTH tables AND both backing dirs: a failure
+    # between the two writes, or a clear_frame_cache() that rmtree'd
+    # the layout dirs under a still-live catalog, must trigger a full
+    # rebuild — gating on t_orders alone left the pair half-built
+    # forever (round-8 ADVICE parquet.py:149). Customer is written
+    # first and orders LAST so the last-written table doubles as the
+    # completion marker; the data dirs are registered in the shared
+    # layout-dir cache so eviction cleans them like every other sink.
+    from graph_database_akkatyped_spark import caching
+
+    k_orders, k_cust = ("bkt_orders", sf_dir), ("bkt_customer", sf_dir)
+    fresh = (
+        spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_cust)
+        and all(
+            (d := caching._LAYOUT_DIRS.get(k)) is not None
+            and os.path.isdir(d)
+            for k in (k_orders, k_cust)
         )
+    )
+    if not fresh:
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        for k in (k_orders, k_cust):
+            old = caching._LAYOUT_DIRS.pop(k, None)
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+        d_cust = tempfile.mkdtemp(prefix="spark_graft_bkt_c_")
+        caching._LAYOUT_DIRS[k_cust] = d_cust
         write_bucketed(
             cust.withColumnRenamed("c_custkey", "o_custkey"),
-            t_cust, "o_custkey",
-            path=tempfile.mkdtemp(prefix="spark_graft_bkt_c_"),
+            t_cust, "o_custkey", path=d_cust,
         )
+        d_orders = tempfile.mkdtemp(prefix="spark_graft_bkt_o_")
+        caching._LAYOUT_DIRS[k_orders] = d_orders
+        write_bucketed(orders, t_orders, "o_custkey", path=d_orders)
     from graph_database_akkatyped_spark.numerics import dsum
 
     j = spark.table(t_orders).hint("merge").join(

@@ -60,7 +60,7 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_events is strictly monotone per user, so pair total_value with the
     # highest counter (independent maxes would mix emissions when values
     # can be negative)
-    return (
+    final = (
         spark.table(name)
         .groupBy("user_id")
         .agg(
@@ -68,6 +68,32 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(total_value, n_events)").alias("total_value"),
         )
     )
+    # Hash-grade scorecard (round-8 VERDICT #1, batch-twin recipe):
+    # n_events is exact and SQL-oracled directly; the float running
+    # total is summation-order-dependent (and rounded to cents in the
+    # state fn), so it rides as a batch-equality flag — |stream − batch|
+    # within 0.02 (2x the cent rounding) — which the oracle asserts.
+    from graph_database_akkatyped_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("batch_total"))
+    )
+    return final.join(batch, "user_id").select(
+        "user_id",
+        "n_events",
+        (F.abs(F.col("total_value") - F.col("batch_total")) <= 0.02)
+        .cast("int")
+        .alias("total_matches_batch"),
+    )
+
+
+_STREAM_STATEFUL_COUNT_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(1 AS INTEGER) AS total_matches_batch
+FROM events GROUP BY user_id
+"""
 
 
 try:  # Spark 4 surface; keep module import safe on older runtimes
@@ -418,9 +444,6 @@ def _tws_available() -> bool:
         return False
 
 
-# stream_stateful_count stays rows-only (float running total is
-# order-dependent); the minmax key's statistics are order-independent,
-# so it carries a full SQL oracle despite the arbitrary-state path.
 # stream_stateful_minmax registers UNCONDITIONALLY: the public function
 # picks transformWithStateInPandas when protobuf exists, else the
 # applyInPandasWithState fallback with the identical output contract.
@@ -431,6 +454,7 @@ QUERIES = {
     "stream_stateful_topk": stream_stateful_topk,
 }
 ORACLES: dict[str, str] = {
+    "stream_stateful_count": _STREAM_STATEFUL_COUNT_SQL,
     "stream_stateful_minmax": _STATEFUL_MINMAX_SQL,
     "stream_stateful_ttl": _STATEFUL_TTL_SQL,
     "stream_stateful_topk": _STATEFUL_TOPK_SQL,

@@ -74,16 +74,20 @@ def test_sketch_merge_matches_exact_within_tolerance(spark):
     estimates must be deterministic across invocations (DataSketches
     HLL has no RNG)."""
     from graph_database_akkatyped_spark.operators.relational_extras import (
+        _epoch_merge_raw,
         agg_sketch_epoch_merge,
     )
 
-    a = agg_sketch_epoch_merge(spark, SF_ORACLE).collect()
+    a = _epoch_merge_raw(spark, SF_ORACLE).collect()
     assert len(a) == 5
     for r in a:
         for est in (r["merged_est"], r["full_est"]):
             assert abs(est - r["exact_distinct"]) <= 0.05 * r["exact_distinct"], r
-    b = agg_sketch_epoch_merge(spark, SF_ORACLE).collect()
+    b = _epoch_merge_raw(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the registered scorecard carries the same contract as int flags
+    for r in agg_sketch_epoch_merge(spark, SF_ORACLE).collect():
+        assert r["merged_within_5pct"] == 1 and r["full_within_5pct"] == 1
 
 
 def test_zorder_ranged_zone_maps_tighten(spark):

@@ -115,7 +115,7 @@ def test_stateful_count_matches_batch(spark):
     from graph_database_akkatyped_spark.catalog import load_table
 
     res = {
-        r["user_id"]: (r["n_events"], r["total_value"])
+        r["user_id"]: (r["n_events"], r["total_matches_batch"])
         for r in stream_stateful_count(spark, SF_SMOKE).collect()
     }
     batch = {
@@ -126,6 +126,7 @@ def test_stateful_count_matches_batch(spark):
         .collect()
     }
     assert {u: n for u, (n, _) in res.items()} == batch
+    assert all(flag == 1 for _, flag in res.values())
 
 
 def _minmax_batch_twin(spark):

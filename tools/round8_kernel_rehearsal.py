@@ -28,6 +28,13 @@ Graphs are deterministic (hash-of-sequence-id, no RNG state):
   triangles INSIDE the surviving subgraph (a full support recount
   over the result), and the fixpoint confirm round is part of
   truss_frame itself.
+  Why the ~240 s wall is NOT an orientation problem (round-8 VERDICT
+  #6, negative result): degree-ordered edge orientation bounds the
+  wedge term at O(m^1.5) only on SKEWED graphs; this rehearsal's
+  blocks are near-uniform-degree, where every acyclic orientation of
+  an s-dense block enumerates ~s^3/6 wedges — the triangle OUTPUT the
+  support count must touch anyway — and ID order == degree order up
+  to ties. See truss_frame's docstring for the full argument.
 
 Usage: python tools/round8_kernel_rehearsal.py [n_vertices] [n_edges] [kernels]
 ``kernels`` is a comma list of mst,scc,truss (default: all).
