@@ -59,12 +59,25 @@ def bfs_frame(edges_sym: DataFrame, seed: DataFrame, max_level: int) -> DataFram
     return visited
 
 
+def _uedges_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized symmetric user edge list — the SHARED frame
+    every iterative kernel should join per superstep. Passing the lazy
+    ``user_edges_sym`` plan into a Pregel loop re-executes the slot
+    self-join in EVERY superstep's message join (the round-9
+    pagerank/semantic_clusters recompute class); the memo key is the
+    same "uedges_sym" the ANF/modularity family already shares, so the
+    build happens once per (session, sf_dir) across all consumers."""
+    return _memoized(
+        spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
+    )
+
+
 def _bfs_visited(
     spark: SparkSession, sf_dir: str, max_level: int
 ) -> DataFrame:
     """BFS over the user graph from the min user id."""
     events = load_table(spark, sf_dir, "events")
-    edges = user_edges_sym(spark, sf_dir)
+    edges = _uedges_memo(spark, sf_dir)
     seed = events.agg(F.min("user_id").alias("id"))
     return bfs_frame(edges, seed, max_level)
 
@@ -249,7 +262,7 @@ def cc_frame(verts: DataFrame, edges_sym: DataFrame, max_iter: int = 50) -> Data
 def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-id label propagation to fixpoint (undirected CC)."""
     return cc_frame(
-        user_vertices(spark, sf_dir), user_edges_sym(spark, sf_dir)
+        user_vertices(spark, sf_dir), _uedges_memo(spark, sf_dir)
     ).select(F.col("id").alias("user_id"), "component")
 
 
@@ -416,7 +429,7 @@ def pagerank_frame(
 
 def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_frame(
-        user_vertices(spark, sf_dir), user_edges_sym(spark, sf_dir), 10
+        user_vertices(spark, sf_dir), _uedges_memo(spark, sf_dir), 10
     ).select(F.col("id").alias("user_id"), "rank_e12", "rank")
 
 
@@ -451,7 +464,7 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous LPA, 4 fixed iterations, most-frequent neighbor label,
     ties broken to the smallest label (deterministic -> oracle-able)."""
     verts = user_vertices(spark, sf_dir)
-    edges = user_edges_sym(spark, sf_dir)
+    edges = _uedges_memo(spark, sf_dir)
     labels = verts.select("id", F.col("id").alias("lbl"))
     for _ in range(4):
         nbr = edges.join(

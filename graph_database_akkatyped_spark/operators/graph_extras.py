@@ -90,11 +90,13 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPR from the min user id over the user graph (reference analog:
     'related vertices' ranked from a query vertex). The seed fetch is
     the one sanctioned scalar driver action (same as BFS seeds)."""
+    from graph_database_akkatyped_spark.operators.algos import _uedges_memo
+
     events = load_table(spark, sf_dir, "events")
     seed = events.agg(F.min("user_id")).first()[0]
     return ppr_frame(
         user_vertices(spark, sf_dir),
-        user_edges_sym(spark, sf_dir),
+        _uedges_memo(spark, sf_dir),
         seed,
         _PPR_ITERS,
     ).select(F.col("id").alias("user_id"), "rank_e12", "rank")
@@ -1198,7 +1200,17 @@ def _lp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the degree-weighted RA sum — is built once and MEMOIZED under
     a single key; each predictor then pays only its own cheap scoring
     join/window. Halves the cold-cache cost of the pair (previously
-    two independent ~21 s wedge builds at sf0.1)."""
+    two independent ~21 s wedge builds at sf0.1).
+
+    Tried and REJECTED (round 9): generating the per-z neighbor pairs
+    from a sorted adjacency array (collect_list -> nested
+    transform/slice/flatten -> explode) to halve the generated rows
+    and skip the d_z join — measured 166-235 s vs 27-34 s for this
+    join formulation at sf0.1. The nested array-of-struct expressions
+    allocate deg²/2 structs per row OUTSIDE whole-stage codegen and
+    serialize each high-degree z into one task; the shuffle hash join
+    + filter stays codegen'd and spreads candidates across partitions.
+    Keep the join."""
 
     def build() -> DataFrame:
         ce, sym, deg = _lp_edges_deg(spark, sf_dir)

@@ -2156,8 +2156,10 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list is ≤ k·n rows by construction, so the CC runs on a
     bounded-degree graph whatever the corpus size. The result is
     memoized (like SCC/HITS/betweenness/MST): the min-label CC runs
-    ~diameter Pregel rounds on the chain-heavy knn graph — ~100 s at
-    sf0.1 — and every repeat consumer should pay a memo fetch."""
+    ~diameter Pregel rounds on the chain-heavy knn graph — ~12 s cold
+    at sf0.1 after the round-9 edge-frame cut (the knn pipeline used
+    to re-execute inside every superstep) — and every repeat consumer
+    pays a memo fetch."""
     from graph_database_akkatyped_spark.operators.algos import cc_frame
 
     def build() -> DataFrame:
@@ -2167,10 +2169,18 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").select(
             F.col("vec_id").alias("id")
         )
-        sym = edges.select(
-            F.col("src").alias("a"), F.col("dst").alias("b")
-        ).unionAll(
-            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        # CUT the strong-edge frame before the Pregel loop: left lazy,
+        # every CC superstep's message join re-executed the ENTIRE
+        # un-memoized knn IVF pipeline (same recompute class as the
+        # round-9 pagerank_frame fix).
+        from graph_database_akkatyped_spark.caching import cut
+
+        sym = cut(
+            edges.select(
+                F.col("src").alias("a"), F.col("dst").alias("b")
+            ).unionAll(
+                edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+            )
         )
         comp = cc_frame(emb, sym)
         sizes = comp.groupBy("component").agg(
