@@ -1338,10 +1338,107 @@ GROUP BY 1, 2
 """
 
 
+_TCLOSE_T_BP = 2500  # release gate: EMD(class, global) <= 0.25
+
+
+def anonymize_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the fourth leg of the privacy family
+    (k-anonymity: crowd size; l-diversity: sensitive-value SPREAD;
+    t-closeness: sensitive-value DISTRIBUTION): a class can be
+    l-diverse yet still leak if its distribution over the sensitive
+    attribute (the ordered debt/low/high balance band) is far from the
+    population's — e.g. 90% 'debt' in one nation+segment vs 10%
+    globally tells an attacker the secret with high confidence. Per
+    (nation, segment) class this reports the Earth Mover's Distance to
+    the global band distribution (for an ordinal attribute with unit
+    ground distance: mean |cumulative difference| over the L-1 prefix
+    cuts), in basis points, plus the t <= 0.25 release flag.
+
+    Exactness: the EMD is two |cross-multiplied prefix differences|
+    over exact counts, widened through DECIMAL(38,0)/HUGEINT before
+    the single integral divide — no floats, so both engines agree
+    bit-exactly at ANY population size. Shape: one groupBy over the
+    quasi-identifier domain + a broadcast of the 1-row global
+    distribution; linear at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") < 0).cast("long").alias("b1"),
+        (
+            (F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 5000)
+        ).cast("long").alias("b2"),
+    )
+    cls = base.groupBy("nationkey", "seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b1").alias("c1"),
+        F.sum("b2").alias("c2"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("big_n"),
+        F.sum("b1").alias("g1"),
+        F.sum("b2").alias("g2"),
+    )
+    emd_num = (
+        "abs(CAST(c1 AS DECIMAL(38,0)) * big_n - CAST(g1 AS DECIMAL(38,0)) * n)"
+        " + abs(CAST(c1 + c2 AS DECIMAL(38,0)) * big_n"
+        " - CAST(g1 + g2 AS DECIMAL(38,0)) * n)"
+    )
+    return cls.crossJoin(F.broadcast(glob)).select(
+        "nationkey",
+        "seg",
+        F.col("n").alias("n_rows"),
+        F.expr(
+            f"CAST(({emd_num}) * 10000 div "
+            "(CAST(n AS DECIMAL(38,0)) * big_n * 2) AS BIGINT)"
+        ).alias("emd_bp"),
+    ).select(
+        "nationkey",
+        "seg",
+        "n_rows",
+        "emd_bp",
+        (F.col("emd_bp") <= _TCLOSE_T_BP).cast("int").alias("t_close"),
+    )
+
+
+_TCLOSE_SQL = f"""
+WITH base AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS b1,
+         CASE WHEN c_acctbal >= 0 AND c_acctbal < 5000 THEN 1 ELSE 0 END
+           AS b2
+  FROM customer
+),
+cls AS (
+  SELECT nationkey, seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(b1) AS BIGINT) AS c1, CAST(sum(b2) AS BIGINT) AS c2
+  FROM base GROUP BY 1, 2
+),
+gdist AS (
+  SELECT CAST(count(*) AS BIGINT) AS big_n,
+         CAST(sum(b1) AS BIGINT) AS g1, CAST(sum(b2) AS BIGINT) AS g2
+  FROM base
+)
+SELECT nationkey, seg, n AS n_rows,
+       CAST((abs(CAST(c1 AS HUGEINT) * big_n - CAST(g1 AS HUGEINT) * n)
+             + abs(CAST(c1 + c2 AS HUGEINT) * big_n
+                   - CAST(g1 + g2 AS HUGEINT) * n)) * 10000
+            // (CAST(n AS HUGEINT) * big_n * 2) AS BIGINT) AS emd_bp,
+       CAST(CAST((abs(CAST(c1 AS HUGEINT) * big_n
+                      - CAST(g1 AS HUGEINT) * n)
+             + abs(CAST(c1 + c2 AS HUGEINT) * big_n
+                   - CAST(g1 + g2 AS HUGEINT) * n)) * 10000
+            // (CAST(n AS HUGEINT) * big_n * 2) AS BIGINT)
+            <= {_TCLOSE_T_BP} AS INTEGER) AS t_close
+FROM cls CROSS JOIN gdist
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "anonymize_k_anonymity": anonymize_k_anonymity,
     "anonymize_l_diversity": anonymize_l_diversity,
+    "anonymize_t_closeness": anonymize_t_closeness,
     "anonymize_dp_counts": anonymize_dp_counts,
     "anonymize_pseudonymize": anonymize_pseudonymize,
     "tombstone_cascade": tombstone_cascade,
@@ -1361,6 +1458,7 @@ ORACLES = {
     "quality_gopher_rules": _GOPHER_SQL,
     "anonymize_k_anonymity": _KANON_SQL,
     "anonymize_l_diversity": _LDIV_SQL,
+    "anonymize_t_closeness": _TCLOSE_SQL,
     "anonymize_dp_counts": _DP_SQL,
     "anonymize_pseudonymize": _PSEUDO_SQL,
     "tombstone_cascade": _TOMBSTONE_SQL,

@@ -441,6 +441,79 @@ WHERE CAST(n_common AS DOUBLE) / CAST(na.n_g + nb.n_g - n_common AS DOUBLE)
 """
 
 
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level n-gram contamination matrix: for every source pair,
+    the number of shared word-3-gram types and the overlap coefficient
+    (shared / min vocab, basis points) — the corpus-curation view one
+    level above ``decontam_ngram_overlap`` (which gates documents
+    against a benchmark): before mixing sources into a training set,
+    the owner reads THIS to find mirrored/scraped-from-each-other
+    sources whose joint weight would double-count content.
+
+    Scale shape: distinct (source, gram) is one explode + dedup; the
+    pair join groups by gram, and each gram contributes at most
+    C(|sources|, 2) pairs — sources are a small constant (20 here), so
+    the join output is <= 190·|gram types|, LINEAR in the vocabulary
+    at any corpus size (contrast doc-level pair joins, which need the
+    MinHash banding). Output: (src_a, src_b, n_shared, n_a, n_b,
+    overlap_bp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        _toks_frame(docs.select(F.col("source").alias("sid"), "text"), "sid")
+        .select("sid", F.explode(F.expr(_GRAM_FROM_TOKS)).alias("g"))
+        .distinct()
+    )
+    sizes = sg.groupBy("sid").agg(F.count(F.lit(1)).alias("n_g"))
+    a = sg.select(F.col("sid").alias("src_a"), "g")
+    b = sg.select(F.col("sid").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("sid").alias("src_a"), F.col("n_g").alias("n_a"))
+    nb = sizes.select(F.col("sid").alias("src_b"), F.col("n_g").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("n_shared * 10000 div least(n_a, n_b)").alias(
+                "overlap_bp"
+            ),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH sg AS MATERIALIZED (
+  SELECT DISTINCT source AS sid,
+         unnest(list_filter(
+           list_transform(
+             list_slice(toks, 1, greatest(len(toks) - 2, 0)),
+             (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+           g -> g IS NOT NULL)) AS g
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+),
+sizes AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_g FROM sg GROUP BY sid),
+shared AS (
+  SELECT a.sid AS src_a, b.sid AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.sid < b.sid
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared, na.n_g AS n_a, nb.n_g AS n_b,
+       n_shared * 10000 // least(na.n_g, nb.n_g) AS overlap_bp
+FROM shared
+JOIN sizes na ON na.sid = src_a
+JOIN sizes nb ON nb.sid = src_b
+"""
+
+
 _EDIT_MAX_PCT = 20  # keep pairs whose edit distance <= 20% of the longer doc
 
 
@@ -2218,6 +2291,126 @@ FROM comp c
 JOIN (SELECT cluster, count(*) AS cluster_size
       FROM comp GROUP BY cluster) n USING (cluster)
 """
+
+
+_GREEDY_STEPS = 4  # bounded best-first hops (HNSW layer-0 search depth)
+_GREEDY_ENTRY = 5  # fixed entry vertex (first non-query id)
+
+
+def simsearch_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BEST-FIRST SEARCH over the knn graph — the query-time
+    half of graph-ANN (HNSW/NSG layer-0): start every query at a fixed
+    entry vertex, and each hop move to the best-cosine vertex among
+    the current vertex's knn out-neighbors (staying put if no neighbor
+    improves). ``knn_graph_build`` is the index-construction half;
+    this key demonstrates what that index is FOR. Deterministic by
+    construction (fixed entry, fixed ``_GREEDY_STEPS`` hops, ties to
+    the smaller vec_id), so the whole trajectory — not just the final
+    hit — value-hash matches the unrolled SQL oracle.
+
+    Scale shape: the walk state is |queries| rows; each hop is one
+    equi-join into the (cut once — round-9 recompute lesson) knn edge
+    list plus one broadcast-candidate lookup into the embedding table.
+    Cost per hop is O(|queries|·K) candidate dot products regardless
+    of corpus size — THE reason graph-ANN beats cell probing at query
+    time. Output: (q_id, step, node, cos) trajectory rows."""
+    edges = memoized_checkpoint(
+        spark,
+        "greedy_knn_edges",
+        sf_dir,
+        lambda: knn_graph_build(spark, sf_dir).select("src", "dst"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt("q_nrm") * F.sqrt("nrm")
+    )
+    state = (
+        queries.crossJoin(
+            F.broadcast(base.where(F.col("vec_id") == _GREEDY_ENTRY))
+        )
+        .select(
+            "q_id",
+            F.lit(0).cast("int").alias("step"),
+            F.col("vec_id").alias("node"),
+            cos.alias("cos"),
+        )
+    )
+    traj = state
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "node")
+    for step in range(1, _GREEDY_STEPS + 1):
+        cand = (
+            state.join(edges, state["node"] == edges["src"])
+            .select("q_id", F.col("dst").alias("node"))
+            .unionByName(state.select("q_id", "node"))
+            .where(F.col("node") != F.col("q_id"))
+            .distinct()
+        )
+        scored = (
+            cand.join(base, cand["node"] == base["vec_id"])
+            .join(F.broadcast(queries), "q_id")
+            .select("q_id", "node", cos.alias("cos"))
+        )
+        state = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "q_id",
+                F.lit(step).cast("int").alias("step"),
+                "node",
+                "cos",
+            )
+        )
+        traj = traj.unionByName(state)
+    return traj
+
+
+def _greedy_graph_sql() -> str:
+    dotqb = _sql_dot("q.q_emb", "b.embedding")
+    ctes = [
+        f"knn AS MATERIALIZED (SELECT src, dst FROM ({_KNN_GRAPH_SQL}))",
+        (
+            "gbase AS MATERIALIZED (SELECT vec_id, embedding, "
+            f"{_sql_dot('embedding', 'embedding')} AS nrm FROM embeddings)"
+        ),
+        (
+            "gq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm "
+            "FROM gbase WHERE vec_id < 5)"
+        ),
+        (
+            f"s0 AS (SELECT q.q_id, 0 AS step, b.vec_id AS node, "
+            f"{dotqb} / (sqrt(q.q_nrm) * sqrt(b.nrm)) AS cos "
+            f"FROM gq q JOIN gbase b ON b.vec_id = {_GREEDY_ENTRY})"
+        ),
+    ]
+    for s in range(1, _GREEDY_STEPS + 1):
+        p = f"s{s - 1}"
+        ctes.append(
+            f"s{s} AS (SELECT q_id, {s} AS step, node, cos FROM ("
+            f"SELECT c.q_id, c.node, "
+            f"{dotqb} / (sqrt(q.q_nrm) * sqrt(b.nrm)) AS cos, "
+            f"row_number() OVER (PARTITION BY c.q_id ORDER BY "
+            f"{dotqb} / (sqrt(q.q_nrm) * sqrt(b.nrm)) DESC, c.node) AS rn "
+            f"FROM (SELECT DISTINCT q_id, node FROM ("
+            f"SELECT {p}.q_id, k.dst AS node FROM {p} "
+            f"JOIN knn k ON k.src = {p}.node "
+            f"UNION ALL SELECT q_id, node FROM {p}) "
+            f"WHERE node <> q_id) c "
+            f"JOIN gbase b ON b.vec_id = c.node "
+            f"JOIN gq q ON q.q_id = c.q_id"
+            f") WHERE rn = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT q_id, CAST(step AS INT) AS step, node, cos FROM s{s}"
+        for s in range(_GREEDY_STEPS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
 def _recall_vs_truth(truth: DataFrame, cand: DataFrame) -> DataFrame:
@@ -7906,6 +8099,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_edit_distance": dedup_edit_distance,
+    "corpus_source_overlap": corpus_source_overlap,
     "dedup_containment": dedup_containment,
     "dedup_containment_smallside": dedup_containment_smallside,
     "dedup_banding_recall": dedup_banding_recall,
@@ -7940,6 +8134,7 @@ QUERIES = {
     "simsearch_ivfadc": simsearch_ivfadc,
     "simsearch_recall_ivfadc": simsearch_recall_ivfadc,
     "simsearch_lsh": simsearch_lsh,
+    "simsearch_greedy_graph": simsearch_greedy_graph,
     "simsearch_recall": simsearch_recall,
     "embedding_matryoshka_recall": embedding_matryoshka_recall,
     "simsearch_binary_hamming": simsearch_binary_hamming,
@@ -7993,6 +8188,7 @@ ORACLES = {
     "dedup_near_minhash": _NEAR_MINHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_edit_distance": _EDIT_DIST_SQL,
+    "corpus_source_overlap": _SOURCE_OVERLAP_SQL,
     "dedup_containment": _DEDUP_CONTAIN_SQL,
     "dedup_containment_smallside": _DEDUP_CONTAIN_SMALL_SQL,
     "dedup_banding_recall": _BANDING_RECALL_SQL,
@@ -8027,6 +8223,7 @@ ORACLES = {
     "simsearch_ivfadc": _IVFADC_SQL,
     "simsearch_recall_ivfadc": _RECALL_IVFADC_SQL,
     "simsearch_lsh": _SIMSEARCH_LSH_SQL,
+    "simsearch_greedy_graph": _greedy_graph_sql(),
     "simsearch_recall_lsh": _SIMSEARCH_RECALL_LSH_SQL,
     "simsearch_recall": _SIMSEARCH_RECALL_SQL,
     "embedding_matryoshka_recall": _matryoshka_sql(),

@@ -57,9 +57,12 @@ _SWEEP_ORDER = (
     # explicitly — an unranked key sorts first (rank -1), which is
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
-    # 0) the 6 BRAND-NEW round-9 keys (edit-distance dedup, l-diversity
-    #    audit, vocabulary/hapax profile, HLL intersection scorecard,
-    #    LATERAL top-n, Croston intermittent-demand forecast):
+    # 0) the 9 BRAND-NEW round-9 keys (greedy graph-ANN walk,
+    #    source-overlap contamination matrix, t-closeness audit,
+    #    edit-distance dedup, l-diversity audit, vocabulary/hapax
+    #    profile, HLL intersection scorecard, LATERAL top-n, Croston
+    #    intermittent-demand forecast):
+    "simsearch_greedy_graph", "corpus_source_overlap", "anonymize_t_closeness",
     "dedup_edit_distance", "anonymize_l_diversity", "text_vocab_stats",
     "agg_sketch_intersection", "join_lateral_topn",
     "orders_croston_demand",
