@@ -1193,14 +1193,23 @@ def _lp_edges_deg(spark: SparkSession, sf_dir: str):
 
 
 def _lp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE shared wedge pass for BOTH link predictors (round-8 VERDICT
-    #5): the Σ deg² wedge join enumerates the same (x, y, z) wedges
-    whether the scorer is Jaccard or Resource-Allocation, so the
-    candidate frame — non-adjacent pairs with common-neighbor count
-    AND the degree-weighted RA sum — is built once and MEMOIZED under
-    a single key; each predictor then pays only its own cheap scoring
-    join/window. Halves the cold-cache cost of the pair (previously
-    two independent ~21 s wedge builds at sf0.1).
+    """ONE shared wedge DEFINITION for BOTH link predictors (round-8
+    VERDICT #5): the Σ deg² wedge join enumerates the same (x, y, z)
+    wedges whether the scorer is Jaccard or Resource-Allocation, so
+    the candidate frame — non-adjacent pairs with common-neighbor
+    count AND the degree-weighted RA sum — has a single definition
+    both predictors score.
+
+    Deliberately LAZY (no checkpoint of its own): each predictor's
+    FINAL result is already memoized, and the bench's cold protocol
+    clears the cache before every key in isolation, so a candidate
+    memo adds a full extra materialization per cold key (+11 s on
+    jaccard at sf0.1 when tried) that the per-key-isolated protocol
+    can never amortize. A production job scoring BOTH predictors in
+    one pass should wrap this frame in `memoized_checkpoint` (or
+    persist it) — then the pair pays the wedge once; with per-key
+    memoized results, a warm session gets the same sharing via the
+    result memos.
 
     Tried and REJECTED (round 9): generating the per-z neighbor pairs
     from a sorted adjacency array (collect_list -> nested
@@ -1211,27 +1220,23 @@ def _lp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize each high-degree z into one task; the shuffle hash join
     + filter stays codegen'd and spreads candidates across partitions.
     Keep the join."""
-
-    def build() -> DataFrame:
-        ce, sym, deg = _lp_edges_deg(spark, sf_dir)
-        s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("z"))
-        s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        dz = deg.select(F.col("v").alias("z"), F.col("deg").alias("d_z"))
-        cn = (
-            s1.join(s2, "z")
-            .where(F.col("x") < F.col("y"))
-            .join(dz, "z")
-            .groupBy("x", "y")
-            .agg(
-                F.count(F.lit(1)).alias("cn"),
-                F.sum(F.expr("1000000 div d_z")).alias("ra_e6"),
-            )
+    ce, sym, deg = _lp_edges_deg(spark, sf_dir)
+    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    s2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    dz = deg.select(F.col("v").alias("z"), F.col("deg").alias("d_z"))
+    cn = (
+        s1.join(s2, "z")
+        .where(F.col("x") < F.col("y"))
+        .join(dz, "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr("1000000 div d_z")).alias("ra_e6"),
         )
-        return cn.join(
-            ce, (cn["x"] == ce["a"]) & (cn["y"] == ce["b"]), "left_anti"
-        )
-
-    return _memoized(spark, "lp_candidates", sf_dir, build)
+    )
+    return cn.join(
+        ce, (cn["x"] == ce["a"]) & (cn["y"] == ce["b"]), "left_anti"
+    )
 
 
 def _link_predict_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
