@@ -95,6 +95,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is dropped from the contract for that reason — consumers
     needing scores join ``dedup_ngram_jaccard``.
 
+    Boundary semantics (round-9 ADVICE): the two sides are NOT
+    identical at the threshold itself — Spark filters STRICT
+    ``jaccard_dist < 0.7`` computed over 2^18-bucket HashingTF vectors
+    (feature collisions can perturb J slightly for very large docs),
+    while the oracle's ``c * 10 >= (sa.n + sb.n - c) * 3`` is the
+    CLOSED J >= 0.3 test on exact gram sets. A pair sitting at or
+    within collision-distance of J = 0.3 could diverge between the
+    engines; it is the measured 0.14-to-0.8 fixture gap above that
+    keeps the boundary unpopulated and the hash match safe. On a
+    corpus where pairs cluster near the threshold, treat a mismatch on
+    this key as a boundary/accuracy miss to re-measure, not an engine
+    bug.
+
     The shingle->HashingTF frame is materialized (localCheckpoint,
     memoized per session+sf_dir — see caching.py for why, and for the
     replicated-persist guidance at cluster scale) before the self-join:

