@@ -48,6 +48,14 @@ def _run_once(df) -> float:
     return time.perf_counter() - t0
 
 
+# Canary keys: unchanged plans since round 1, no memoized frames, all
+# sub-second — pure environment probes. Reference total is their
+# round-9-close sf0.1 recording (BENCH_FULL.json: filter_project
+# 0.1240 + join_inner_hash 0.1642 + window_rank 0.2053).
+_CANARY_KEYS = ("filter_project", "join_inner_hash", "window_rank")
+_CANARY_REF_TOTAL = {0.1: 0.4935}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
@@ -73,6 +81,34 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    # Canary drift discriminator (round-9 VERDICT #7): three cheap,
+    # memo-free keys whose plans have not changed since round 1 are
+    # timed median-of-3 BEFORE the sweep; their total divided by the
+    # round-9-close reference (BENCH_FULL.json) is the environment
+    # drift factor for this run. A key that moved 1.3x in a run whose
+    # canary_drift is 1.3 is noise; the same move at drift 1.0 is a
+    # plan change. Reference exists for sf0.1 only (the recorded
+    # protocol); other sf dirs get the raw canary times, drift null.
+    canary: dict[str, float] = {}
+    for ck in _CANARY_KEYS:
+        if ck in queries:
+            _run_once(queries[ck](spark, sf_dir))  # warm-up
+            canary[ck] = round(
+                statistics.median(
+                    [_run_once(queries[ck](spark, sf_dir)) for _ in range(3)]
+                ),
+                4,
+            )
+    ref = _CANARY_REF_TOTAL.get(sf)
+    canary_drift = (
+        round(sum(canary.values()) / ref, 3) if ref and canary else None
+    )
+
     slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "1.0"))
     timings: dict[str, float] = {}
     for key in sorted(queries):
@@ -97,10 +133,6 @@ def main() -> None:
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
             timings[key] = -1.0
 
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
-    except ValueError:
-        sf = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     # Full per-key detail goes to a FILE; stdout gets ONE compact JSON
     # line. The driver keeps only the last ~2000 chars of stdout and
@@ -125,6 +157,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cold_cache": cold,
+                "canary": canary,
+                "canary_drift": canary_drift,
             },
             fh,
             indent=1,
@@ -138,6 +172,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
         "detail": out_name,
+        "canary_drift": canary_drift,
         "queries": {},
     }
     budget = 1800

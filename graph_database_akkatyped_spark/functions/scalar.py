@@ -361,7 +361,21 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable under any partitioning — and the oracle asserts them
     (round-8 VERDICT #1 scorecard recipe). The estimates' exact ranks
     come from one broadcast join of the |groups|-row sketch output
-    back onto the stream, so the audit itself is linear at 100 TB."""
+    back onto the stream, so the audit itself is linear at 100 TB.
+
+    TIE-SAFE gating (round-9 ADVICE): the GK guarantee bounds *a* rank
+    of the returned value, i.e. the rank INTERVAL
+    [count(value < est), count(value <= est)] must overlap
+    [q*n - margin, q*n + margin]. Gating on count(<=) alone is wrong
+    under heavy ties — a value repeated n/10 times can push count(<=)
+    far past q*n while the sketch is perfectly in spec — so the flag
+    requires count(value < est) <= q*n + margin AND
+    count(value <= est) >= q*n - margin.
+
+    Production-vs-oracle split (round-9 VERDICT #6): the exact rank
+    audit is the fixture-scale anchor; at corpus scale ship
+    percentile_approx's estimates alone — the sketch exists so the
+    p50/p90 never pay a full sort."""
     e = load_table(spark, sf_dir, "events")
     ap = e.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
@@ -372,30 +386,34 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") < F.col("p50_approx")).cast("long")).alias(
+            "lt50"
+        ),
         F.sum((F.col("value") <= F.col("p50_approx")).cast("long")).alias(
             "le50"
+        ),
+        F.sum((F.col("value") < F.col("p90_approx")).cast("long")).alias(
+            "lt90"
         ),
         F.sum((F.col("value") <= F.col("p90_approx")).cast("long")).alias(
             "le90"
         ),
     )
-    # |rank(est_q) - q*n| <= n/100 + 1, in integer arithmetic:
-    # |le*1000 - q*1000*n| <= 10*n + 1000
+    # rank interval [lt, le] overlaps q*n ± (n/100 + 1), in integer
+    # arithmetic (milliranks): lt*1000 <= q*1000*n + 10*n + 1000
+    #                      AND le*1000 >= q*1000*n - 10*n - 1000
+    def _rank_ok(lt: str, le: str, q_milli: int):
+        margin = 10 * F.col("n") + 1000
+        return (
+            (F.col(lt) * 1000 <= q_milli * F.col("n") + margin)
+            & (F.col(le) * 1000 >= q_milli * F.col("n") - margin)
+        ).cast("int")
+
     return score.select(
         "event_type",
         "n",
-        (
-            F.abs(F.col("le50") * 1000 - 500 * F.col("n"))
-            <= 10 * F.col("n") + 1000
-        )
-        .cast("int")
-        .alias("p50_rank_ok"),
-        (
-            F.abs(F.col("le90") * 1000 - 900 * F.col("n"))
-            <= 10 * F.col("n") + 1000
-        )
-        .cast("int")
-        .alias("p90_rank_ok"),
+        _rank_ok("lt50", "le50", 500).alias("p50_rank_ok"),
+        _rank_ok("lt90", "le90", 900).alias("p90_rank_ok"),
     )
 
 

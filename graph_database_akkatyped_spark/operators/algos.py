@@ -784,27 +784,30 @@ _TRUSS_K = 4  # every surviving edge sits in >= k-2 = 2 triangles
 _TRUSS_ROUNDS = 14  # fixpoint margin: sf0.01 needs 11, sf0.1 needs 1
 
 
-def _truss_peel(e: DataFrame) -> DataFrame:
-    """One truss-peel round: per-edge triangle support within the
-    CURRENT edge set, then drop edges with support < k-2. Canonical
-    a<b ordering means each triangle contributes exactly one support
-    unit to each of its three (already-canonical) edges."""
+def _tri_enumerate(e: DataFrame) -> DataFrame:
+    """Canonical triangle list (x < y < z) of an a<b edge frame — the
+    one O(wedges) pass of the incremental peel."""
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    return e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+
+
+def _tri_support_ok(tri: DataFrame) -> DataFrame:
+    """Edges whose support (triangle membership count) clears K-2.
+    Canonical x<y<z ordering means each triangle contributes exactly
+    one support unit to each of its three (already-canonical) edges."""
     pairs = (
         tri.select(F.col("x").alias("p"), F.col("y").alias("q"))
         .unionAll(tri.select(F.col("x").alias("p"), F.col("z").alias("q")))
         .unionAll(tri.select(F.col("y").alias("p"), F.col("z").alias("q")))
     )
-    ok = (
+    return (
         pairs.groupBy("p", "q")
         .agg(F.count(F.lit(1)).alias("sup"))
         .where(F.col("sup") >= _TRUSS_K - 2)
         .select(F.col("p").alias("a"), F.col("q").alias("b"))
     )
-    return e.join(ok, ["a", "b"], "left_semi")
 
 
 def truss_frame(edges: DataFrame, max_rounds: int = _TRUSS_ROUNDS) -> DataFrame:
@@ -826,26 +829,55 @@ def truss_frame(edges: DataFrame, max_rounds: int = _TRUSS_ROUNDS) -> DataFrame:
     unrolled oracle would itself be a superset, so parity is
     genuinely broken.
 
-    On degree-ordered orientation (round-8 VERDICT #6, a NEGATIVE
-    result): re-orienting each edge from its lower-(degree, id)
-    endpoint bounds the e1⋈e2 wedge term at O(m^1.5) on SKEWED
-    graphs, but it cannot help the round-8 1M-V rehearsal, whose
-    planted near-uniform-degree dense blocks make the wedge term
-    triangle-OUTPUT-bound: any acyclic orientation of an s-clique
-    yields Σᵢ i·(s−1−i) ≈ s³/6 wedges — the Θ(s³) triangles the
-    support count must enumerate anyway. The ID-canonical a<b
-    orientation used here IS degree-ordered up to ties on such
-    blocks, so the 240 s rehearsal wall is enumeration floor, not
-    orientation waste. (The capped production user graph has bounded
-    degree, so its wedge term is already ≤ n·cap² — same conclusion.)"""
+    INCREMENTAL peel (round-9 VERDICT #2): triangles are enumerated
+    ONCE — the O(Σ deg²) wedge join runs a single time — and the
+    materialized triangle list shrinks with the edge set: because
+    peeling only REMOVES edges, the surviving subgraph's triangles are
+    exactly the previous triangles minus those touching a dropped edge
+    (three anti-joins on the dropped set, O(|tri|) per round, no
+    re-enumeration). Per-round semantics are bit-identical to the
+    recompute-from-scratch peel — support is counted over the same
+    triangle set — so the fixpoint, every intermediate round, and the
+    unrolled-SQL parity are unchanged. Round-8's analysis still holds
+    for the one enumeration that remains: on near-uniform dense blocks
+    the wedge term is triangle-output-bound and orientation can't cut
+    it; what the incremental form removes is paying that term once per
+    ROUND (the round-8 1M-V rehearsal peeled 9 rounds = 9 full
+    enumerations = the 240 s wall; see BASELINE.md round 10 for the
+    measured cut). Memory shape at 100 TB: O(|triangles|) rows
+    checkpointed — the same order the per-round support count already
+    SHUFFLED under the old form, now stored instead of recomputed;
+    on a graph whose triangle set cannot be materialized, cap degree
+    first (the capped user graph bounds it at n·cap²)."""
     e = edges.transform(cut)
     prev = e.count()
+    tri = _tri_enumerate(e).transform(cut)
     for _ in range(max_rounds + 1):
-        e = _truss_peel(e).transform(cut)
-        n = e.count()
+        ok = _tri_support_ok(tri)
+        new_e = e.join(ok, ["a", "b"], "left_semi").transform(cut)
+        n = new_e.count()
         if n == prev:
-            return e
-        prev = n
+            return new_e
+        dropped = e.join(ok, ["a", "b"], "left_anti").transform(cut)
+        tri = (
+            tri.join(
+                dropped.select(F.col("a").alias("x"), F.col("b").alias("y")),
+                ["x", "y"],
+                "left_anti",
+            )
+            .join(
+                dropped.select(F.col("a").alias("x"), F.col("b").alias("z")),
+                ["x", "z"],
+                "left_anti",
+            )
+            .join(
+                dropped.select(F.col("a").alias("y"), F.col("b").alias("z")),
+                ["y", "z"],
+                "left_anti",
+            )
+            .transform(cut)
+        )
+        e, prev = new_e, n
     raise RuntimeError(
         f"truss_frame: no fixpoint within {max_rounds} peel rounds — "
         "raise _TRUSS_ROUNDS (deep support-chain topology)"

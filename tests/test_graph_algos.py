@@ -196,7 +196,8 @@ def test_triangle_family_under_hub_skew(spark):
     1 — and the 4-truss cascades to empty (ring support 1 peels first,
     stranding the hub edges)."""
     from graph_database_akkatyped_spark.operators.algos import (
-        _truss_peel,
+        _tri_enumerate,
+        _tri_support_ok,
         truss_frame,
     )
 
@@ -231,7 +232,10 @@ def test_triangle_family_under_hub_skew(spark):
 
     # truss peeling under the same skew: ring edges (support 1) die in
     # round 1, the stranded hub star follows — exact empty fixpoint
-    assert _truss_peel(ce).where(F.col("a") != 0).count() == 0
+    one_round = ce.join(
+        _tri_support_ok(_tri_enumerate(ce)), ["a", "b"], "left_semi"
+    )
+    assert one_round.where(F.col("a") != 0).count() == 0
     assert truss_frame(ce).count() == 0
 
 

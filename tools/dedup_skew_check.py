@@ -22,7 +22,20 @@ Two experiments, both on corpora derived from the sf fixture:
    where one bucket exceeds a shuffle partition it is the difference
    between one straggler task and g*(g+1)/2 parallel ones.
 
+3. BOILERPLATE-CLUSTER corpus for ``dedup_containment_smallside``
+   (round-9 VERDICT #1): M planted docs share one 25-word boilerplate
+   paragraph (its grams reach df = M) on top of per-doc-unique filler
+   sized so the shared overlap stays BELOW the 0.5 containment
+   threshold — the pairs the hot grams generate are pure verify-side
+   waste. Measures the probe join's max per-gram-key fan-out
+   (#sampling docs x posting length — the rows one shuffle task must
+   absorb) without vs with the ``_CONTAIN_DF_CAP`` guard, asserts the
+   guarded fan-out <= cap², and asserts the FINAL pair set is
+   identical both ways (the dropped candidates were all
+   below-threshold noise).
+
 Usage: python tools/dedup_skew_check.py [N]   (default 4)
+       python tools/dedup_skew_check.py boiler   (experiment 3 only)
 Results recorded in BASELINE.md.
 """
 
@@ -122,6 +135,127 @@ def build_hot_cluster(spark, k: int) -> str:
     return out
 
 
+N_BOILER = 500  # planted cluster size (>> _CONTAIN_DF_CAP so the guard fires)
+
+
+def build_boiler_cluster(spark, m: int = N_BOILER) -> str:
+    """Documents corpus = the sf fixture + m planted docs sharing one
+    boilerplate paragraph. 60 unique filler tokens + 25 shared tokens
+    per planted doc -> shared-gram containment ~ 23/83 ~ 0.28 < 0.5,
+    so every boilerplate-induced candidate pair fails exact verify."""
+    out = tempfile.mkdtemp(prefix="contain_boiler_")
+    docs = load_table(spark, SF_DIR, "documents")
+    boiler = " ".join(f"boilerplate{j}" for j in range(25))
+    filler = F.concat_ws(
+        " ",
+        F.array(
+            *[
+                F.concat(F.lit("u"), F.col("id"), F.lit(f"x{j}"))
+                for j in range(60)
+            ]
+        ),
+    )
+    planted = spark.range(m).select(
+        (F.col("id") + ID_STRIDE).alias("doc_id"),
+        F.concat(filler, F.lit(" " + boiler)).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("planted_boiler").alias("source"),
+        F.length(F.concat(filler, F.lit(" " + boiler))).alias("n_chars"),
+    )
+    docs.unionByName(planted).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def _probe_fanout(grams, sampled) -> int:
+    """Max per-gram-key fan-out of the candidate probe join: the number
+    of rows the single shuffle task owning that gram must produce."""
+    dff = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ns = sampled.groupBy("g").agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        ns.join(dff, "g")
+        .agg(F.max(F.col("ns") * F.col("df")))
+        .collect()[0][0]
+    )
+
+
+def check_containment_boilerplate(spark) -> None:
+    from pyspark.sql import Window
+
+    d = build_boiler_cluster(spark)
+    docs = load_table(spark, d, "documents")
+    grams = llm._gram_frame(docs).localCheckpoint(eager=True)
+    wg = Window.partitionBy("doc_id").orderBy(llm._minhash(0), "g")
+    sample = lambda g: (  # noqa: E731 - bottom-s sketch, same as the key
+        g.withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") <= llm._CONTAIN_SAMPLE_S)
+        .select("doc_id", "g")
+    )
+    # unguarded (the pre-round-10 shape): sample from / probe into ALL grams
+    fan_raw = _probe_fanout(grams, sample(grams))
+    # guarded: both sides df-capped, as dedup_containment_smallside now does
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= llm._CONTAIN_DF_CAP)
+        .select("g")
+    )
+    low = grams.join(rare, "g", "left_semi")
+    fan_cap = _probe_fanout(low, sample(low))
+    cap2 = llm._CONTAIN_DF_CAP**2
+    assert fan_cap is None or fan_cap <= cap2, (fan_cap, cap2)
+
+    t0 = time.perf_counter()
+    guarded = llm.dedup_containment_smallside(spark, d).select("a", "b")
+    n_guard = guarded.count()
+    t_guard = time.perf_counter() - t0
+    # unguarded full pipeline (inline replica of the old candidate gen,
+    # same exact verify) to assert the final pair set is unchanged
+    t0 = time.perf_counter()
+    sampled_raw = sample(grams)
+    cand = (
+        sampled_raw.select(F.col("doc_id").alias("q"), "g")
+        .join(grams.select(F.col("doc_id").alias("t"), "g"), "g")
+        .where(F.col("q") != F.col("t"))
+        .select(F.least("q", "t").alias("a"), F.greatest("q", "t").alias("b"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    common = (
+        cand.join(grams.select(F.col("doc_id").alias("a"), "g"), "a")
+        .join(grams.select(F.col("doc_id").alias("b"), "g"), ["b", "g"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    raw = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_g").alias("n_a")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_g").alias("n_b")),
+            "b",
+        )
+        .where(
+            (F.col("n_common") / F.col("n_a") >= llm._CONTAIN_MIN)
+            | (F.col("n_common") / F.col("n_b") >= llm._CONTAIN_MIN)
+        )
+        .select("a", "b")
+    )
+    n_raw = raw.count()
+    t_raw = time.perf_counter() - t0
+    assert n_raw == n_guard and raw.exceptAll(guarded).count() == 0, (
+        n_raw,
+        n_guard,
+    )
+    print(
+        f"boilerplate cluster (m={N_BOILER}): max per-gram fan-out "
+        f"{fan_raw} unguarded -> {fan_cap} df-capped (bound cap²={cap2}); "
+        f"identical {n_guard} pairs, wall {t_raw:.2f}s -> {t_guard:.2f}s"
+    )
+
+
 def timed(fn, spark, d, **kw) -> tuple[float, int]:
     df = fn(spark, d, **kw)
     t0 = time.perf_counter()
@@ -130,9 +264,13 @@ def timed(fn, spark, d, **kw) -> tuple[float, int]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    arg = sys.argv[1] if len(sys.argv) > 1 else "4"
     spark = get_spark(app_name="dedup_skew_check")
     spark.sparkContext.setLogLevel("ERROR")
+    if arg == "boiler":
+        check_containment_boilerplate(spark)
+        return
+    n = int(arg)
 
     one = build_dup_heavy(spark, 1)
     big = build_dup_heavy(spark, n)
