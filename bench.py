@@ -49,11 +49,16 @@ def _run_once(df) -> float:
 
 
 # Canary keys: unchanged plans since round 1, no memoized frames, all
-# sub-second — pure environment probes. Reference total is their
-# round-9-close sf0.1 recording (BENCH_FULL.json: filter_project
-# 0.1240 + join_inner_hash 0.1642 + window_rank 0.2053).
+# sub-second — pure environment probes. Drift is computed from the
+# sweep's OWN timings of these keys (NOT a separate pre-sweep block: a
+# session-cold canary pays JVM/JIT start-up the mid-sweep reference
+# never paid — measured 2.58x apparent drift while the same keys timed
+# 1.07x inside the sweep). References are their round-9-close sf0.1
+# recordings, per regime: warm = BENCH_FULL.json (0.1240 + 0.1642 +
+# 0.2053), cold = BENCH_FULL_COLD.json (construction included:
+# 0.3383 + 0.2990 + 0.3330).
 _CANARY_KEYS = ("filter_project", "join_inner_hash", "window_rank")
-_CANARY_REF_TOTAL = {0.1: 0.4935}
+_CANARY_REF_TOTAL = {False: {0.1: 0.4935}, True: {0.1: 0.9703}}
 
 
 def main() -> None:
@@ -86,29 +91,6 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    # Canary drift discriminator (round-9 VERDICT #7): three cheap,
-    # memo-free keys whose plans have not changed since round 1 are
-    # timed median-of-3 BEFORE the sweep; their total divided by the
-    # round-9-close reference (BENCH_FULL.json) is the environment
-    # drift factor for this run. A key that moved 1.3x in a run whose
-    # canary_drift is 1.3 is noise; the same move at drift 1.0 is a
-    # plan change. Reference exists for sf0.1 only (the recorded
-    # protocol); other sf dirs get the raw canary times, drift null.
-    canary: dict[str, float] = {}
-    for ck in _CANARY_KEYS:
-        if ck in queries:
-            _run_once(queries[ck](spark, sf_dir))  # warm-up
-            canary[ck] = round(
-                statistics.median(
-                    [_run_once(queries[ck](spark, sf_dir)) for _ in range(3)]
-                ),
-                4,
-            )
-    ref = _CANARY_REF_TOTAL.get(sf)
-    canary_drift = (
-        round(sum(canary.values()) / ref, 3) if ref and canary else None
-    )
-
     slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "1.0"))
     timings: dict[str, float] = {}
     for key in sorted(queries):
@@ -134,6 +116,24 @@ def main() -> None:
             timings[key] = -1.0
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
+    # Canary drift discriminator (round-9 VERDICT #7): the sweep's own
+    # timings of three cheap, plan-stable, memo-free keys vs their
+    # round-9-close recording in the SAME regime. A key that moved
+    # 1.3x in a run whose canary_drift is 1.3 is environment noise;
+    # the same move at drift ~1.0 is a plan change. References exist
+    # for sf0.1 only (the recorded protocol); other sf dirs get the
+    # raw canary times, drift null.
+    canary = {
+        k: timings[k]
+        for k in _CANARY_KEYS
+        if timings.get(k, -1.0) >= 0
+    }
+    ref = _CANARY_REF_TOTAL[cold].get(sf)
+    canary_drift = (
+        round(sum(canary.values()) / ref, 3)
+        if ref and len(canary) == len(_CANARY_KEYS)
+        else None
+    )
     # Full per-key detail goes to a FILE; stdout gets ONE compact JSON
     # line. The driver keeps only the last ~2000 chars of stdout and
     # json-parses that, so the complete 116-key dict (>3 KB) made round
