@@ -463,3 +463,54 @@ def test_cc_twophase_matches_union_find(spark):
     plab = cc_twophase_frame(spark.range(300).select("id"), psym)
     assert plab.select("component").distinct().count() == 1
     assert plab.agg(F.min("component")).collect()[0][0] == 0
+
+
+def test_truss_incremental_matches_recompute_peel(spark):
+    """Round-10 refactor lock: truss_frame's INCREMENTAL peel
+    (triangles enumerated once, shrunk by three anti-joins per round)
+    must reach the exact fixpoint of the recompute-from-scratch peel —
+    the formulation the unrolled SQL oracle mirrors — on topologies
+    spanning dense-survivor, full-cascade-to-empty, and sparse-empty
+    regimes. Graphs are deterministic (md5 gate over ordered pairs),
+    so a divergence is a logic bug, never flakiness."""
+    import hashlib
+
+    from graph_database_akkatyped_spark.caching import cut
+    from graph_database_akkatyped_spark.operators.algos import (
+        _tri_enumerate,
+        _tri_support_ok,
+        truss_frame,
+    )
+
+    def recompute_truss(edges, max_rounds=64):
+        e = edges.transform(cut)
+        prev = e.count()
+        for _ in range(max_rounds + 1):
+            ok = _tri_support_ok(_tri_enumerate(e))
+            e = e.join(ok, ["a", "b"], "left_semi").transform(cut)
+            n = e.count()
+            if n == prev:
+                return e
+            prev = n
+        raise AssertionError("no fixpoint")
+
+    def gate(a, b, pct):
+        h = hashlib.md5(f"{a}_{b}".encode()).hexdigest()
+        return int(h[:8], 16) % 100 < pct
+
+    for n_v, pct in ((40, 35), (60, 12), (80, 5)):
+        edges = [
+            (a, b)
+            for a in range(n_v)
+            for b in range(a + 1, n_v)
+            if gate(a, b, pct)
+        ]
+        ce = spark.createDataFrame(edges, "a long, b long")
+        got = truss_frame(ce).collect()
+        want = recompute_truss(ce).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), (
+            n_v,
+            pct,
+            len(got),
+            len(want),
+        )
