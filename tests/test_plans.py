@@ -469,3 +469,52 @@ def test_bloom_prefilter_invisible_and_pruning(spark):
     assert {k: v[0] for k, v in got.items()} == want_n
     # pruning really happened: matching orders are a small fraction
     assert sum(want_n.values()) < orders.count() / 2
+
+
+def test_containment_smallside_probe_is_df_capped(spark):
+    """Round-10 skew-guard lock: dedup_containment_smallside's
+    candidate probe must carry the df <= _CONTAIN_DF_CAP filter (both
+    probe sides are restricted to sub-cap grams) — the guard that
+    bounds any one gram key's join fan-out at cap². A refactor that
+    drops it reverts the 247,000-rows-through-one-task shape
+    tools/dedup_skew_check.py 'boiler' measures."""
+    from graph_database_akkatyped_spark.operators import llm
+    from graph_database_akkatyped_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.dedup_containment_smallside(spark, SF_ORACLE))
+    assert f"<= {llm._CONTAIN_DF_CAP}" in plan, (
+        "df-cap filter missing from the probe plan"
+    )
+    # both the sampling side and the posting side are capped: the
+    # filter survives in (at least) two plan sites
+    assert plan.count(f"<= {llm._CONTAIN_DF_CAP}") >= 2
+
+
+def test_truss_incremental_materializes_triangles_once(spark):
+    """Round-10 incremental-peel lock: a multi-round cascade must call
+    the triangle enumeration (the O(Σ deg²) wedge join) exactly ONCE —
+    the per-round re-enumeration was the round-8 rehearsal's 240 s
+    wall. Counted by wrapping _tri_enumerate; the bowtie peels in two
+    shrinking rounds plus a confirm, so a recompute formulation would
+    call it three times."""
+    from graph_database_akkatyped_spark.operators import algos
+
+    calls = {"n": 0}
+    real = algos._tri_enumerate
+
+    def counting(e):
+        calls["n"] += 1
+        return real(e)
+
+    bowtie = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    orig = algos._tri_enumerate
+    algos._tri_enumerate = counting
+    try:
+        assert algos.truss_frame(bowtie).count() == 0  # 2-round cascade
+    finally:
+        algos._tri_enumerate = orig
+    assert calls["n"] == 1, (
+        f"incremental peel enumerated triangles {calls['n']}x; must be once"
+    )
