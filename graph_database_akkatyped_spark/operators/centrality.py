@@ -67,7 +67,20 @@ def hits_frame(
     Per iteration: two message joins on the edge list + two tiny
     broadcast normalizations — O(E) per superstep, the only HITS shape
     that survives 100 TB. Vertices with no in/out edges keep score 0
-    via the left-join coalesce."""
+    via the left-join coalesce.
+
+    Round-10 NEGATIVE result (the lazy-invariant-frame sweep): cutting
+    ``verts`` up front — it is consumed 2x per iteration — measured
+    FLAT in a same-session cold A/B at sf0.1 (cut 9.5-12.1 s vs uncut
+    11.5-12.3 s, within noise). Unlike the Pregel kernels the round-9
+    fix targeted, hits_frame unrolls all iterations into ONE plan
+    materialized once at the memo boundary, so Catalyst's
+    ReusedExchange already dedupes the verts distinct-shuffle across
+    all six consumptions; an explicit cut just adds a materialization.
+    The Louvain sweeps (per-sweep cut() job boundaries, where reuse
+    CANNOT apply) do re-aggregate their invariants per job — cut there
+    on the it-scales-not-it-shows-at-fixture rationale documented at
+    community_louvain_l1."""
     hub = verts.select("id", F.lit(_HITS_UNIT).cast("long").alias("hub"))
     auth = None
     for _ in range(iters):
@@ -742,8 +755,14 @@ def community_louvain_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _memoized(
         spark, "uedges_sym", sf_dir, lambda: user_edges_sym(spark, sf_dir)
     ).select("a", "b", F.lit(1).cast("long").alias("w"))
-    deg = edges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d"))
-    m2 = edges.agg(F.sum("w").alias("m"))
+    # deg/m2 are sweep-invariant and each sweep's job re-aggregates
+    # them from the edge checkpoint (per-sweep cut() boundaries defeat
+    # ReusedExchange) — cut once. Measured FLAT at sf0.1 (6.0-7.1 s vs
+    # 6.5 s same-session cold: re-aggregating a checkpointed fixture
+    # edge list is cheap); kept because at corpus scale each avoided
+    # re-aggregation is a full edge-list shuffle, paid (2*sweeps-1)x
+    deg = cut(edges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d")))
+    m2 = cut(edges.agg(F.sum("w").alias("m")))
     labels = verts.select("v", F.col("v").alias("l"))
     for _ in range(_LOUVAIN_SWEEPS):
         labels = cut(_louvain_sweep(labels, edges, deg, m2))
@@ -789,8 +808,14 @@ def louvain_multi_frame(
     rehearsal in tools/round7_kernel_rehearsal.py the same way
     ``mis_frame`` was in round 6). ``verts``: (v); ``edges``: directed
     symmetric (a, b, w) with integer weights. Returns (v, l)."""
-    deg = edges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d"))
-    m2 = edges.agg(F.sum("w").alias("m"))
+    # deg/m2 are sweep-invariant and each sweep's job re-aggregates
+    # them from the edge checkpoint (per-sweep cut() boundaries defeat
+    # ReusedExchange) — cut once. Measured FLAT at sf0.1 (6.0-7.1 s vs
+    # 6.5 s same-session cold: re-aggregating a checkpointed fixture
+    # edge list is cheap); kept because at corpus scale each avoided
+    # re-aggregation is a full edge-list shuffle, paid (2*sweeps-1)x
+    deg = cut(edges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d")))
+    m2 = cut(edges.agg(F.sum("w").alias("m")))
     labels = verts.select("v", F.col("v").alias("l"))
     for _ in range(sweeps):
         labels = cut(_louvain_sweep(labels, edges, deg, m2))
@@ -803,7 +828,9 @@ def louvain_multi_frame(
         .groupBy(F.col("ca").alias("a"), F.col("cb").alias("b"))
         .agg(F.sum("w").alias("w"))
     )
-    cdeg = cedges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d"))
+    cdeg = cut(
+        cedges.groupBy(F.col("a").alias("v")).agg(F.sum("w").alias("d"))
+    )
     clabels = (
         labels.select(F.col("l").alias("v"))
         .distinct()
