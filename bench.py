@@ -53,12 +53,40 @@ def _run_once(df) -> float:
 # sweep's OWN timings of these keys (NOT a separate pre-sweep block: a
 # session-cold canary pays JVM/JIT start-up the mid-sweep reference
 # never paid — measured 2.58x apparent drift while the same keys timed
-# 1.07x inside the sweep). References are their round-9-close sf0.1
-# recordings, per regime: warm = BENCH_FULL.json (0.1240 + 0.1642 +
-# 0.2053), cold = BENCH_FULL_COLD.json (construction included:
-# 0.3383 + 0.2990 + 0.3330).
+# 1.07x inside the sweep). Round-11 (ADVICE): the reference is READ
+# FROM the committed round-close artifact of the same regime
+# (BENCH_FULL.json warm / BENCH_FULL_COLD.json cold, "canary" field) —
+# drift is therefore always vs the PREVIOUS round close and its
+# provenance is the committed file itself, with no hardcoded constant
+# to re-anchor; the fallback constants below (round-10-close sf0.1,
+# commit 6a699e7) apply only if the artifact is missing/unreadable.
+# NOISE FLOOR: the canary keys are median-of-3 sampled (see the
+# timing loop), but each remains a sub-second measurement — treat
+# |drift - 1| < 0.15 as no-signal, not as environment drift.
 _CANARY_KEYS = ("filter_project", "join_inner_hash", "window_rank")
-_CANARY_REF_TOTAL = {False: {0.1: 0.4935}, True: {0.1: 0.9703}}
+_CANARY_REF_FALLBACK = {False: {0.1: 0.4486}, True: {0.1: 0.9017}}
+
+
+def _round_close_artifact(cold: bool) -> str:
+    return os.path.join(
+        _REPO, "BENCH_FULL_COLD.json" if cold else "BENCH_FULL.json"
+    )
+
+
+def _canary_ref(cold: bool, sf: float) -> float | None:
+    """Sum of the canary keys' timings in the committed round-close
+    artifact of this regime, provided it covers the same sf and all
+    three keys; else the hardcoded fallback (or None off-sf0.1)."""
+    try:
+        with open(_round_close_artifact(cold)) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf and prev.get("cold_cache", False) == cold:
+            vals = [prev.get("canary", {}).get(k) for k in _CANARY_KEYS]
+            if all(isinstance(v, (int, float)) and v > 0 for v in vals):
+                return float(sum(vals))
+    except (OSError, ValueError):
+        pass
+    return _CANARY_REF_FALLBACK[cold].get(sf)
 
 
 def main() -> None:
@@ -106,8 +134,11 @@ def main() -> None:
             # Gate on the FIRST sample only and always top up to 3:
             # gating on min(samples) could stop at 2 samples, and a
             # 2-element median is a mean of the two — a timing that was
-            # never measured.
-            if samples[0] > slow_cutoff:
+            # never measured. Canary keys ALWAYS get median-of-3
+            # (round-11 ADVICE): the drift discriminator divides their
+            # sum by a fixed reference, so single-sample jitter on
+            # three sub-second keys would masquerade as drift.
+            if samples[0] > slow_cutoff or key in _CANARY_KEYS:
                 while len(samples) < 3:
                     samples.append(_timed_once(fn))
             timings[key] = round(statistics.median(samples), 4)
@@ -128,12 +159,47 @@ def main() -> None:
         for k in _CANARY_KEYS
         if timings.get(k, -1.0) >= 0
     }
-    ref = _CANARY_REF_TOTAL[cold].get(sf)
+    ref = _canary_ref(cold, sf)
     canary_drift = (
         round(sum(canary.values()) / ref, 3)
         if ref and len(canary) == len(_CANARY_KEYS)
         else None
     )
+    # Per-key regression gate (round-10 VERDICT #4): compare each
+    # key's canary-NORMALIZED time against the committed round-close
+    # artifact of the same regime. Per-total eyeballing cannot
+    # localize a regression (the r10 driver-vs-builder 1.067-vs-0.909
+    # split); this names the keys. Sub-second keys are exempt (their
+    # jitter dwarfs any plan signal) and so are keys absent from the
+    # previous artifact (new this round).
+    regressions = []
+    try:
+        with open(_round_close_artifact(cold)) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        prev = None
+    if prev and prev.get("sf") == sf:
+        # canary_drift is measured against THIS artifact's canaries
+        # (see _canary_ref), so cur/cur_drift is already expressed in
+        # the previous round-close's environment units — compare to
+        # `was` directly (no second normalization; prev's own drift
+        # field is relative to an older anchor and must not mix in).
+        cur_drift = canary_drift or 1.0
+        for key, cur in timings.items():
+            was = prev.get("queries", {}).get(key, -1.0)
+            if cur < 1.0 or was < 1.0:
+                continue  # sub-second / failed / new key
+            ratio = (cur / cur_drift) / was
+            if ratio > 1.5:
+                regressions.append(
+                    {
+                        "key": key,
+                        "prev_sec": was,
+                        "cur_sec": cur,
+                        "ratio_normalized": round(ratio, 2),
+                    }
+                )
+        regressions.sort(key=lambda r: -r["ratio_normalized"])
     # Full per-key detail goes to a FILE; stdout gets ONE compact JSON
     # line. The driver keeps only the last ~2000 chars of stdout and
     # json-parses that, so the complete 116-key dict (>3 KB) made round
@@ -159,6 +225,7 @@ def main() -> None:
                 "cold_cache": cold,
                 "canary": canary,
                 "canary_drift": canary_drift,
+                "regressions": regressions,
             },
             fh,
             indent=1,
@@ -173,6 +240,7 @@ def main() -> None:
         "n_failed": sum(1 for v in timings.values() if v < 0),
         "detail": out_name,
         "canary_drift": canary_drift,
+        "n_regressions": len(regressions),
         "queries": {},
     }
     budget = 1800

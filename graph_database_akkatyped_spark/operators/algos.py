@@ -242,7 +242,19 @@ def sssp_user_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cc_frame(verts: DataFrame, edges_sym: DataFrame, max_iter: int = 50) -> DataFrame:
-    """Min-id propagation CC on any graph; verts: (id), edges: (a, b)."""
+    """Min-id propagation CC on any graph; verts: (id), edges: (a, b).
+
+    Converges in O(diameter) supersteps; with ``frontier_only`` the
+    fixpoint is detected (empty frontier) and the loop stops early, so
+    a generous ``max_iter`` costs nothing once converged. NON-
+    convergence is a loud error, not a silent wrong answer: the
+    round-11 1M-V sparse rehearsal (avg degree ~1, near-critical —
+    largest component diameter ~n^(1/3) > 50) showed labels past the
+    cap are still mid-propagation, and every consumer here (dedup
+    clusters, semantic clusters, the incremental-CC contraction, the
+    recursive-CTE oracle) is specified at the FIXPOINT. Same contract
+    as :func:`sssp_weighted`: raise, and let the caller raise
+    ``max_iter`` to cover the graph's diameter."""
     v = verts.select("id", F.col("id").alias("state"))
     e = edges_sym.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1).alias("weight")
@@ -256,6 +268,12 @@ def cc_frame(verts: DataFrame, edges_sym: DataFrame, max_iter: int = 50) -> Data
         max_iter=max_iter,
         frontier_only=True,
     )
+    if not res.converged:
+        raise RuntimeError(
+            f"cc_frame did not reach the min-id fixpoint within "
+            f"max_iter={max_iter} supersteps (graph diameter exceeds the "
+            f"cap); labels would be mid-propagation — raise max_iter"
+        )
     return res.vertices.select("id", F.col("state").alias("component"))
 
 

@@ -40,6 +40,18 @@ def _dot(a: Column, b: Column) -> Column:
     2x SLOWER (the 128-node tree falls out of whole-stage codegen), and
     numpy-backed pandas UDFs change the summation order (pairwise/SIMD)
     which would break bit-parity with the DuckDB oracle.
+
+    Round-11 codegen audit (same-session A/B on an 800k-dot 64-dim
+    workload, candidate run first): the HOF-bearing HashAggregate has
+    ZERO WholeStageCodegen spans — higher-order functions are
+    CodegenFallback, so this expression is interpreted per-row and no
+    restructuring brings it back inside codegen. Two exact-order
+    alternatives both lost: a sequence-index fold
+    (aggregate(sequence(1,size), acc + a[i]*b[i]) — skips the zip_with
+    intermediate) was 1.3x SLOWER (5.46 vs 4.17 s median), and
+    pre-casting both arrays to array<double> outside the lambda was
+    within run-to-run noise (~5%). Both bit-parity-identical. The
+    incumbent stands; measurements in BASELINE.md round 11.
     """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -742,6 +754,16 @@ def dedup_containment_smallside(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc with >= 1 sub-cap gram; a doc composed ENTIRELY of boilerplate
     grams emits no probes (deliberate — such a doc is itself
     boilerplate, and every pair it would surface is cap-df noise).
+    More precisely (round-11 ADVICE note): the cap redefines the
+    DISCOVERY space to sub-cap grams on both sides, so a MIXED pair
+    whose shared region consists ONLY of boilerplate grams is also
+    undiscoverable even when its true containment >= the threshold —
+    the (1-c)^s miss bound applies to containment measured over
+    sub-cap grams. That is the intended semantics: an overlap made
+    entirely of >cap-df grams is template/boilerplate overlap, not
+    content duplication (the signal dedup_lines_boilerplate exists
+    to strip). The oracle applies the same cap, so parity is
+    unaffected either way.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = memoized_checkpoint(
@@ -2160,17 +2182,25 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     build (HNSW's layer-0 construction is exactly repeated
     probe-and-re-rank).
 
-    Same determinism recipe as simsearch_ivf (label cells,
-    floor-scaled integer centroid means, fully tie-broken ranks), so
-    the whole edge list value-hashes against the oracle. 100 TB
-    shape: queries here are ALL n vectors, but each scores only
-    O(cells) centroids (broadcast) plus its 2 probed cells' members —
-    n·(cells + 2·cell_size) work, the linear ANN-build bound, never
-    n². With the table laid out by cell (simsearch_ivf_partitioned)
-    the probe side is partition-pruned per cell. MEMOIZED: an index
-    build runs once and is then consumed (semantic_clusters, graph
-    re-ranking); the scale tools clear the cache, so the true build
-    cost stays measured there."""
+    Same determinism recipe as simsearch_ivf (floor-scaled integer
+    centroid means, fully tie-broken ranks), so the whole edge list
+    value-hashes against the oracle. 100 TB shape: queries here are
+    ALL n vectors, so the re-rank term is n·cell_size = n²/cells —
+    a FIXED cell count (the fixture's 10 labels, the round-≤10
+    default) is quadratic-shaped under corpus growth (measured 15×
+    wall at 10× data, BASELINE.md round-10 scale table). Round 11:
+    the cell count now SCALES with the corpus — each label is split
+    into m = ⌈√n / L⌉ geometric sub-cells (deterministic strided
+    seeds by vec_id rank + one Lloyd assignment step, the same
+    machinery as simsearch_ivf_rebalance), giving ≈√n cells total,
+    so probe (n·cells) and re-rank (n·2·cell_size) balance at the
+    O(n^1.5) IVF-flat build bound. Seeds ≈ √n rows stay broadcast-
+    able (31k × 64 floats ≈ 8 MB at n = 10⁹). With the table laid
+    out by cell (simsearch_ivf_partitioned) the probe side is
+    partition-pruned per cell. MEMOIZED: an index build runs once
+    and is then consumed (semantic_clusters, graph re-ranking); the
+    scale tools clear the cache, so the true build cost stays
+    measured there."""
     return memoized_checkpoint(
         spark, "knn_graph", sf_dir, lambda: _knn_graph_build(spark, sf_dir)
     )
@@ -2178,10 +2208,59 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    # scale-aware cell count: m = ceil(sqrt(n) / L) sub-cells per
+    # label -> labels*m >= sqrt(n) cells total. One global 2-scalar
+    # aggregate, broadcast — keeps the whole build a single plan (no
+    # driver-side collect deciding the shape).
+    params = emb.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("label").alias("n_labels"),
+    ).select(
+        F.ceil(
+            F.sqrt(F.col("n_total").cast("double"))
+            / F.col("n_labels").cast("double")
+        ).cast("long").alias("m")
     )
-    cdims = dims.groupBy("label", "pos").agg(
+    wr = Window.partitionBy("label").orderBy("vec_id")
+    wl = Window.partitionBy("label")
+    ranked = (
+        base.withColumn("rnk0", F.row_number().over(wr) - F.lit(1))
+        .withColumn("cnt", F.count(F.lit(1)).over(wl))
+        .crossJoin(F.broadcast(params))
+    )
+    # deterministic seeds: the FIRST member (by vec_id rank) of each
+    # of the m evenly-sized rank blocks within a label. Integer-div
+    # block ids — float-free, so Spark and DuckDB agree exactly.
+    blk = F.expr("(rnk0 * m) div cnt")
+    prev_blk = F.expr("((rnk0 - 1) * m) div cnt")
+    seeds = (
+        ranked.where((F.col("rnk0") == 0) | (blk != prev_blk))
+        .select(
+            "label",
+            blk.alias("sub"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+        )
+    )
+    # one Lloyd assignment step: argmax cosine to the (broadcast)
+    # same-label seeds, ties to the smaller sub id. n*m dots.
+    a_cos = _dot(F.col("embedding"), F.col("s_emb")) / (
+        F.sqrt("nrm") * F.sqrt("s_nrm")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("a_cos").desc(), "sub")
+    assign = (
+        base.join(F.broadcast(seeds), "label")
+        .withColumn("a_cos", a_cos)
+        .withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "label", "sub", "embedding", "nrm")
+    )
+    dims = assign.select(
+        "label", "sub", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cdims = dims.groupBy("label", "sub", "pos").agg(
         (
             F.sum(
                 F.floor(F.col("val").cast("double") * 1e8).cast("long")
@@ -2189,18 +2268,14 @@ def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * 1e8)
         ).alias("cval")
     )
-    centroids = cdims.groupBy("label").agg(
+    centroids = cdims.groupBy("label", "sub").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "cval"))),
             lambda s: s.cval,
         ).alias("centroid")
     )
     cnorm = _dot(F.col("centroid"), F.col("centroid"))
-    cells = centroids.select(
-        F.col("label").alias("cell"), "centroid", cnorm.alias("cnrm")
-    )
-    norm = _dot(F.col("embedding"), F.col("embedding"))
-    base = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    cells = centroids.select("label", "sub", "centroid", cnorm.alias("cnrm"))
     queries = base.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("q_emb"),
@@ -2209,24 +2284,23 @@ def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_cos = _dot(F.col("q_emb"), F.col("centroid")) / (
         F.sqrt("q_nrm") * F.sqrt("cnrm")
     )
-    wc = Window.partitionBy("src").orderBy(F.col("c_cos").desc(), "cell")
+    wc = Window.partitionBy("src").orderBy(
+        F.col("c_cos").desc(), "label", "sub"
+    )
     probed = (
         queries.crossJoin(F.broadcast(cells))
         .withColumn("c_cos", c_cos)
         .withColumn("cell_rnk", F.row_number().over(wc))
         .where(F.col("cell_rnk") <= 2)
-        .select("src", "q_emb", "q_nrm", "cell")
+        .select("src", "q_emb", "q_nrm", "label", "sub")
     )
     cos = _dot(F.col("q_emb"), F.col("embedding")) / (
         F.sqrt("q_nrm") * F.sqrt("nrm")
     )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "vec_id")
     return (
-        probed.join(
-            base,
-            (base["label"] == probed["cell"])
-            & (base["vec_id"] != probed["src"]),
-        )
+        probed.join(assign, ["label", "sub"])
+        .where(F.col("vec_id") != F.col("src"))
         .withColumn("cos", cos)
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _KNN_K)
@@ -2235,37 +2309,67 @@ def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_GRAPH_SQL = f"""
-WITH dims AS (
-  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-         unnest(embedding) AS val
-  FROM embeddings
-),
-cdims AS (
-  SELECT label, pos,
-         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
-           / (count(*) * 1e8) AS cval
-  FROM dims GROUP BY label, pos
-),
-cells AS (
-  SELECT label AS cell, list(cval ORDER BY pos) AS centroid
-  FROM cdims GROUP BY label
-),
-cells_n AS (
-  SELECT cell, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm
-  FROM cells
-),
-base AS MATERIALIZED (
+WITH base AS MATERIALIZED (
   SELECT vec_id, label, embedding,
          {_sql_dot('embedding', 'embedding')} AS nrm
   FROM embeddings
 ),
+params AS (
+  SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))
+                   / CAST(count(DISTINCT label) AS DOUBLE)) AS BIGINT) AS m
+  FROM base
+),
+ranked AS (
+  SELECT b.vec_id, b.label, b.embedding, b.nrm,
+         row_number() OVER (PARTITION BY b.label ORDER BY b.vec_id) - 1
+           AS rnk0,
+         count(*) OVER (PARTITION BY b.label) AS cnt, p.m
+  FROM base b CROSS JOIN params p
+),
+seeds AS (
+  SELECT label, (rnk0 * m) // cnt AS sub,
+         embedding AS s_emb, nrm AS s_nrm
+  FROM ranked
+  WHERE rnk0 = 0 OR (rnk0 * m) // cnt <> ((rnk0 - 1) * m) // cnt
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, label, sub, embedding, nrm FROM (
+    SELECT r.vec_id, r.label, s.sub, r.embedding, r.nrm,
+           row_number() OVER (
+             PARTITION BY r.vec_id
+             ORDER BY {_sql_dot('r.embedding', 's.s_emb')}
+                       / (sqrt(r.nrm) * sqrt(s.s_nrm)) DESC, s.sub) AS arn
+    FROM base r JOIN seeds s USING (label)
+  ) WHERE arn = 1
+),
+dims AS (
+  SELECT label, sub, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM assign
+),
+cdims AS (
+  SELECT label, sub, pos,
+         CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e8) AS cval
+  FROM dims GROUP BY label, sub, pos
+),
+cells AS (
+  SELECT label, sub, list(cval ORDER BY pos) AS centroid
+  FROM cdims GROUP BY label, sub
+),
+cells_n AS (
+  SELECT label, sub, centroid, {_sql_dot('centroid', 'centroid')} AS cnrm
+  FROM cells
+),
 probed AS MATERIALIZED (
-  SELECT src, q_emb, q_nrm, cell FROM (
-    SELECT q.vec_id AS src, q.embedding AS q_emb, q.nrm AS q_nrm, c.cell,
+  SELECT src, q_emb, q_nrm, label, sub FROM (
+    SELECT q.vec_id AS src, q.embedding AS q_emb, q.nrm AS q_nrm,
+           c.label, c.sub,
            row_number() OVER (
              PARTITION BY q.vec_id
              ORDER BY {_sql_dot('q.embedding', 'c.centroid')}
-                       / (sqrt(q.nrm) * sqrt(c.cnrm)) DESC, c.cell) AS cell_rnk
+                       / (sqrt(q.nrm) * sqrt(c.cnrm)) DESC,
+                      c.label, c.sub) AS cell_rnk
     FROM base q CROSS JOIN cells_n c
   ) WHERE cell_rnk <= 2
 )
@@ -2277,7 +2381,9 @@ SELECT src, dst, cos, CAST(rnk AS INTEGER) AS rnk FROM (
            PARTITION BY p.src
            ORDER BY {_sql_dot('p.q_emb', 'b.embedding')}
                      / (sqrt(p.q_nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rnk
-  FROM probed p JOIN base b ON b.label = p.cell AND b.vec_id <> p.src
+  FROM probed p
+  JOIN assign b ON b.label = p.label AND b.sub = p.sub
+               AND b.vec_id <> p.src
 ) WHERE rnk <= {_KNN_K}
 """
 

@@ -128,6 +128,221 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _journal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a per-entity PROPERTY-MUTATION journal: user_id is the
+    entity, event_id the journal sequence, props' json ``k`` the
+    property id, value (in exact cents) the property value; event_type
+    'error' is the entity TOMBSTONE (full delete), everything else an
+    upsert of that one property — the analytic mirror of the GraphDB
+    journal's upsert/tombstone records (api.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "error").cast("int").alias("is_tomb"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+
+
+def _journal_state(ops: DataFrame) -> DataFrame:
+    """LWW-with-delete replay of an ops frame: per entity, properties
+    set by the latest upsert per key AFTER the last tombstone. Returns
+    (user_id, n_props, state_fp) where state_fp is an order-free exact
+    integer fingerprint Σ (k·1000003 + v_cents) over the state map —
+    integer arithmetic, so Spark and DuckDB agree bit-for-bit."""
+    lt = (
+        ops.where(F.col("is_tomb") == 1)
+        .groupBy("user_id")
+        .agg(F.max("seq").alias("tomb_seq"))
+    )
+    up = (
+        ops.where(F.col("is_tomb") == 0)
+        .join(lt, "user_id", "left")
+        .where(F.col("seq") > F.coalesce(F.col("tomb_seq"), F.lit(-1)))
+    )
+    w = Window.partitionBy("user_id", "k").orderBy(F.col("seq").desc())
+    cur = up.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return cur.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_props"),
+        F.sum(F.col("k") * 1000003 + F.col("v_cents")).alias("state_fp"),
+    )
+
+
+def journal_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journal COMPACTION + replay-equivalence audit — the operator
+    that completes the event-sourcing analog story around
+    ``journal_intervals`` (replay) and the GraphDB api.py time-travel
+    reads: compact each entity's mutation journal to the minimal
+    record set that replays to the same state, and PROVE it per
+    entity.
+
+    Semantics (Kafka-log-compaction / SCD2-current-rows): retain the
+    entity's last tombstone (the delete marker) plus, per property,
+    the latest upsert after that tombstone — everything earlier is
+    superseded history. ``replay_match`` is not asserted but COMPUTED:
+    the same LWW replay (:func:`_journal_state`) runs over the full
+    journal AND over the compacted frame, and the flag compares the
+    two state fingerprints — a compactor bug (e.g. keeping first
+    instead of last writer) flips it (locked falsifiable by
+    tests/test_round11.py).
+
+    100 TB shape: one shuffle on user_id for the tombstone max, one on
+    (user_id, property) for the per-property LWW window, then
+    per-entity aggregates — linear in the journal, no self-join; the
+    compacted side re-replays only the O(entities x live-props)
+    survivor frame. Output per entity: journal depth, tombstone count,
+    retained-record count, aliveness, live-property count, state
+    fingerprint, and the replay-equivalence flag."""
+    ops = _journal_ops(spark, sf_dir)
+    base = ops.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_journal"),
+        F.sum("is_tomb").cast("long").alias("n_tombstones"),
+    )
+    lt = (
+        ops.where(F.col("is_tomb") == 1)
+        .groupBy("user_id")
+        .agg(F.max("seq").alias("tomb_seq"))
+    )
+    up = (
+        ops.where(F.col("is_tomb") == 0)
+        .join(lt, "user_id", "left")
+        .where(F.col("seq") > F.coalesce(F.col("tomb_seq"), F.lit(-1)))
+    )
+    w = Window.partitionBy("user_id", "k").orderBy(F.col("seq").desc())
+    keep_up = (
+        up.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "seq", "is_tomb", "k", "v_cents")
+    )
+    keep_tomb = lt.select(
+        "user_id",
+        F.col("tomb_seq").alias("seq"),
+        F.lit(1).alias("is_tomb"),
+        F.lit(None).cast("long").alias("k"),
+        F.lit(None).cast("long").alias("v_cents"),
+    )
+    compacted = keep_up.unionByName(keep_tomb)
+    full_state = _journal_state(ops)
+    comp_state = _journal_state(compacted)
+    n_comp = compacted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_compacted")
+    )
+    return (
+        base.join(n_comp, "user_id", "left")
+        .join(
+            full_state.select(
+                "user_id",
+                F.col("n_props").alias("f_props"),
+                F.col("state_fp").alias("f_fp"),
+            ),
+            "user_id",
+            "left",
+        )
+        .join(
+            comp_state.select(
+                "user_id",
+                F.col("n_props").alias("c_props"),
+                F.col("state_fp").alias("c_fp"),
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            "n_journal",
+            "n_tombstones",
+            F.coalesce("n_compacted", F.lit(0)).cast("long").alias(
+                "n_compacted"
+            ),
+            (F.coalesce("f_props", F.lit(0)) > 0).cast("int").alias("alive"),
+            F.coalesce("f_props", F.lit(0)).cast("long").alias("n_props"),
+            F.coalesce("f_fp", F.lit(0)).cast("long").alias("state_fp"),
+            (
+                (F.coalesce("f_props", F.lit(0)) == F.coalesce("c_props", F.lit(0)))
+                & (F.coalesce("f_fp", F.lit(0)) == F.coalesce("c_fp", F.lit(0)))
+            ).cast("int").alias("replay_match"),
+        )
+    )
+
+
+_JOURNAL_COMPACT_SQL = """
+WITH ops AS MATERIALIZED (
+  SELECT user_id, event_id AS seq,
+         CAST(event_type = 'error' AS INTEGER) AS is_tomb,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+base AS (
+  SELECT user_id, count(*) AS n_journal,
+         CAST(sum(is_tomb) AS BIGINT) AS n_tombstones
+  FROM ops GROUP BY user_id
+),
+lt AS (
+  SELECT user_id, max(seq) AS tomb_seq FROM ops
+  WHERE is_tomb = 1 GROUP BY user_id
+),
+up AS (
+  SELECT o.* FROM ops o LEFT JOIN lt USING (user_id)
+  WHERE o.is_tomb = 0 AND o.seq > coalesce(lt.tomb_seq, -1)
+),
+keep_up AS (
+  SELECT user_id, seq, is_tomb, k, v_cents FROM (
+    SELECT u.*, row_number() OVER (
+      PARTITION BY user_id, k ORDER BY seq DESC) AS rn
+    FROM up u
+  ) WHERE rn = 1
+),
+compacted AS MATERIALIZED (
+  SELECT * FROM keep_up
+  UNION ALL
+  SELECT user_id, tomb_seq AS seq, 1 AS is_tomb,
+         CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS v_cents
+  FROM lt
+),
+full_state AS (
+  SELECT user_id, count(*) AS n_props,
+         CAST(sum(k * 1000003 + v_cents) AS BIGINT) AS state_fp
+  FROM keep_up GROUP BY user_id
+),
+c_lt AS (
+  SELECT user_id, max(seq) AS tomb_seq FROM compacted
+  WHERE is_tomb = 1 GROUP BY user_id
+),
+c_up AS (
+  SELECT c.* FROM compacted c LEFT JOIN c_lt USING (user_id)
+  WHERE c.is_tomb = 0 AND c.seq > coalesce(c_lt.tomb_seq, -1)
+),
+comp_state AS (
+  SELECT user_id, count(*) AS n_props,
+         CAST(sum(k * 1000003 + v_cents) AS BIGINT) AS state_fp
+  FROM (
+    SELECT u.* FROM (
+      SELECT c.*, row_number() OVER (
+        PARTITION BY user_id, k ORDER BY seq DESC) AS rn
+      FROM c_up c
+    ) u WHERE rn = 1
+  ) GROUP BY user_id
+),
+n_comp AS (
+  SELECT user_id, count(*) AS n_compacted FROM compacted GROUP BY user_id
+)
+SELECT b.user_id, b.n_journal, b.n_tombstones,
+       CAST(coalesce(n.n_compacted, 0) AS BIGINT) AS n_compacted,
+       CAST(coalesce(f.n_props, 0) > 0 AS INTEGER) AS alive,
+       CAST(coalesce(f.n_props, 0) AS BIGINT) AS n_props,
+       CAST(coalesce(f.state_fp, 0) AS BIGINT) AS state_fp,
+       CAST(coalesce(f.n_props, 0) = coalesce(c.n_props, 0)
+            AND coalesce(f.state_fp, 0) = coalesce(c.state_fp, 0)
+            AS INTEGER) AS replay_match
+FROM base b
+LEFT JOIN n_comp n USING (user_id)
+LEFT JOIN full_state f USING (user_id)
+LEFT JOIN comp_state c USING (user_id)
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase per user: each stage's
     first timestamp must follow the previous stage's (strict event-order
@@ -2116,6 +2331,7 @@ QUERIES = {
     "sample_hash": sample_hash,
     "agg_filtered": agg_filtered,
     "journal_intervals": journal_intervals,
+    "journal_compact_replay": journal_compact_replay,
     "funnel_conversion": funnel_conversion,
     "events_anomaly_hours": events_anomaly_hours,
     "skyline_pareto": skyline_pareto,
@@ -2162,6 +2378,7 @@ ORACLES = {
     "sample_hash": _SAMPLE_SQL,
     "agg_filtered": _AGG_FILTERED_SQL,
     "journal_intervals": _JOURNAL_SQL,
+    "journal_compact_replay": _JOURNAL_COMPACT_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "events_anomaly_hours": _ANOMALY_SQL,
 }

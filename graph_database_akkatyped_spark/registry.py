@@ -39,122 +39,126 @@ _MODULES = (
 )
 
 _SWEEP_ORDER = (
-    # driver-sweep priority, rotated for ROUND 10. The driver checks
+    # driver-sweep priority, rotated for ROUND 11. The driver checks
     # the first ~50 keys per round. Block 1 layout:
-    # a) the 7 keys whose implementation or oracle round 10 touched
-    #    (LSH scorecard rebuilt on hard contracts, tie-safe percentile
-    #    flags, df-capped smallside containment probe, incremental
-    #    truss peel, d_z pre-attach in the shared wedge frame);
-    # b) the 17 oldest-driver-evidence keys (r02/r03 — the text/
-    #    curation/udf families) per round-9 VERDICT #4;
-    # c) the next-oldest refresh block (r03/r05 families plus
-    #    end-of-order keys the 50-key budget has not reached
-    #    recently), including the four sketch scorecards whose
-    #    production-vs-oracle docstrings round 10 added.
+    # a) the round-11 NEW key (journal_compact_replay — journal
+    #    compaction + replay-equivalence audit) and the 3 keys whose
+    #    implementation AND oracle round 11 rewrote
+    #    (scale-aware IVF cell count: m = ceil(sqrt(n)/L) sub-cells
+    #    per label via deterministic strided seeds + one Lloyd step;
+    #    semantic_clusters / simsearch_greedy_graph consume the new
+    #    knn graph);
+    # b) the full stale-evidence tail per round-10 VERDICT #3: the
+    #    r01 key (table_profile), the 22 r02 keys, the 10 r03 keys
+    #    (the 11th, multimodal_decode_stub, was renamed — the current
+    #    multimodal_decode key has r07 evidence);
+    # c) the 16 r04 keys — after this round no key's latest driver
+    #    evidence should predate r04 (the ~50-key budget may stop
+    #    inside block c; those keys stay at the front next round).
     # RULE (unchanged): any NEW key must be added to block 1
     # explicitly — an unranked key sorts first (rank -1), which is
     # correct for new keys but must be a deliberate listing so
     # test_registry keeps the set exact.
-    "simsearch_lsh", "simsearch_recall_lsh", "agg_approx_percentile",
-    "dedup_containment_smallside", "k_truss_edges", "link_predict_jaccard",
-    "link_predict_resource_alloc", "corpus_mix_weights", "text_lang_stats",
-    "curation_filter_report", "pii_redact", "text_repetition", "dedup_exact",
-    "simsearch_topk", "text_tfidf", "text_ngrams", "text_wordcount",
-    "text_sentiment_lexicon", "simsearch_pairs_label", "udf_python",
-    "udf_pandas", "udaf_applyinpandas", "udtf_python", "udf_mapinarrow",
-    "multimodal_enrich", "fn_map", "text_token_count", "text_quality_score",
-    "text_normalize", "text_fingerprint", "doc_length_histogram",
-    "text_langid_ngram", "sample_hash", "split_train_test",
-    "sessionize_events", "build_user_graph", "dedup_near_minhash",
-    "agg_approx_distinct", "agg_sketch_epoch_merge", "agg_sketch_intersection",
-    "text_minhash_signature", "udaf_cogrouped_asof", "stream_topk_types",
-    "bipartite_copurchase", "sql_recursive_reachability",
+    "journal_compact_replay", "knn_graph_build", "semantic_clusters",
+    "simsearch_greedy_graph",
+    "table_profile", "agg_filtered", "corpus_training_manifest",
+    "dedup_materialize", "edge_jaccard", "events_anomaly_hours", "fn_regexp",
+    "funnel_conversion", "graph_activity_timeline", "graph_summary_stats",
+    "journal_intervals", "pagerank_personalized", "rfm_segmentation",
+    "simsearch_hybrid_rrf", "sink_orc_roundtrip", "sink_partitioned_pruned",
+    "sssp_pred_tree", "sssp_user_weighted", "stream_minhash_signature",
+    "stream_stream_join", "timeseries_gapfill", "timeseries_multires_rollup",
+    "window_distribution", "clustering_coefficient", "dedup_clusters",
+    "embedding_quantize", "fn_bitwise", "fn_conditional", "fn_explode",
+    "fn_hash", "fn_string_rewrite", "stream_static_join", "text_chunk_sliding",
+    "community_modularity", "corpus_sample_mixture", "embedding_kmeans_lloyd",
+    "events_pattern_match", "incremental_agg_merge", "langid_confusion",
+    "quality_gopher_rules", "revenue_pareto", "sample_stratified",
+    "sink_compacted", "skew_profile", "snapshot_diff",
+    "stream_stateful_minmax", "stream_stateful_topk", "stream_stateful_ttl",
+    "zorder_layout", "simsearch_lsh", "simsearch_recall_lsh",
+    "agg_approx_percentile", "dedup_containment_smallside", "k_truss_edges",
+    "link_predict_jaccard", "link_predict_resource_alloc",
+    "corpus_mix_weights", "text_lang_stats", "curation_filter_report",
+    "pii_redact", "text_repetition", "dedup_exact", "simsearch_topk",
+    "text_tfidf", "text_ngrams", "text_wordcount", "text_sentiment_lexicon",
+    "simsearch_pairs_label", "udf_python", "udf_pandas", "udaf_applyinpandas",
+    "udtf_python", "udf_mapinarrow", "multimodal_enrich", "fn_map",
+    "text_token_count", "text_quality_score", "text_normalize",
+    "text_fingerprint", "doc_length_histogram", "text_langid_ngram",
+    "sample_hash", "split_train_test", "sessionize_events", "build_user_graph",
+    "dedup_near_minhash", "agg_approx_distinct", "agg_sketch_epoch_merge",
+    "agg_sketch_intersection", "text_minhash_signature", "udaf_cogrouped_asof",
+    "stream_topk_types", "bipartite_copurchase", "sql_recursive_reachability",
     "decontam_ngram_overlap", "retention_cohorts", "simsearch_ivf",
-    "dedup_embedding_cosine", "dedup_incremental", "simsearch_greedy_graph",
-    "corpus_source_overlap", "anonymize_t_closeness", "dedup_edit_distance",
-    "anonymize_l_diversity", "text_vocab_stats", "join_lateral_topn",
-    "orders_croston_demand", "fn_hash_native", "stream_stateful_count",
-    "zorder_layout_ranged", "timeseries_holt_backtest", "anonymize_dp_counts",
-    "sink_bucketed_join", "graph_anf_accuracy", "graph_effective_diameter",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_json",
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
-    "stream_watermark_late", "source_event_stream", "sssp_weighted",
-    "label_propagation", "path_exists", "triangle_count", "skyline_pareto",
-    "anonymize_k_anonymity", "text_readability", "corpus_dsir_weights",
-    "timeseries_holt", "recommend_item_cosine", "text_keyword_rake",
-    "multimodal_video_scenecut", "funnel_time_to_convert",
-    "graph_neighborhood_anf", "anonymize_pseudonymize", "join_spatial_grid",
-    "data_quality_fk_audit", "graph_rich_club", "embedding_norm_audit",
-    "text_bpe_fertility", "skyline_grouped", "orders_backlog_aging",
-    "stream_holt_state", "text_bpe_encode", "entity_resolve_blocked",
-    "join_bloom_prefilter", "stream_entity_resolve",
-    "graph_temporal_reachability", "timeseries_downsample_lttb",
-    "embedding_outlier_mahalanobis", "timeseries_autocorr",
-    "timeseries_anomaly_mad", "text_bpe_merge", "multimodal_audio_energy",
-    "corpus_curriculum_order", "stream_backfill_merge", "set_union",
-    "set_intersect", "set_except", "pivot_segment", "unpivot_melt",
-    "subquery_in", "subquery_scalar", "flagship", "agg_hash", "agg_moments",
-    "agg_percentiles", "join_salted_skew", "table_profile", "dedup_lines",
-    "dedup_lines_boilerplate", "graph_mst_boruvka", "graph_greedy_coloring",
-    "graph_mis_luby", "simsearch_ivf_partitioned", "stream_sink_idempotent",
-    "stream_scd2", "stream_ivf_assign", "stream_graph_degree",
-    "stream_graph_pagerank", "simsearch_ivf_rebalance",
-    "simsearch_recall_rebalance", "simsearch_ivfadc",
-    "simsearch_recall_ivfadc", "timeseries_changepoint_cusum", "dedup_simhash",
-    "multimodal_decode", "scan_parquet", "scan_pruned", "sink_parquet",
-    "sink_csv_roundtrip", "sink_json_roundtrip", "filter_project",
-    "build_vertices", "build_edges", "vertex_lookup", "neighbors_out",
-    "degree_out", "degree_in", "degree_distribution", "join_inner_hash",
-    "join_broadcast", "join_left", "join_full", "join_semi", "join_anti",
-    "join_theta_range", "join_cross_small", "join_asof_nearest",
-    "agg_distinct", "agg_minmax_by", "agg_mode", "agg_listagg",
-    "grouping_rollup", "grouping_cube", "grouping_sets", "window_rank",
-    "window_running", "window_lead_lag", "window_range_frame",
-    "window_first_last", "window_ntile", "sort_limit_topk",
-    "events_markov_transitions", "timeseries_ohlc", "events_burst_zscore",
-    "timeseries_ewma", "dedup_containment", "text_collocation_lift",
-    "stream_stream_left_join", "simsearch_mmr", "quality_bigram_logprob",
-    "pack_lpt_shards", "dedup_semantic_recall", "multimodal_phash_dedup",
-    "text_zipf_fit", "embedding_matryoshka_recall", "basket_association_rules",
-    "simsearch_binary_hamming", "agg_weighted_median",
-    "timeseries_seasonal_profile", "gnn_sample_fanout", "simsearch_range",
-    "decontam_semantic", "text_bm25_topk", "quality_hashed_linear",
-    "text_chunk_cdc", "join_asof_forward", "dedup_banding_recall",
-    "corpus_pipeline_funnel", "knn_graph_build", "semantic_clusters",
-    "graph_node2vec_walks", "community_louvain_multi", "simsearch_ivf_append",
-    "cc_incremental", "merge_scd2", "timeseries_interpolate",
-    "sketch_countmin_heavy", "simsearch_ivf_filtered",
-    "simsearch_recall_filtered", "dedup_semantic", "community_louvain_l1",
-    "build_user_graph_capped", "dedup_keep_best", "corpus_token_budget_sample",
-    "triangle_count_approx", "dedup_paragraph", "betweenness_sampled",
-    "corpus_dedup_report", "simsearch_filtered_topk", "motif_find_cosupplied",
-    "multimodal_frame_sample", "merge_cdc_upsert", "degree_assortativity",
-    "graph_reciprocity", "tombstone_cascade", "embedding_pca_power",
-    "bfs_levels", "khop_neighbors", "scc_strongly_connected",
-    "kcore_decompose", "graph_random_walks", "pack_sequences",
-    "topo_longest_path", "path_shortest_bidirectional", "graph_eccentricity",
-    "connected_components", "pagerank_fixed", "mutual_neighbors",
-    "motif_triangle_sql", "simsearch_pq", "simsearch_recall_pq",
-    "quality_unigram_logprob", "dedup_ngram_jaccard", "simsearch_recall",
-    "join_interval_bucketed", "katz_centrality", "stream_sampled_ingest",
-    "motif_find_nonmutual", "hits_hubs_authorities", "harmonic_closeness",
-    "simsearch_hard_negatives", "stream_cdc_snapshot",
-    "dedup_substring_shingle", "snapshot_diff", "embedding_kmeans_lloyd",
-    "events_pattern_match", "community_modularity", "revenue_pareto",
-    "stream_stateful_topk", "langid_confusion", "quality_gopher_rules",
-    "sample_stratified", "stream_stateful_ttl", "incremental_agg_merge",
-    "sink_compacted", "corpus_sample_mixture", "skew_profile",
-    "stream_stateful_minmax", "zorder_layout", "dedup_clusters",
-    "pagerank_personalized", "stream_minhash_signature", "sssp_user_weighted",
-    "stream_stream_join", "fn_explode", "fn_conditional", "fn_bitwise",
-    "fn_hash", "fn_string_rewrite", "sink_orc_roundtrip", "fn_regexp",
-    "embedding_quantize", "sink_partitioned_pruned", "window_distribution",
-    "text_chunk_sliding", "stream_static_join", "graph_summary_stats",
-    "journal_intervals", "dedup_materialize", "corpus_training_manifest",
-    "edge_jaccard", "events_anomaly_hours", "timeseries_multires_rollup",
-    "clustering_coefficient", "timeseries_gapfill", "graph_activity_timeline",
-    "agg_filtered", "rfm_segmentation", "sssp_pred_tree", "funnel_conversion",
-    "simsearch_hybrid_rrf",
+    "dedup_embedding_cosine", "dedup_incremental", "corpus_source_overlap",
+    "anonymize_t_closeness", "dedup_edit_distance", "anonymize_l_diversity",
+    "text_vocab_stats", "join_lateral_topn", "orders_croston_demand",
+    "fn_hash_native", "stream_stateful_count", "zorder_layout_ranged",
+    "timeseries_holt_backtest", "anonymize_dp_counts", "sink_bucketed_join",
+    "graph_anf_accuracy", "graph_effective_diameter", "fn_string", "fn_date",
+    "fn_math", "fn_array", "fn_json", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_dedup", "stream_watermark_late",
+    "source_event_stream", "sssp_weighted", "label_propagation", "path_exists",
+    "triangle_count", "skyline_pareto", "anonymize_k_anonymity",
+    "text_readability", "corpus_dsir_weights", "timeseries_holt",
+    "recommend_item_cosine", "text_keyword_rake", "multimodal_video_scenecut",
+    "funnel_time_to_convert", "graph_neighborhood_anf",
+    "anonymize_pseudonymize", "join_spatial_grid", "data_quality_fk_audit",
+    "graph_rich_club", "embedding_norm_audit", "text_bpe_fertility",
+    "skyline_grouped", "orders_backlog_aging", "stream_holt_state",
+    "text_bpe_encode", "entity_resolve_blocked", "join_bloom_prefilter",
+    "stream_entity_resolve", "graph_temporal_reachability",
+    "timeseries_downsample_lttb", "embedding_outlier_mahalanobis",
+    "timeseries_autocorr", "timeseries_anomaly_mad", "text_bpe_merge",
+    "multimodal_audio_energy", "corpus_curriculum_order",
+    "stream_backfill_merge", "set_union", "set_intersect", "set_except",
+    "pivot_segment", "unpivot_melt", "subquery_in", "subquery_scalar",
+    "flagship", "agg_hash", "agg_moments", "agg_percentiles",
+    "join_salted_skew", "dedup_lines", "dedup_lines_boilerplate",
+    "graph_mst_boruvka", "graph_greedy_coloring", "graph_mis_luby",
+    "simsearch_ivf_partitioned", "stream_sink_idempotent", "stream_scd2",
+    "stream_ivf_assign", "stream_graph_degree", "stream_graph_pagerank",
+    "simsearch_ivf_rebalance", "simsearch_recall_rebalance",
+    "simsearch_ivfadc", "simsearch_recall_ivfadc",
+    "timeseries_changepoint_cusum", "dedup_simhash", "multimodal_decode",
+    "scan_parquet", "scan_pruned", "sink_parquet", "sink_csv_roundtrip",
+    "sink_json_roundtrip", "filter_project", "build_vertices", "build_edges",
+    "vertex_lookup", "neighbors_out", "degree_out", "degree_in",
+    "degree_distribution", "join_inner_hash", "join_broadcast", "join_left",
+    "join_full", "join_semi", "join_anti", "join_theta_range",
+    "join_cross_small", "join_asof_nearest", "agg_distinct", "agg_minmax_by",
+    "agg_mode", "agg_listagg", "grouping_rollup", "grouping_cube",
+    "grouping_sets", "window_rank", "window_running", "window_lead_lag",
+    "window_range_frame", "window_first_last", "window_ntile",
+    "sort_limit_topk", "events_markov_transitions", "timeseries_ohlc",
+    "events_burst_zscore", "timeseries_ewma", "dedup_containment",
+    "text_collocation_lift", "stream_stream_left_join", "simsearch_mmr",
+    "quality_bigram_logprob", "pack_lpt_shards", "dedup_semantic_recall",
+    "multimodal_phash_dedup", "text_zipf_fit", "embedding_matryoshka_recall",
+    "basket_association_rules", "simsearch_binary_hamming",
+    "agg_weighted_median", "timeseries_seasonal_profile", "gnn_sample_fanout",
+    "simsearch_range", "decontam_semantic", "text_bm25_topk",
+    "quality_hashed_linear", "text_chunk_cdc", "join_asof_forward",
+    "dedup_banding_recall", "corpus_pipeline_funnel", "graph_node2vec_walks",
+    "community_louvain_multi", "simsearch_ivf_append", "cc_incremental",
+    "merge_scd2", "timeseries_interpolate", "sketch_countmin_heavy",
+    "simsearch_ivf_filtered", "simsearch_recall_filtered", "dedup_semantic",
+    "community_louvain_l1", "build_user_graph_capped", "dedup_keep_best",
+    "corpus_token_budget_sample", "triangle_count_approx", "dedup_paragraph",
+    "betweenness_sampled", "corpus_dedup_report", "simsearch_filtered_topk",
+    "motif_find_cosupplied", "multimodal_frame_sample", "merge_cdc_upsert",
+    "degree_assortativity", "graph_reciprocity", "tombstone_cascade",
+    "embedding_pca_power", "bfs_levels", "khop_neighbors",
+    "scc_strongly_connected", "kcore_decompose", "graph_random_walks",
+    "pack_sequences", "topo_longest_path", "path_shortest_bidirectional",
+    "graph_eccentricity", "connected_components", "pagerank_fixed",
+    "mutual_neighbors", "motif_triangle_sql", "simsearch_pq",
+    "simsearch_recall_pq", "quality_unigram_logprob", "dedup_ngram_jaccard",
+    "simsearch_recall", "join_interval_bucketed", "katz_centrality",
+    "stream_sampled_ingest", "motif_find_nonmutual", "hits_hubs_authorities",
+    "harmonic_closeness", "simsearch_hard_negatives", "stream_cdc_snapshot",
+    "dedup_substring_shingle",
 )
 
 
