@@ -716,7 +716,9 @@ FROM reach WHERE v % {_TEMPORAL_SEED_MOD} <> 0 GROUP BY v
 """
 
 
-def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
+def scc_frame(
+    verts: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
     """Strongly connected components by the distributed coloring
     algorithm (Orzan; the same family GraphX's SCC uses):
 
@@ -778,16 +780,31 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
             )
         if remaining_v.limit(1).count() == 0:
             break
-        # 1. forward coloring: color = max id reaching v
-        colors = pregel(
+        # 1. forward coloring: color = max id reaching v. MUST reach
+        # its fixpoint: every propagated id certifies a real path, so
+        # partial colors still certify reachability — but an absorbed
+        # set built from them can be a strict SUBSET of SCC(root),
+        # and peeling a partial SCC severs the remaining members'
+        # cycles, silently fragmenting the component (the cc_frame
+        # sparse-rehearsal bug class). Loud beats wrong.
+        colors_res = pregel(
             remaining_v.select("id", F.col("id").alias("state")),
             remaining_e,
             msg=F.col("src_state"),
             agg=F.max("msg"),
             vprog=F.expr("greatest(state, coalesce(agg_msg, state))"),
-            max_iter=50,
+            max_iter=max_iter,
             frontier_only=True,
-        ).vertices.select("id", F.col("state").alias("color"))
+        )
+        if not colors_res.converged:
+            raise RuntimeError(
+                f"scc_frame: forward coloring unconverged within "
+                f"max_iter={max_iter} supersteps (path longer than the "
+                "cap in the remaining graph) — raise max_iter"
+            )
+        colors = colors_res.vertices.select(
+            "id", F.col("state").alias("color")
+        )
         # 2. backward mark inside each color class, from every root at
         # once: message-edges are the original edges reversed and
         # restricted to endpoints of the same color
@@ -809,7 +826,7 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
         rev = ce.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         ).transform(cut)
-        marks = pregel(
+        marks_res = pregel(
             colors.select(
                 "id",
                 (F.col("id") == F.col("color")).cast("long").alias("state"),
@@ -818,9 +835,15 @@ def scc_frame(verts: DataFrame, edges: DataFrame) -> DataFrame:
             msg=F.col("src_state"),
             agg=F.max("msg"),
             vprog=F.expr("greatest(state, coalesce(agg_msg, state))"),
-            max_iter=50,
+            max_iter=max_iter,
             frontier_only=True,
-        ).vertices
+        )
+        if not marks_res.converged:  # see forward coloring above
+            raise RuntimeError(
+                f"scc_frame: backward marking unconverged within "
+                f"max_iter={max_iter} supersteps — raise max_iter"
+            )
+        marks = marks_res.vertices
         members = (
             marks.where(F.col("state") == 1)
             .join(colors, "id")
@@ -1586,6 +1609,7 @@ def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
         .select("v", F.col("v").alias("c"))
     )
     chosen: DataFrame | None = None
+    completed = False
     for rnd in range(_MST_MAX_ROUNDS):
         ca = comp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
         cb = comp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
@@ -1595,6 +1619,7 @@ def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
             .where(F.col("ca") != F.col("cb"))
         )
         if xe.limit(1).count() == 0:
+            completed = True
             break
         cand = xe.select(
             F.col("ca").alias("comp"), F.col("cb").alias("oc"),
@@ -1635,6 +1660,17 @@ def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
         )
         comp = cut(
             comp.join(relabel, "c").select("v", F.col("c_new").alias("c"))
+        )
+    if not completed:
+        # components at least halve per pick round, so the cap covers
+        # 2^_MST_MAX_ROUNDS vertices; exiting the loop with cross-
+        # component edges still present would return a partial forest
+        # that LOOKS like a spanning forest (same silent-cap class as
+        # cc_frame/kcore_frame — loud beats wrong)
+        raise RuntimeError(
+            f"mst_boruvka_frame: cross-component edges remain after "
+            f"{_MST_MAX_ROUNDS} rounds — raise _MST_MAX_ROUNDS "
+            "(graph has more than 2^rounds vertices?)"
         )
     if chosen is None:
         return edges.select("a", "b", "weight").limit(0).withColumn(

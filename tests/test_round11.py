@@ -305,3 +305,63 @@ def test_regression_gate_math_flags_only_true_movers():
             if ratio > 1.5:
                 flagged.add(key)
         assert flagged == expect_flagged
+
+
+# ----------------------- silent-nonconvergence class (round-11 audit)
+
+
+def test_fixpoint_kernels_raise_instead_of_returning_partial(spark):
+    """The sparse 1M-V rehearsal showed cc_frame silently returning
+    mid-propagation labels past max_iter; the audit found the same
+    class in scc_frame's two inner pregel phases and Boruvka's round
+    cap. All three must now fail LOUD on a graph that exceeds the cap
+    — and still return the exact fixpoint when the cap covers it."""
+    from graph_database_akkatyped_spark.operators import graph_extras
+    from graph_database_akkatyped_spark.operators.algos import cc_frame
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        mst_boruvka_frame,
+        scc_frame,
+    )
+
+    # path 0-1-2-...-7: min-id propagation needs 7 supersteps
+    path = [(i, i + 1) for i in range(7)]
+    sym = path + [(b, a) for a, b in path]
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(sym, "a long, b long")
+    with pytest.raises(RuntimeError, match="cc_frame did not reach"):
+        cc_frame(verts, edges, max_iter=3)
+    ok = {
+        r["id"]: r["component"]
+        for r in cc_frame(verts, edges, max_iter=20).collect()
+    }
+    assert ok == {i: 0 for i in range(8)}
+
+    # directed 8-cycle: forward max-id coloring needs ~7 supersteps
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="scc_frame: forward coloring"):
+        scc_frame(verts, cyc, max_iter=3)
+    got = {
+        (r["id"], r["scc_id"], r["scc_size"])
+        for r in scc_frame(verts, cyc, max_iter=20).collect()
+    }
+    assert got == {(i, 0, 8) for i in range(8)}
+
+    # Boruvka forced past its cap: two cheap pairs + a pricey bridge
+    # need 2 rounds; cap of 1 must raise, not return a partial forest
+    we = spark.createDataFrame(
+        [(0, 1, 1), (2, 3, 1), (1, 2, 10)], "a long, b long, weight long"
+    )
+    orig = graph_extras._MST_MAX_ROUNDS
+    graph_extras._MST_MAX_ROUNDS = 1
+    try:
+        with pytest.raises(RuntimeError, match="cross-component edges"):
+            mst_boruvka_frame(we).collect()
+    finally:
+        graph_extras._MST_MAX_ROUNDS = orig
+    full = {
+        (r["a"], r["b"], r["weight"])
+        for r in mst_boruvka_frame(we).collect()
+    }
+    assert full == {(0, 1, 1), (2, 3, 1), (1, 2, 10)}
