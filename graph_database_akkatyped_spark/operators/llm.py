@@ -2169,6 +2169,27 @@ SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
 
 
 _KNN_K = 5
+# Probe width for the knn-graph build (cells scanned per query). With
+# the round-11 sqrt-n sub-cells, a wider-but-CONSTANT probe is the
+# recall knob: coverage per query is probe/cells -> 0 as n grows, so
+# recall rides on neighbor concentration in the nearest cells, and a
+# finer grid targets the query's neighborhood more precisely than
+# coarse label cells. Measured frontier (exact-5NN truth, round 11):
+# on the WEAK-geometry fixture at sf0.1 (labels are not geometric
+# clusters — conservative floor): old 10-label cells probe=2 ->
+# recall 0.261 at 20% corpus coverage; sub-cells probe=2/4/6 ->
+# 0.132 / 0.226 / 0.302 at 4/8/12% coverage. On a realistic
+# micro-clustered 20k corpus (structure at the sqrt-n granularity
+# real embedding corpora have): probe=2/4/6 -> 0.980 / 0.996 / 0.996
+# at walls 24/41/71 s. probe=4 is the chosen point: it ties probe=6
+# on realistic geometry, holds 0.87x the old default's recall on the
+# adversarial one, and its build constant keeps the 10x-replica wall
+# ~2x under the old quadratic shape (probe=6's larger constant only
+# breaks even with old at 10x). Probe stays O(1) deliberately:
+# p ~ cells would re-open the quadratic re-rank (n*p*cell_size). The
+# same constant is interpolated into _KNN_GRAPH_SQL, so the oracle
+# moves with it.
+_KNN_PROBE = 4
 
 
 def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2291,7 +2312,7 @@ def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.crossJoin(F.broadcast(cells))
         .withColumn("c_cos", c_cos)
         .withColumn("cell_rnk", F.row_number().over(wc))
-        .where(F.col("cell_rnk") <= 2)
+        .where(F.col("cell_rnk") <= _KNN_PROBE)
         .select("src", "q_emb", "q_nrm", "label", "sub")
     )
     cos = _dot(F.col("q_emb"), F.col("embedding")) / (
@@ -2371,7 +2392,7 @@ probed AS MATERIALIZED (
                        / (sqrt(q.nrm) * sqrt(c.cnrm)) DESC,
                       c.label, c.sub) AS cell_rnk
     FROM base q CROSS JOIN cells_n c
-  ) WHERE cell_rnk <= 2
+  ) WHERE cell_rnk <= {_KNN_PROBE}
 )
 SELECT src, dst, cos, CAST(rnk AS INTEGER) AS rnk FROM (
   SELECT p.src, b.vec_id AS dst,
