@@ -207,17 +207,29 @@ def user_edges_sym(
 
 
 def build_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted canonical (a<b) user edges; weight = # shared slots."""
+    """Weighted canonical (a<b) user edges; weight = # shared slots.
+
+    Round-11 shape fix (guide §2.3/§3.3, shrink the join input and
+    output): dedup to distinct (user, slot) memberships BEFORE the
+    self-join, not after. The old plan joined raw event rows — a user
+    with k events in a slot multiplied every pair k·k' times — and
+    only then deduplicated, shipping the inflated pair stream through
+    a full exchange (plans/r11/build_user_graph_before.txt: the
+    distinct sat between the join and the final aggregate). With both
+    sides pre-deduplicated each co-occurring pair is emitted exactly
+    once, the post-join distinct disappears, and the only exchange
+    carrying pair rows is the final (a, b) count. Same pair set, same
+    weights: distinct-then-pair emits precisely the distinct
+    (a, b, slot) triples the old pair-then-distinct kept."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour")
     )
-    a = e.select(F.col("user_id").alias("a"), "event_type", "hour")
-    b = e.select(F.col("user_id").alias("b"), "event_type", "hour")
+    m = e.distinct()
+    a = m.select(F.col("user_id").alias("a"), "event_type", "hour")
+    b = m.select(F.col("user_id").alias("b"), "event_type", "hour")
     return (
         a.join(b, ["event_type", "hour"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "event_type", "hour")
-        .distinct()
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("weight"))
     )

@@ -412,14 +412,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     this scorecard hash-checkable — it is also why this key bench-costs
     ~3x the bare sketch (BASELINE.md round-9 note). At corpus scale
     ship the HLL column alone; an exact distinct next to every sketch
-    would defeat the sketch's reason to exist."""
+    would defeat the sketch's reason to exist.
+
+    Round-11 shape fix (guide §2.3, aggregate before the shuffle):
+    the original ``countDistinct + approx_count_distinct`` over the
+    joined fact rows forced Spark's two-level distinct rewrite, which
+    materializes the rsd=0.01 HLL++ partial — 1,639 BIGINT register
+    words, ~13 KB — for EVERY (segment, custkey) group and ships all
+    of them through the first exchange (~130 MB at sf0.1 for a 150k-row
+    input; plans/r11/agg_approx_distinct_before.txt operator (8)).
+    Deduplicating the fact side to distinct custkeys FIRST (a narrow
+    8-byte-key aggregate that partial-aggregates map-side) makes the
+    segment-level aggregate compute ONE sketch per segment instead.
+    Both output columns are provably unchanged: count(*) over the
+    distinct keys IS the exact distinct count, and HLL register state
+    is a function of the distinct hashed values only (duplicate
+    insensitivity), so the estimate — and hence the flag — is
+    bit-identical."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    dk = orders.select("o_custkey").distinct()
     g = (
-        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        dk.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-            F.countDistinct("o_custkey").alias("n_cust_exact"),
+            F.count(F.lit(1)).alias("n_cust_exact"),
             F.approx_count_distinct("o_custkey", rsd=0.01).alias("est"),
         )
     )

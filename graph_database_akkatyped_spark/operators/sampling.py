@@ -180,13 +180,24 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.expr("split(text, ' ')")).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
-    total = toks.count()
+    # corpus token total as an in-plan broadcast scalar (round 11):
+    # `toks.count()` was a SECOND full tokenize+count pass executed at
+    # plan-construction time (guide §5 — driver actions in a query
+    # path). Σ tc over the vocabulary equals the token count exactly,
+    # so the scalar now costs one |V|-row aggregate instead of a
+    # corpus-sized explode — one full pass removed per invocation.
+    # Same IEEE double division — the summed count cast to double
+    # equals the old float literal exactly.
+    total_f = F.broadcast(
+        vocab.agg(F.sum("tc").cast("double").alias("tot"))
+    )
     # -ln p(tok), floored into scaled integers for order-proof summing
     nll_int = F.floor(
-        -F.log(F.col("tc").cast("double") / F.lit(float(total))) * 1e9
+        -F.log(F.col("tc").cast("double") / F.col("tot")) * 1e9
     ).cast("long")
     scored = (
         toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(total_f)
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(nll_int).alias("nll_sum"),
@@ -262,7 +273,13 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode("toks").alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
-    total = toks.count()
+    # in-plan broadcast scalar via Σ tc over the vocab instead of a
+    # construction-time `toks.count()` action — one fewer full
+    # tokenize pass per invocation (same rationale and exact-equality
+    # argument as quality_unigram_logprob above)
+    total_f = F.broadcast(
+        vocab.agg(F.sum("tc").cast("double").alias("tot"))
+    )
     bg = ta.select(
         "doc_id",
         "lang",
@@ -281,17 +298,18 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.element_at("toks", 1).alias("tok")
         )
         .join(F.broadcast(vocab), "tok")
+        .crossJoin(total_f)
         .select(
             "doc_id",
             "lang",
-            F.floor(-F.log(d("tc") / F.lit(float(total))) * 1e9)
+            F.floor(-F.log(d("tc") / F.col("tot")) * 1e9)
             .cast("long")
             .alias("nll"),
         )
     )
     # body tokens: 0.7 * p(tok|prev) + 0.3 * p(tok)
     p_int = (F.lit(0.7) * (d("bc") / d("pc"))) + (
-        F.lit(0.3) * (d("tc") / F.lit(float(total)))
+        F.lit(0.3) * (d("tc") / F.col("tot"))
     )
     body = (
         bg.join(F.broadcast(bcount), "bg")
@@ -304,6 +322,7 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(vocab.select(F.col("tok").alias("prev"), F.col("tc").alias("pc"))), "prev")
         .join(F.broadcast(vocab), "tok")
+        .crossJoin(total_f)
         .select(
             "doc_id",
             "lang",
