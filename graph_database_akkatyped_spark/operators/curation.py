@@ -57,7 +57,17 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ~10x smaller than the corpus — broadcast it; the train side
     streams through a single equi-join on the gram string. No pairwise
     doc x doc comparison anywhere.
-    """
+
+    Round-11 shape fix (guide §2.3, filter before the exchange): the
+    train-side (doc_id, g) distinct used to run over EVERY train
+    shingle — a corpus-sized exchange — before the test-set join
+    dropped almost all of them (contamination is sparse by
+    construction). The broadcast semi-filter now runs first and the
+    distinct dedupes only the surviving shared shingles. Same counts:
+    the test side is distinct so the join leaves multiplicity
+    untouched, and filter-then-distinct keeps exactly the distinct
+    (doc_id, g) pairs whose g is a test gram — precisely what
+    distinct-then-filter kept."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "b", F.expr(_BUCKET)
     )
@@ -68,13 +78,12 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(_GRAM_FROM_TOKS)).alias("g"))
         .distinct()
     )
-    train_grams = (
-        _toks_frame(train, "doc_id")
-        .select("doc_id", F.explode(F.expr(_GRAM_FROM_TOKS)).alias("g"))
-        .distinct()
+    train_grams = _toks_frame(train, "doc_id").select(
+        "doc_id", F.explode(F.expr(_GRAM_FROM_TOKS)).alias("g")
     )
     shared = (
         train_grams.join(F.broadcast(test_grams), "g")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -801,6 +801,19 @@ def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — co-partition base and batch by key (bucketed layout makes
     the shuffle one-sided), or broadcast the batch when it is
     OLTP-sized; AQE handles the skewed-key case. No driver-side state.
+
+    Round-11 join-strategy pick (guide §3.1): the full-outer join is
+    hinted SHUFFLE_HASH with the CDC batch as the build side. The
+    planner's default for a non-broadcastable full outer is sort-merge,
+    which SORTS BOTH sides — at 100 TB that is a full sort of the base
+    snapshot just to merge a batch orders of magnitude smaller. A
+    shuffled-hash full outer (supported since Spark 3.1) builds a hash
+    table from the batch partition and streams the base partition
+    through it, no sort on either side; the per-partition build side
+    is batch-sized, so the guide's OOM caveat does not bite. Same
+    rows, same shuffle count (plans/r11/merge_cdc_upsert_before/after:
+    SortMergeJoin FullOuter + two Sorts -> ShuffledHashJoin FullOuter
+    BuildRight, Exchanges unchanged).
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -832,7 +845,9 @@ def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_bal",
         )
     )
-    merged = cust.join(batch, cust.c_custkey == batch.key, "full_outer")
+    merged = cust.join(
+        batch.hint("shuffle_hash"), cust.c_custkey == batch.key, "full_outer"
+    )
     return merged.where(
         F.coalesce(F.col("op"), F.lit("")) != "D"
     ).select(
@@ -1826,12 +1841,22 @@ def data_quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches a truncated dimension load before a day of downstream
     joins silently drops rows.
 
-    Each relationship is one left-anti join against the DISTINCT
-    parent key set (the natural broadcast side: dimension keys are
-    orders of magnitude smaller than facts); the six audits are
-    independent branches unioned into one report — at 100 TB they
-    run in parallel and each scans only its two key columns (pruned
-    parquet reads)."""
+    Each relationship audits against the DISTINCT parent key set (the
+    natural broadcast side: dimension keys are orders of magnitude
+    smaller than facts); the six audits are independent branches
+    unioned into one report — at 100 TB they run in parallel and each
+    scans only its two key columns (pruned parquet reads).
+
+    Round-11 shape fix (guide §1.2 — don't compute things twice): the
+    old plan scanned every CHILD table twice per relationship (once
+    for count(*), once under a left-anti join, 12 fact scans total;
+    plans/r11/data_quality_fk_audit_before.txt). One broadcast LEFT
+    OUTER join against the distinct parent keys folds both measures
+    into a single aggregate over a single scan: n_child = count(*),
+    n_orphans = count of rows whose parent key failed to match.
+    Identical numbers — the parent side is distinct so the left join
+    multiplies nothing, and an unmatched row is precisely what the
+    anti join counted."""
     out = None
     for child, ck, parent, pk in _FK_RELATIONS:
         c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
@@ -1839,16 +1864,22 @@ def data_quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, parent)
             .select(F.col(pk).alias("k"))
             .distinct()
+            .withColumn("hit", F.lit(1))
         )
-        row = c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-            c.join(F.broadcast(p), "k", "left_anti").agg(
-                F.count(F.lit(1)).alias("n_orphans")
+        row = (
+            c.join(F.broadcast(p), "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count(F.when(F.col("hit").isNull(), 1)).alias(
+                    "n_orphans"
+                ),
             )
-        ).select(
-            F.lit(f"{child}.{ck}").alias("fk"),
-            F.lit(f"{parent}.{pk}").alias("pk"),
-            "n_child",
-            "n_orphans",
+            .select(
+                F.lit(f"{child}.{ck}").alias("fk"),
+                F.lit(f"{parent}.{pk}").alias("pk"),
+                "n_child",
+                "n_orphans",
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out
