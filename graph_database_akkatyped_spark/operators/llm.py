@@ -3399,7 +3399,17 @@ def _cell_means(members: DataFrame, key: str) -> DataFrame:
 def _nearest_cell(vecs: DataFrame, cells: DataFrame) -> DataFrame:
     """Assign every vector of ``vecs`` (vec_id, label, embedding, nrm)
     to its argmax-cosine cell from the broadcast ``cells`` table, ties
-    to the smallest cell id."""
+    to the smallest cell id.
+
+    Round-11 measured negative (kept as-is on purpose): replacing this
+    crossJoin + row_number window with a per-row higher-order argmax
+    fold over a collected cell array (zero exchange, zero sort) timed
+    simsearch_recall_rebalance 2.93s -> 4.07s same-session — the fold
+    is CodegenFallback (interpreted per row, same finding as the
+    ``_dot`` round-11 audit) while this shape keeps WindowGroupLimit's
+    map-side top-1 prune and whole-stage codegen around the window, so
+    the vec_id exchange it pays carries only one pre-pruned row per
+    vector per map partition."""
     c_cos = _dot(F.col("embedding"), F.col("centroid")) / (
         F.sqrt("nrm") * F.sqrt("cnrm")
     )
@@ -3462,27 +3472,75 @@ def simsearch_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (tiny centroid table each time) + two integer-mean
     aggregations shuffling (cell, pos) pairs — all linear, no pairwise
     term; identical shape to one k-means iteration, which is the
-    cheapest honest rebalance there is."""
-    _, frozen, stale, rebal, new = _rebal_state(spark, sf_dir)
-    sf = stale.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("stale_fill"),
-        F.sum(
-            (F.col("label") >= _REBAL_BASE_LABELS).cast("long")
-        ).alias("n_arrived"),
+    cheapest honest rebalance there is.
+
+    Round-11 shape fix (guide §1.2/§2.4): the old report derived its
+    five fill/move measures from FOUR separate aggregates over the
+    stale/new assignment frames plus a corpus-sized vec_id self-join
+    (stale ⋈ new) — each use re-computing the whole assignment subtree
+    (plans/r11/simsearch_ivf_rebalance_before.txt: 102 Exchanges, 50
+    parquet scans, zero reuse). Both assignments now ride on ONE
+    per-vector row (the rebalanced cell is attached to the stale row
+    by an in-place window argmax over the broadcast centroids — no
+    vec_id self-join), each
+    row emits its two per-cell contributions (stale-side and
+    new-side), and a single partial+final aggregate produces the
+    whole report. Same numbers: the stale-side contribution sums
+    reproduce stale_fill/n_arrived/n_moved_out, the new-side ones
+    new_fill/n_moved_in, and cells missing from a measure sum to 0 —
+    exactly what the old left-join + coalesce(0) emitted. The
+    rebalanced-cell attach keeps ``_nearest_cell``'s window shape
+    (its HOF-fold variant was a measured negative — see that
+    docstring) but runs it on the SAME rows that carry cell_stale,
+    so no vec_id self-join is ever needed."""
+    _, frozen, stale, rebal, _ = _rebal_state(spark, sf_dir)
+    c_cos = _dot(F.col("embedding"), F.col("centroid")) / (
+        F.sqrt("nrm") * F.sqrt("cnrm")
     )
-    nf = new.groupBy("cell").agg(F.count(F.lit(1)).alias("new_fill"))
-    moves = stale.select(
-        "vec_id", F.col("cell").alias("cell_stale")
-    ).join(new.select("vec_id", F.col("cell").alias("cell_new")), "vec_id")
-    mi = (
-        moves.where(F.col("cell_new") != F.col("cell_stale"))
-        .groupBy(F.col("cell_new").alias("cell"))
-        .agg(F.count(F.lit(1)).alias("n_moved_in"))
+    wn = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cell")
+    moves = (
+        stale.withColumnRenamed("cell", "cell_stale")
+        .crossJoin(F.broadcast(rebal))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rnk", F.row_number().over(wn))
+        .where(F.col("rnk") == 1)
+        .select(
+            "label",
+            "cell_stale",
+            F.col("cell").alias("cell_new"),
+        )
     )
-    mo = (
-        moves.where(F.col("cell_new") != F.col("cell_stale"))
-        .groupBy(F.col("cell_stale").alias("cell"))
-        .agg(F.count(F.lit(1)).alias("n_moved_out"))
+    moved = (F.col("cell_new") != F.col("cell_stale")).cast("long")
+    contrib = moves.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cell_stale").alias("cell"),
+                    F.lit(1).cast("long").alias("stale_fill"),
+                    (F.col("label") >= _REBAL_BASE_LABELS)
+                    .cast("long")
+                    .alias("n_arrived"),
+                    F.lit(0).cast("long").alias("new_fill"),
+                    F.lit(0).cast("long").alias("n_moved_in"),
+                    moved.alias("n_moved_out"),
+                ),
+                F.struct(
+                    F.col("cell_new").alias("cell"),
+                    F.lit(0).cast("long").alias("stale_fill"),
+                    F.lit(0).cast("long").alias("n_arrived"),
+                    F.lit(1).cast("long").alias("new_fill"),
+                    moved.alias("n_moved_in"),
+                    F.lit(0).cast("long").alias("n_moved_out"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    agg = contrib.groupBy("cell").agg(
+        F.sum("stale_fill").alias("stale_fill"),
+        F.sum("n_arrived").alias("n_arrived"),
+        F.sum("new_fill").alias("new_fill"),
+        F.sum("n_moved_in").alias("n_moved_in"),
+        F.sum("n_moved_out").alias("n_moved_out"),
     )
     shift = frozen.alias("f").join(rebal.alias("r"), "cell").select(
         "cell",
@@ -3491,24 +3549,14 @@ def simsearch_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt("f.cnrm") * F.sqrt("r.cnrm"))
         ).alias("shift_cos"),
     )
-    return (
-        sf.join(shift, "cell")
-        .join(nf, "cell", "left")
-        .join(mi, "cell", "left")
-        .join(mo, "cell", "left")
-        .select(
-            "cell",
-            "stale_fill",
-            "n_arrived",
-            F.coalesce("new_fill", F.lit(0)).cast("long").alias("new_fill"),
-            F.coalesce("n_moved_in", F.lit(0)).cast("long").alias(
-                "n_moved_in"
-            ),
-            F.coalesce("n_moved_out", F.lit(0)).cast("long").alias(
-                "n_moved_out"
-            ),
-            "shift_cos",
-        )
+    return agg.join(shift, "cell").select(
+        "cell",
+        "stale_fill",
+        "n_arrived",
+        "new_fill",
+        "n_moved_in",
+        "n_moved_out",
+        "shift_cos",
     )
 
 
