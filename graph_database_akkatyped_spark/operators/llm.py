@@ -600,6 +600,76 @@ WHERE CAST(levenshtein(da.text, db.text) AS BIGINT) * 100
 _CONTAIN_MIN = 0.5  # report pairs where either direction's containment clears this
 
 
+def _contain_verify(
+    cand: DataFrame, grams: DataFrame, sizes: DataFrame
+) -> DataFrame:
+    """Exact containment verify shared by both containment keys:
+    count |A∩B| for every candidate pair, then keep pairs where either
+    direction's containment clears ``_CONTAIN_MIN``.
+
+    Round-11 (guide §2.2, shuffle fewer bytes): the pair⋈grams explode
+    that feeds the intersection count now rides the SMALLER gram set
+    of each pair, not blindly side ``a``. ``a = least(doc_id)`` is
+    arbitrary w.r.t. size, and the regime this verify serves is
+    exactly the skewed one — a tiny excerpt contained in a huge host —
+    where exploding by the host materializes O(|host|) rows per pair
+    for an intersection that is at most O(|excerpt|). Ordering each
+    pair as (sdoc, mdoc) by gram count bounds the explode at
+    Σ min(|A|,|B|) rows (measured 7.59M → 5.53M even on the
+    size-uniform fixture; the bound tightens with size skew). The
+    (sdoc, mdoc) relabeling is a bijection on pairs, the intersection
+    count is symmetric, and least/greatest restores (a, b), so the
+    output rows are identical to the a-side formulation."""
+    sz_a = sizes.select(
+        F.col("doc_id").alias("a"), F.col("n_g").alias("n_a")
+    )
+    sz_b = sizes.select(
+        F.col("doc_id").alias("b"), F.col("n_g").alias("n_b")
+    )
+    small_a = F.col("n_a") <= F.col("n_b")
+    ordered = (
+        cand.join(sz_a, "a")
+        .join(sz_b, "b")
+        .select(
+            F.when(small_a, F.col("a")).otherwise(F.col("b")).alias("sdoc"),
+            F.when(small_a, F.col("b")).otherwise(F.col("a")).alias("mdoc"),
+        )
+    )
+    common = (
+        ordered.join(
+            grams.select(F.col("doc_id").alias("sdoc"), "g"), "sdoc"
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("mdoc"), "g"),
+            ["mdoc", "g"],
+        )
+        .groupBy("sdoc", "mdoc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            F.least("sdoc", "mdoc").alias("a"),
+            F.greatest("sdoc", "mdoc").alias("b"),
+            "n_common",
+        )
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        common.join(sz_a, "a")
+        .join(sz_b, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .where(
+            (F.col("contain_a_in_b") >= _CONTAIN_MIN)
+            | (F.col("contain_b_in_a") >= _CONTAIN_MIN)
+        )
+    )
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup detection: word-3-gram containment
     C(A in B) = |A∩B| / |A| in both directions, for candidate pairs
@@ -642,35 +712,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    common = (
-        cand.join(grams.select(F.col("doc_id").alias("a"), "g"), "a")
-        .join(grams.select(F.col("doc_id").alias("b"), "g"), ["b", "g"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
-    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
-    return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("a"), F.col("n_g").alias("n_a")),
-            "a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("b"), F.col("n_g").alias("n_b")),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            "n_common",
-            c_ab.alias("contain_a_in_b"),
-            c_ba.alias("contain_b_in_a"),
-        )
-        .where(
-            (F.col("contain_a_in_b") >= _CONTAIN_MIN)
-            | (F.col("contain_b_in_a") >= _CONTAIN_MIN)
-        )
-    )
+    return _contain_verify(cand, grams, sizes)
 
 
 _DEDUP_CONTAIN_SQL = f"""
@@ -792,35 +834,7 @@ def dedup_containment_smallside(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    common = (
-        cand.join(grams.select(F.col("doc_id").alias("a"), "g"), "a")
-        .join(grams.select(F.col("doc_id").alias("b"), "g"), ["b", "g"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
-    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
-    return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("a"), F.col("n_g").alias("n_a")),
-            "a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("b"), F.col("n_g").alias("n_b")),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            "n_common",
-            c_ab.alias("contain_a_in_b"),
-            c_ba.alias("contain_b_in_a"),
-        )
-        .where(
-            (F.col("contain_a_in_b") >= _CONTAIN_MIN)
-            | (F.col("contain_b_in_a") >= _CONTAIN_MIN)
-        )
-    )
+    return _contain_verify(cand, grams, sizes)
 
 
 _DEDUP_CONTAIN_SMALL_SQL = f"""
