@@ -3401,10 +3401,16 @@ def _cell_means(members: DataFrame, key: str) -> DataFrame:
     )
 
 
-def _nearest_cell(vecs: DataFrame, cells: DataFrame) -> DataFrame:
+def _nearest_cell(
+    vecs: DataFrame, cells: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Assign every vector of ``vecs`` (vec_id, label, embedding, nrm)
     to its argmax-cosine cell from the broadcast ``cells`` table, ties
-    to the smallest cell id.
+    to the smallest cell id. ``keep`` names extra caller columns to
+    carry through the argmax (round-11 ADVICE: the rebalance report
+    needs ``cell_stale`` on the assigned row, and re-inlining this
+    window there risked the two argmaxes silently diverging — one
+    definition now serves every assignment site).
 
     Round-11 measured negative (kept as-is on purpose): replacing this
     crossJoin + row_number window with a per-row higher-order argmax
@@ -3424,7 +3430,7 @@ def _nearest_cell(vecs: DataFrame, cells: DataFrame) -> DataFrame:
         .withColumn("c_cos", c_cos)
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") == 1)
-        .select("vec_id", "label", "embedding", "nrm", "cell")
+        .select("vec_id", "label", "embedding", "nrm", "cell", *keep)
     )
 
 
@@ -3499,21 +3505,14 @@ def simsearch_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring) but runs it on the SAME rows that carry cell_stale,
     so no vec_id self-join is ever needed."""
     _, frozen, stale, rebal, _ = _rebal_state(spark, sf_dir)
-    c_cos = _dot(F.col("embedding"), F.col("centroid")) / (
-        F.sqrt("nrm") * F.sqrt("cnrm")
-    )
-    wn = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cell")
-    moves = (
-        stale.withColumnRenamed("cell", "cell_stale")
-        .crossJoin(F.broadcast(rebal))
-        .withColumn("c_cos", c_cos)
-        .withColumn("rnk", F.row_number().over(wn))
-        .where(F.col("rnk") == 1)
-        .select(
-            "label",
-            "cell_stale",
-            F.col("cell").alias("cell_new"),
-        )
+    moves = _nearest_cell(
+        stale.withColumnRenamed("cell", "cell_stale"),
+        rebal,
+        keep=("cell_stale",),
+    ).select(
+        "label",
+        "cell_stale",
+        F.col("cell").alias("cell_new"),
     )
     moved = (F.col("cell_new") != F.col("cell_stale")).cast("long")
     contrib = moves.select(

@@ -428,7 +428,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct keys IS the exact distinct count, and HLL register state
     is a function of the distinct hashed values only (duplicate
     insensitivity), so the estimate — and hence the flag — is
-    bit-identical."""
+    bit-identical.
+
+    INVARIANT this rewrite rests on (round-11 ADVICE): ``c_custkey``
+    is UNIQUE in ``customer`` (TPC-H primary key). count(*) after the
+    dk⋈customer join equals countDistinct(o_custkey) per segment only
+    because each distinct o_custkey matches at most one customer row;
+    a duplicated dimension key would double-count here where the old
+    countDistinct formulation would not. The fixture generator emits
+    customer keyed by c_custkey, and the oracle's own GROUP BY relies
+    on the same PK, so the assumption is checked by parity — but it is
+    an assumption, and it is now stated."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     dk = orders.select("o_custkey").distinct()
