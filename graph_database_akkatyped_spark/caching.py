@@ -188,6 +188,33 @@ def cut_block_ids(df: DataFrame) -> set[int]:
         return set()
 
 
+def release_cut(*dfs: DataFrame) -> None:
+    """Free the executor blocks behind superseded :func:`cut` frames —
+    the loop-body twin of pregel.py's generation freeing (guide §5,
+    round-11 VERDICT #4: persisted-block footprint per superstep).
+
+    A self-looping kernel that cuts per round leaves every dead
+    generation persisted until the session ends: O(rounds) executor
+    storage for state only the NEXT round ever read. Calling this on a
+    generation ONCE ITS SUCCESSOR IS MATERIALIZED caps the footprint
+    at O(1) generations, exactly like pregel's ``_unpersist_ids`` of
+    ``prev_block_ids``.
+
+    SAFETY CONTRACT (the caller proves this): a cut frame's lineage is
+    truncated, so once its blocks are gone the frame CANNOT be
+    recomputed — only release frames no live plan will ever read
+    again. Releasing a frame that a lazy plan (an accumulated union, a
+    returned result) still references turns into "checkpoint block not
+    found" at the next action. Frames that were never cut contribute
+    no ids (``cut_block_ids`` returns empty) — passing them is a
+    harmless no-op, as is releasing reliable-checkpoint frames (file
+    storage, reclaimed by the ContextCleaner)."""
+    for df in dfs:
+        ids = cut_block_ids(df)
+        if ids:
+            _unpersist_ids(df.sparkSession, ids)
+
+
 def memoized_checkpoint(
     spark: SparkSession,
     kind: str,

@@ -16,7 +16,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graph_database_akkatyped_spark.caching import cut, memoized_checkpoint as _memoized
+from graph_database_akkatyped_spark.caching import (
+    cut,
+    memoized_checkpoint as _memoized,
+    release_cut,
+)
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.operators.graph_build import (
     NATION_EDGES_CTE,
@@ -548,6 +552,7 @@ def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame
         .distinct()
         .transform(cut)
     )
+    alive_cut = alive  # the cut frame backing ``alive`` (for release)
     n_alive = alive.count()
     # max_rounds + 1 iterations, loud exhaustion — same discipline as
     # truss_frame: a silent return at the cap is a SUPERSET of the true
@@ -565,6 +570,11 @@ def kcore_frame(edges_sym: DataFrame, k: int, max_rounds: int = 15) -> DataFrame
         # the convergence check against the previous round's count (the
         # count itself is near-free — keep is already materialized)
         n_keep = keep.count()
+        # the keep cut consumed the previous alive generation — free it
+        # (guide §5; ``alive`` itself may be a lazy select over the
+        # previous keep, so the release tracks the backing cut frame)
+        release_cut(alive_cut)
+        alive_cut = keep
         if n_keep == n_alive:
             return keep
         alive, n_alive = keep.select("id"), n_keep
@@ -875,9 +885,13 @@ def truss_frame(edges: DataFrame, max_rounds: int = _TRUSS_ROUNDS) -> DataFrame:
         new_e = e.join(ok, ["a", "b"], "left_semi").transform(cut)
         n = new_e.count()
         if n == prev:
+            # fixpoint: the returned survivors are a fresh cut; the
+            # previous edge set and the triangle list are dead
+            # (guide §5, VERDICT r11 #4 — free superseded generations)
+            release_cut(e, tri)
             return new_e
         dropped = e.join(ok, ["a", "b"], "left_anti").transform(cut)
-        tri = (
+        new_tri = (
             tri.join(
                 dropped.select(F.col("a").alias("x"), F.col("b").alias("y")),
                 ["x", "y"],
@@ -895,6 +909,11 @@ def truss_frame(edges: DataFrame, max_rounds: int = _TRUSS_ROUNDS) -> DataFrame:
             )
             .transform(cut)
         )
+        # new_e/dropped/new_tri are materialized; the round's inputs
+        # (old e, old tri) and the one-shot dropped set are dead —
+        # O(1) generations of the O(|triangles|) frame, not O(rounds)
+        release_cut(e, tri, dropped)
+        tri = new_tri
         e, prev = new_e, n
     raise RuntimeError(
         f"truss_frame: no fixpoint within {max_rounds} peel rounds — "

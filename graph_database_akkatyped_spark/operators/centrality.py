@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graph_database_akkatyped_spark.caching import cut
+from graph_database_akkatyped_spark.caching import cut, release_cut
 from graph_database_akkatyped_spark.caching import memoized_checkpoint as _memoized
 from graph_database_akkatyped_spark.operators.graph_extras import (
     DIRECTED_EDGES_CTE,
@@ -765,7 +765,12 @@ def community_louvain_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = cut(edges.agg(F.sum("w").alias("m")))
     labels = verts.select("v", F.col("v").alias("l"))
     for _ in range(_LOUVAIN_SWEEPS):
+        prev = labels
         labels = cut(_louvain_sweep(labels, edges, deg, m2))
+        # guide §5 (VERDICT r11 #4): the new sweep cut consumed the
+        # previous labels generation — free it (sweep 1's prev is the
+        # caller's lazy verts projection: no blocks, no-op)
+        release_cut(prev)
     return labels.select(
         F.col("v").alias("user_id"), F.col("l").alias("community")
     )
@@ -818,7 +823,12 @@ def louvain_multi_frame(
     m2 = cut(edges.agg(F.sum("w").alias("m")))
     labels = verts.select("v", F.col("v").alias("l"))
     for _ in range(sweeps):
+        prev = labels
         labels = cut(_louvain_sweep(labels, edges, deg, m2))
+        # guide §5 (VERDICT r11 #4): the new cut consumed the previous
+        # sweep's labels — free that generation (sweep 1's prev is the
+        # caller's lazy verts projection: no blocks, no-op)
+        release_cut(prev)
     # contract: super-vertex = level-1 community, w = edge multiplicity
     la = labels.select(F.col("v").alias("a"), F.col("l").alias("ca"))
     lb = labels.select(F.col("v").alias("b"), F.col("l").alias("cb"))
@@ -837,7 +847,9 @@ def louvain_multi_frame(
         .select("v", F.col("v").alias("l"))
     )
     for _ in range(sweeps):
+        prev = clabels
         clabels = cut(_louvain_sweep(clabels, cedges, cdeg, m2))
+        release_cut(prev)  # same §5 discipline on the contracted level
     proj = clabels.select(F.col("v").alias("l"), F.col("l").alias("l2"))
     return labels.join(proj, "l").select(
         "v", F.col("l2").alias("l")

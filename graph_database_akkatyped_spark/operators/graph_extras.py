@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from graph_database_akkatyped_spark.caching import cut, memoized_checkpoint as _memoized
+from graph_database_akkatyped_spark.caching import (
+    cut,
+    memoized_checkpoint as _memoized,
+    release_cut,
+    _unpersist_ids,
+)
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.operators.algos import (
     _BASE,
@@ -679,11 +684,16 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("t").alias("arrival"))
         )
+        prev = arr
         arr = cut(
             arr.unionByName(msgs)
             .groupBy("v")
             .agg(F.min("arrival").alias("arrival"))
         )
+        # guide §5 (VERDICT r11 #4): the new arrival cut consumed the
+        # previous hop's generation — free it (hop 1's prev is the lazy
+        # seed projection: no blocks, no-op)
+        release_cut(prev)
     return arr.where(F.col("v") % _TEMPORAL_SEED_MOD != 0).select(
         F.col("v").alias("user_id"), F.col("arrival").alias("earliest_ts")
     )
@@ -749,6 +759,7 @@ def scc_frame(
         assigned = (
             members if assigned is None else assigned.unionByName(members)
         )
+        prev_v, prev_e = remaining_v, remaining_e
         remaining_v = remaining_v.join(
             members.select("id"), "id", "left_anti"
         ).transform(cut)
@@ -758,6 +769,12 @@ def scc_frame(
             .join(rm, remaining_e["dst"] == rm["gone"], "left_anti")
             .transform(cut)
         )
+        # guide §5 (VERDICT r11 #4): the peeled-graph cuts superseded
+        # the previous generation — free it (remaining_e is O(E), THE
+        # frame whose O(rounds) accumulation would hurt at scale).
+        # ``members`` cuts stay: ``assigned`` references every one of
+        # them until the caller materializes the returned labeling.
+        release_cut(prev_v, prev_e)
 
     for _ in range(_SCC_ROUNDS):
         if remaining_v.limit(1).count() == 0:
@@ -773,11 +790,13 @@ def scc_frame(
             core = has_out.join(has_in, "id").transform(cut)
             singles = remaining_v.join(core, "id", "left_anti")
             if singles.limit(1).count() == 0:
+                release_cut(core)
                 break
             _absorb(
                 singles.select("id", F.col("id").alias("root"))
                 .transform(cut)
             )
+            release_cut(core)  # consumed by the members cut in _absorb
         if remaining_v.limit(1).count() == 0:
             break
         # 1. forward coloring: color = max id reaching v. MUST reach
@@ -851,6 +870,14 @@ def scc_frame(
             .transform(cut)
         )
         _absorb(members)
+        # the members cut consumed this round's coloring, marking and
+        # reversed-edge frames (pregel's final generations + our rev
+        # cut) — free them before the next peel (guide §5)
+        release_cut(rev)
+        _unpersist_ids(
+            remaining_v.sparkSession,
+            set(colors_res.block_ids) | set(marks_res.block_ids),
+        )
     if remaining_v.limit(1).count() != 0:
         # loud failure beats silently dropping vertices: the oracle
         # (and any consumer) expects a TOTAL partition of the graph
@@ -1503,7 +1530,8 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cc_twophase_frame(verts: DataFrame, edges_sym: DataFrame,
-                      max_iter: int = 60) -> DataFrame:
+                      max_iter: int = 60,
+                      residual: list | None = None) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
     and Beyond", SoCC 2014) — the canonical shuffle-native CC whose
@@ -1522,7 +1550,18 @@ def cc_twophase_frame(verts: DataFrame, edges_sym: DataFrame,
     stars rooted at component minima, read off as the final labeling.
     Convergence is detected by edge-set equality (two anti-joins), so
     termination is exact, not probabilistic. Returns (id, component);
-    isolated vertices label themselves."""
+    isolated vertices label themselves.
+
+    Round-12 (guide §5, VERDICT r11 #4 — persisted-block footprint per
+    superstep): each round's superseded cut generations (the large-star
+    edge set once the small-star cut is materialized, the previous
+    round's edge set once the convergence check has read it) are
+    released immediately, so executor storage holds O(1) generations
+    instead of O(rounds) — the same discipline pregel.py already
+    applies. The FINAL edge set backs the returned lazy labeling and
+    cannot be released here; a caller that fully consumes the result
+    (e.g. into its own cut) may pass ``residual``, a list this
+    function appends that final frame to, and release it afterwards."""
     e = cut(
         edges_sym.where(F.col("a") != F.col("b"))
         .select(
@@ -1574,6 +1613,10 @@ def cc_twophase_frame(verts: DataFrame, edges_sym: DataFrame,
             e2.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
             and e.join(e2, ["u", "v"], "left_anti").limit(1).count() == 0
         )
+        # e1 died when e2 materialized; the old e died with the check
+        # above (nothing downstream reads either — e2 was cut FROM
+        # them, and a cut is a materialized copy)
+        release_cut(e1, e)
         e = e2
         if unchanged:
             break
@@ -1586,6 +1629,8 @@ def cc_twophase_frame(verts: DataFrame, edges_sym: DataFrame,
             "raise max_iter (O(log^2 n) bound exceeded?)"
         )
     # fixed point: stars rooted at component minima
+    if residual is not None:
+        residual.append(e)
     root = (
         e.select(F.col("v").alias("id"), F.col("u").alias("component"))
         .groupBy("id")
@@ -1619,6 +1664,7 @@ def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
             .where(F.col("ca") != F.col("cb"))
         )
         if xe.limit(1).count() == 0:
+            release_cut(xe)
             completed = True
             break
         cand = xe.select(
@@ -1638,6 +1684,12 @@ def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
             .where(F.col("rn") == 1)
             .drop("rn")
         )
+        # xe died when sel materialized (guide §5: the full labeled
+        # edge set is the round's big frame — don't hold O(rounds) of
+        # them). sel itself must LIVE: ``chosen`` below references
+        # every round's sel lazily until the caller materializes the
+        # returned forest (sel is ≤ one edge per component — tiny).
+        release_cut(xe)
         picked = (
             sel.select("a", "b", "weight")
             .distinct()
@@ -1655,12 +1707,19 @@ def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
         # can be long CHAINS of merged super-vertices — O(diameter)
         # kernels pay a superstep per hop there, two-phase closes any
         # chain in O(log²) rounds
-        relabel = cc_twophase_frame(cverts, cg_sym).select(
+        cc_residual: list = []
+        relabel = cc_twophase_frame(
+            cverts, cg_sym, residual=cc_residual
+        ).select(
             F.col("id").alias("c"), F.col("component").alias("c_new")
         )
+        prev_comp = comp
         comp = cut(
             comp.join(relabel, "c").select("v", F.col("c_new").alias("c"))
         )
+        # the new comp cut consumed both the previous comp generation
+        # and the contraction CC's final edge set — free them
+        release_cut(prev_comp, *cc_residual)
     if not completed:
         # components at least halve per pick round, so the cap covers
         # 2^_MST_MAX_ROUNDS vertices; exiting the loop with cross-
@@ -1672,6 +1731,7 @@ def mst_boruvka_frame(edges: DataFrame) -> DataFrame:
             f"{_MST_MAX_ROUNDS} rounds — raise _MST_MAX_ROUNDS "
             "(graph has more than 2^rounds vertices?)"
         )
+    release_cut(comp)  # the final labeling only fed the empty xe check
     if chosen is None:
         return edges.select("a", "b", "weight").limit(0).withColumn(
             "round", F.lit(0)
@@ -2021,10 +2081,20 @@ def graph_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "v", F.coalesce("color", F.lit(0).cast("long")).alias("color")
                 )
             )
+            prev_colors = colors
             colors = newly if colors is None else cut(
                 colors.unionByName(newly)
             )
+            prev_uncolored = uncolored
             uncolored = cut(uncolored.join(newly, "v", "left_anti"))
+            # guide §5 (VERDICT r11 #4): the new colors/uncolored cuts
+            # consumed the previous generations and (for rounds > 1)
+            # this round's newly — free them; round 1's newly IS
+            # colors and must live
+            if prev_colors is not None:
+                release_cut(prev_colors)
+                release_cut(newly)
+            release_cut(prev_uncolored)
         if uncolored.limit(1).count() != 0:
             raise RuntimeError(
                 "graph_greedy_coloring did not converge within "
@@ -2242,17 +2312,33 @@ def mis_frame(verts: DataFrame, sym: DataFrame, rounds: int) -> DataFrame:
             .distinct()
         )
         winners = cut(active.join(blocked, "v", "left_anti"))
+        prev_mis = mis
         mis = winners if mis is None else cut(mis.unionByName(winners))
         nbrs = (
             sym.join(winners.select(F.col("v").alias("a")), "a")
             .select(F.col("b").alias("v"))
             .distinct()
         )
+        prev_active = active
         active = cut(
             active.join(
                 winners.unionByName(nbrs).distinct(), "v", "left_anti"
             )
         )
+        # guide §5 (VERDICT r11 #4): the new mis/active cuts consumed
+        # the previous generations and this round's winners — free
+        # them so executor storage stays O(1) generations. winners
+        # survives round 1, where it IS mis; prev_active in round 1 is
+        # the caller's verts frame (not our cut — release is a no-op
+        # unless it happens to be cut-backed, in which case the caller
+        # pattern [mis over a one-shot symmetric frame] never re-reads
+        # it either).
+        if prev_mis is not None:
+            release_cut(prev_mis)
+        if mis is not winners:
+            release_cut(winners)
+        if prev_active is not verts:
+            release_cut(prev_active)
         if active.limit(1).count() == 0:
             break
     if active.limit(1).count() != 0:
@@ -2260,6 +2346,7 @@ def mis_frame(verts: DataFrame, sym: DataFrame, rounds: int) -> DataFrame:
             f"Luby MIS did not converge within {rounds} rounds — "
             "partial (non-maximal) sets are not returned"
         )
+    release_cut(active)  # empty by the check above; mis is the result
     return mis
 
 

@@ -23,6 +23,7 @@ from graph_database_akkatyped_spark.caching import (
     cut,
     layout_dir,
     memoized_checkpoint,
+    release_cut,
 )
 from graph_database_akkatyped_spark.catalog import load_table
 from graph_database_akkatyped_spark.numerics import davg, sql_davg
@@ -1764,7 +1765,12 @@ def simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("q_id", "vec_id", "cos", F.lit(r).cast("int").alias("rnk"))
         )
+        prev = selected
         selected = cut(selected.unionByName(pick))
+        # guide §5 (VERDICT r11 #4): the new cut consumed the previous
+        # selected generation (r=2's prev is the lazy top-1 window
+        # frame — no blocks, no-op)
+        release_cut(prev)
     return selected.select("q_id", "vec_id", "cos", "rnk")
 
 

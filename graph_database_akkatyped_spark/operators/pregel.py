@@ -49,6 +49,13 @@ class PregelResult:
     vertices: DataFrame  # (id, state)
     iterations: int
     converged: bool
+    # Block ids of the FINAL superstep's cut (``vertices`` is a lazy
+    # select over it, so caching.cut_block_ids cannot recover them
+    # from the result frame). A caller that has fully materialized
+    # everything it derives from ``vertices`` may free these via
+    # caching._unpersist_ids — the round-12 §5 discipline scc_frame
+    # applies per peeling round. Empty when no superstep was cut.
+    block_ids: frozenset = frozenset()
 
 
 def pregel(
@@ -139,4 +146,9 @@ def pregel(
         v = stepped.select("id", "state")
         if frontier_only:
             active = stepped.where(F.col("changed") == 1).select("id", "state")
-    return PregelResult(vertices=v, iterations=iterations, converged=converged)
+    return PregelResult(
+        vertices=v,
+        iterations=iterations,
+        converged=converged,
+        block_ids=frozenset(prev_block_ids),
+    )

@@ -1,0 +1,121 @@
+"""Round-12 optimization locks.
+
+1. Iterative kernels free superseded cut generations (guide §5,
+   round-11 VERDICT #4): executor storage stays O(1) generations per
+   kernel run instead of O(rounds) — AND the results remain fully
+   readable afterwards (releasing a block a live plan still needs
+   would raise "checkpoint block not found" at the collect below,
+   so these tests are falsifiable in both directions).
+2. The containment verify is explode-free (round-12 restructure):
+   one array_intersect per candidate pair, no pair×gram explode, no
+   sizes joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_akkatyped_spark.caching import persistent_rdd_ids
+from graph_database_akkatyped_spark.operators.graph_extras import (
+    cc_twophase_frame,
+    mis_frame,
+    mst_boruvka_frame,
+)
+
+
+def _chain_edges(spark, n):
+    """Path graph 0-1-...-n (worst case for round counts: many rounds,
+    so a per-round block leak is maximally visible)."""
+    return spark.range(n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+
+
+def test_mis_frame_releases_generations(spark):
+    sym_src = _chain_edges(spark, 200)
+    sym = sym_src.unionByName(
+        sym_src.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    verts = spark.range(201).select(F.col("id").alias("v"))
+    before = persistent_rdd_ids(spark)
+    mis = mis_frame(verts, sym, rounds=40)
+    rows = mis.collect()  # must be readable AFTER the releases
+    leaked = persistent_rdd_ids(spark) - before
+    # Luby on a 200-chain runs several rounds; the old code persisted
+    # winners+mis+active per round (3/round). Now only the final mis
+    # (and at most a trailing generation) may remain.
+    assert len(leaked) <= 3, f"leaked {len(leaked)} cut generations"
+    # independence + maximality: no two adjacent picks, no addable vertex
+    picked = {r.v for r in rows}
+    for v in picked:
+        assert v + 1 not in picked
+    for v in range(201):
+        if v not in picked:
+            assert (v - 1 in picked) or (v + 1 in picked)
+
+
+def test_cc_twophase_releases_generations(spark):
+    edges = _chain_edges(spark, 150)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    verts = spark.range(151).select(F.col("id").alias("id"))
+    before = persistent_rdd_ids(spark)
+    residual: list = []
+    cc = cc_twophase_frame(verts, sym, residual=residual)
+    rows = cc.collect()
+    assert {r.component for r in rows} == {0}  # one chain, one component
+    assert len(rows) == 151
+    leaked = persistent_rdd_ids(spark) - before
+    # per round the kernel cuts e1+e2 (2/round, O(log² n) rounds); only
+    # the final fixed-point edge set may remain — and the caller can
+    # free even that through ``residual`` once it has consumed the
+    # labeling (collect() above did).
+    assert len(leaked) <= 2, f"leaked {len(leaked)} cut generations"
+    assert len(residual) == 1
+
+
+def test_mst_boruvka_releases_generations(spark):
+    # weighted path: unique max spanning forest = all edges
+    edges = _chain_edges(spark, 100).select(
+        "a", "b", (F.col("a") % 7 + 1).cast("long").alias("weight")
+    )
+    before = persistent_rdd_ids(spark)
+    forest = mst_boruvka_frame(edges)
+    rows = forest.collect()
+    assert len(rows) == 100  # spanning tree of a 101-vertex path
+    leaked = persistent_rdd_ids(spark) - before
+    # per round the old code persisted xe+sel+comp plus the inner CC's
+    # e/e1/e2 per CC round. Now only the per-round sel picks (tiny,
+    # referenced by the returned forest until materialized) survive —
+    # Borůvka on a chain halves components per round: ~7 rounds.
+    assert len(leaked) <= 10, f"leaked {len(leaked)} cut generations"
+
+
+def test_contain_verify_is_explode_free(spark):
+    """The round-12 containment verify: exact |A∩B| via one
+    array_intersect per candidate pair — no pair×gram explode, no
+    post-agg sizes joins, and pairs with an EMPTY intersection are
+    filtered (not silently surviving as 0-containment rows). Semantics
+    and plan shape locked on a synthetic corpus; the registered keys'
+    row-level parity lives in test_oracle_parity."""
+    from graph_database_akkatyped_spark.operators.llm import _contain_verify
+
+    grams = spark.createDataFrame(
+        [(0, "x"), (0, "y"), (1, "x"), (1, "y"), (1, "z"), (2, "q")],
+        "doc_id long, g string",
+    )
+    cand = spark.createDataFrame([(0, 1), (0, 2)], "a long, b long")
+    out = _contain_verify(cand, grams)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan
+    assert "Generate" not in plan  # the old shape exploded pair×grams
+    rows = {(r.a, r.b): r for r in out.collect()}
+    # (0,1): |A∩B|=2, C(A in B)=2/2=1.0, C(B in A)=2/3 — survives
+    # (0,2): |A∩B|=0 — 0 >= 0.5·n never holds, filtered
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    assert r.n_common == 2
+    assert r.contain_a_in_b == pytest.approx(1.0)
+    assert r.contain_b_in_a == pytest.approx(2.0 / 3.0)
