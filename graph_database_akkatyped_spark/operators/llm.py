@@ -604,48 +604,69 @@ _CONTAIN_MIN = 0.5  # report pairs where either direction's containment clears t
 def _contain_verify(cand: DataFrame, grams: DataFrame) -> DataFrame:
     """Exact containment verify shared by both containment keys:
     count |A∩B| for every candidate pair, then keep pairs where either
-    direction's containment clears ``_CONTAIN_MIN``.
+    direction's containment clears ``_CONTAIN_MIN``. ``cand`` must
+    carry the per-doc gram counts (a, b, n_a, n_b) — both candidate
+    generators produce them for free (see the callers), which is the
+    whole point of this round's shape.
 
-    Round-12 (guide §2.4, remove shuffles outright; VERDICT r11 #1/#2):
-    the round-11 shape exploded each pair by its smaller gram set
-    (Σ min(|A|,|B|) rows — 5.53 M at sf0.1), shuffled the explode
-    through a second (doc, g) equi-join, re-aggregated it back to one
-    row per pair, and joined the per-doc sizes frame FOUR times (twice
-    to order each pair small-side-first, twice more to compute the
-    containment ratios) — all to produce 131,983 n_common values.
-    ``grams`` is DISTINCT (doc_id, g) by construction (see
-    ``_gram_frame``), so each doc's gram SET fits one array row no
-    larger than the doc's own ``text`` column, and |A∩B| is computable
-    per pair with a single ``array_intersect`` expression: two joins
-    against the per-doc array frame, zero explodes, zero
-    re-aggregation, and n_a/n_b fall out as ``size()`` of the arrays
-    the row already carries. Exactness: the intersection is over the
-    literal gram strings (no hashing), counts are exact integers, each
-    containment is the same BIGINT/BIGINT IEEE division as before —
-    identical output rows. Pairs with an empty intersection now reach
-    the final filter (as n_common = 0) instead of vanishing at the
-    inner join, and 0 >= 0.5·n_g is false for any non-empty doc, so
-    the survivor set is unchanged. Scale note: the array frame moves
-    each doc's grams once per candidate pair it appears in, vs once
-    per small-side GRAM under the explode — fewer, fatter rows through
-    the exchanges (and at fixture scale the array side broadcasts,
-    leaving no pair-side shuffle at all)."""
-    gset = grams.groupBy("doc_id").agg(F.collect_list("g").alias("gs"))
-    paired = cand.join(
-        gset.select(F.col("doc_id").alias("a"), F.col("gs").alias("gs_a")),
-        "a",
-    ).join(
-        gset.select(F.col("doc_id").alias("b"), F.col("gs").alias("gs_b")),
-        "b",
+    Round-12 (guide §2.2/§3, VERDICT r11 #1): the round-11 shape
+    joined a separate per-doc sizes frame FOUR times — twice before
+    the explode to order each pair small-side-first (+4 SMJ pre-AQE,
+    the round-11 driver's one open regression suspect), twice after
+    the pair aggregate to compute the containment ratios. With n_a/n_b
+    threaded in from candidate generation, the small-side ordering is
+    a pure projection and the ratios read columns the aggregated row
+    already carries (n_s/n_m ride the explode as two constant longs
+    per pair and collapse in the map-side partial aggregate): zero
+    sizes joins remain. The explode itself stays on each pair's
+    SMALLER gram set (Σ min(|A|,|B|) rows, round 11's bound, tightest
+    in the skewed excerpt⊂host regime this verify serves).
+
+    Measured negative, reverted this round (same-JVM ABBA-paired A/B
+    at sf0.1): replacing the explode with per-doc gram ARRAYS +
+    ``array_intersect`` (zero explodes, zero re-aggregation) was flat
+    on dedup_containment (ratio 1.04) and 15–40% SLOWER on
+    dedup_containment_smallside (median ratio 1.14, 6/6 iterations
+    > 1.0) — each candidate-pair row hauls BOTH full gram arrays
+    (~2 KB/pair vs ~30 B/explode-row), and smallside's larger
+    candidate set pays it; collect_list also adds its own aggregate.
+
+    The (sdoc, mdoc) relabeling is a bijection on pairs, the
+    intersection count is symmetric, least/greatest restores (a, b)
+    and the matching when() restores (n_a, n_b), so output rows are
+    identical to the unordered formulation (oracle-parity-locked at
+    three scale factors)."""
+    small_a = F.col("n_a") <= F.col("n_b")
+    ordered = cand.select(
+        F.when(small_a, F.col("a")).otherwise(F.col("b")).alias("sdoc"),
+        F.when(small_a, F.col("b")).otherwise(F.col("a")).alias("mdoc"),
+        F.when(small_a, F.col("n_a")).otherwise(F.col("n_b")).alias("n_s"),
+        F.when(small_a, F.col("n_b")).otherwise(F.col("n_a")).alias("n_m"),
     )
-    scored = paired.select(
-        "a",
-        "b",
-        F.size(F.array_intersect("gs_a", "gs_b"))
-        .cast("long")
-        .alias("n_common"),
-        F.size("gs_a").cast("long").alias("n_a"),
-        F.size("gs_b").cast("long").alias("n_b"),
+    common = (
+        ordered.join(
+            grams.select(F.col("doc_id").alias("sdoc"), "g"), "sdoc"
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("mdoc"), "g"),
+            ["mdoc", "g"],
+        )
+        .groupBy("sdoc", "mdoc")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # constant per (sdoc, mdoc) group — max() just reads them
+            # back without a sizes join
+            F.max("n_s").alias("n_s"),
+            F.max("n_m").alias("n_m"),
+        )
+    )
+    a_is_s = F.col("sdoc") < F.col("mdoc")
+    scored = common.select(
+        F.least("sdoc", "mdoc").alias("a"),
+        F.greatest("sdoc", "mdoc").alias("b"),
+        "n_common",
+        F.when(a_is_s, F.col("n_s")).otherwise(F.col("n_m")).alias("n_a"),
+        F.when(a_is_s, F.col("n_m")).otherwise(F.col("n_s")).alias("n_b"),
     )
     c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
@@ -689,20 +710,37 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = memoized_checkpoint(
         spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
     )
+    # n_g rides the signature aggregate for free (same groupBy) and is
+    # carried through the band join so the verify needs no sizes joins
+    # (round-12 _contain_verify contract)
     sigs = grams.groupBy("doc_id").agg(
-        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)],
+        F.count(F.lit(1)).alias("n_g"),
     )
     lsig = sigs.select(
         "doc_id",
+        "n_g",
         F.posexplode(
             F.array(*[F.col(f"m{k}") for k in range(_NGRAM_HASHES)])
         ).alias("k", "mh"),
     )
     cand = (
-        lsig.select(F.col("doc_id").alias("a"), "k", "mh")
-        .join(lsig.select(F.col("doc_id").alias("b"), "k", "mh"), ["k", "mh"])
+        lsig.select(
+            F.col("doc_id").alias("a"), F.col("n_g").alias("n_a"), "k", "mh"
+        )
+        .join(
+            lsig.select(
+                F.col("doc_id").alias("b"),
+                F.col("n_g").alias("n_b"),
+                "k",
+                "mh",
+            ),
+            ["k", "mh"],
+        )
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        # n_a/n_b are functions of a/b, so the distinct's cardinality
+        # (and the candidate pair set) is unchanged by carrying them
+        .select("a", "b", "n_a", "n_b")
         .distinct()
     )
     return _contain_verify(cand, grams)
@@ -810,19 +848,36 @@ def dedup_containment_smallside(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= _CONTAIN_DF_CAP)
         .select("g")
     )
-    low = grams.join(rare, "g", "left_semi")
+    # full-gram doc sizes (counted over ALL grams, not just sub-cap
+    # ones — the containment denominator), attached to the sub-cap
+    # posting rows by one broadcast-sized join so candidates carry
+    # n_a/n_b and the verify needs no sizes joins (round-12
+    # _contain_verify contract)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    low = grams.join(rare, "g", "left_semi").join(sizes, "doc_id")
     wg = Window.partitionBy("doc_id").orderBy(_minhash(0), "g")
     sampled = (
         low.withColumn("rn", F.row_number().over(wg))
         .where(F.col("rn") <= _CONTAIN_SAMPLE_S)
-        .select("doc_id", "g")
+        .select("doc_id", "g", "n_g")
     )
+    q_lt_t = F.col("q") < F.col("t")
     cand = (
-        sampled.select(F.col("doc_id").alias("q"), "g")
-        .join(low.select(F.col("doc_id").alias("t"), "g"), "g")
+        sampled.select(
+            F.col("doc_id").alias("q"), "g", F.col("n_g").alias("n_q")
+        )
+        .join(
+            low.select(
+                F.col("doc_id").alias("t"), "g", F.col("n_g").alias("n_t")
+            ),
+            "g",
+        )
         .where(F.col("q") != F.col("t"))
         .select(
-            F.least("q", "t").alias("a"), F.greatest("q", "t").alias("b")
+            F.least("q", "t").alias("a"),
+            F.greatest("q", "t").alias("b"),
+            F.when(q_lt_t, F.col("n_q")).otherwise(F.col("n_t")).alias("n_a"),
+            F.when(q_lt_t, F.col("n_t")).otherwise(F.col("n_q")).alias("n_b"),
         )
         .distinct()
     )

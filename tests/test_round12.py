@@ -93,29 +93,42 @@ def test_mst_boruvka_releases_generations(spark):
     assert len(leaked) <= 10, f"leaked {len(leaked)} cut generations"
 
 
-def test_contain_verify_is_explode_free(spark):
-    """The round-12 containment verify: exact |A∩B| via one
-    array_intersect per candidate pair — no pair×gram explode, no
-    post-agg sizes joins, and pairs with an EMPTY intersection are
-    filtered (not silently surviving as 0-containment rows). Semantics
-    and plan shape locked on a synthetic corpus; the registered keys'
-    row-level parity lives in test_oracle_parity."""
+def test_contain_verify_threads_sizes(spark):
+    """The round-12 containment verify: candidates arrive with their
+    per-doc gram counts (a, b, n_a, n_b), so the verify contains NO
+    join against a per-doc sizes frame — the small-side ordering is a
+    projection and the ratios read aggregated columns (VERDICT r11 #1:
+    the +4 pre-explode SMJ are gone). Exactly two joins remain in the
+    subtree: the (sdoc)/(mdoc, g) gram probes of the min-side explode.
+    Semantics locked on a synthetic corpus, including the asymmetric-
+    size orientation (n_a/n_b must follow a/b, not sdoc/mdoc); the
+    registered keys' row-level parity lives in test_oracle_parity."""
     from graph_database_akkatyped_spark.operators.llm import _contain_verify
 
     grams = spark.createDataFrame(
-        [(0, "x"), (0, "y"), (1, "x"), (1, "y"), (1, "z"), (2, "q")],
+        [(0, "x"), (0, "y"), (1, "x"), (1, "y"), (1, "z"), (2, "q"),
+         (3, "x")],
         "doc_id long, g string",
     )
-    cand = spark.createDataFrame([(0, 1), (0, 2)], "a long, b long")
+    cand = spark.createDataFrame(
+        [(0, 1, 2, 3), (0, 2, 2, 1), (1, 3, 3, 1)],
+        "a long, b long, n_a long, n_b long",
+    )
     out = _contain_verify(cand, grams)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "array_intersect" in plan
-    assert "Generate" not in plan  # the old shape exploded pair×grams
+    # two gram probes, zero sizes joins (the old shape had four)
+    assert plan.count("Join") == 2, plan
     rows = {(r.a, r.b): r for r in out.collect()}
     # (0,1): |A∩B|=2, C(A in B)=2/2=1.0, C(B in A)=2/3 — survives
-    # (0,2): |A∩B|=0 — 0 >= 0.5·n never holds, filtered
-    assert set(rows) == {(0, 1)}
+    # (0,2): |A∩B|=0 — empty intersection never reaches the filter
+    # (1,3): |A∩B|=1, small side is b (n_b=1): C(B in A)=1/1 — survives
+    #        and the orientation must report n_a=3's ratio as 1/3
+    assert set(rows) == {(0, 1), (1, 3)}
     r = rows[(0, 1)]
     assert r.n_common == 2
     assert r.contain_a_in_b == pytest.approx(1.0)
     assert r.contain_b_in_a == pytest.approx(2.0 / 3.0)
+    r13 = rows[(1, 3)]
+    assert r13.n_common == 1
+    assert r13.contain_a_in_b == pytest.approx(1.0 / 3.0)
+    assert r13.contain_b_in_a == pytest.approx(1.0)
