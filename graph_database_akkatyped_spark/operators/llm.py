@@ -380,26 +380,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 (guide §2.3/§2.4, the containment n_g discipline applied
+    # to the Jaccard pair frame): n_g rides the signature aggregate for
+    # free (same groupBy) and the band join, so the verify reads the
+    # counts back from its own groupBy (max of a per-pair constant)
+    # instead of joining a per-doc sizes frame twice — plan Exchange
+    # 28→20, SortMergeJoin 10→6, same-JVM ABBA-paired A/B 0.90.
+    # MEASURED NEGATIVE (recorded so round 13 doesn't re-derive it):
+    # additionally ordering each pair small-side-first and exploding by
+    # the smaller gram set — the `_contain_verify` shape — cut explode
+    # rows 4.92 M → 3.85 M at sf0.1 but measured 1.11× SLOWER paired
+    # (the when()-relabel projections, the computed sdoc join key and
+    # the wider distinct cost more than the 22 % row saving buys on the
+    # fixture's near-uniform gram counts). The containment keys keep
+    # the min-side shape: their regime IS the skewed excerpt⊂host case
+    # the Σ min(|A|,|B|) bound targets, and it was measured 0.83 there
+    # (round 11).
     docs = load_table(spark, sf_dir, "documents")
     grams = memoized_checkpoint(  # used 3x below
         spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     sigs = grams.groupBy("doc_id").agg(
-        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)],
+        F.count(F.lit(1)).alias("n_g"),
     )
     lsig = sigs.select(
         "doc_id",
+        "n_g",
         F.posexplode(
             F.array(*[F.col(f"m{k}") for k in range(_NGRAM_HASHES)])
         ).alias("k", "mh"),
     )
-    s1 = lsig.select(F.col("doc_id").alias("a"), "k", "mh")
-    s2 = lsig.select(F.col("doc_id").alias("b"), "k", "mh")
+    s1 = lsig.select(
+        F.col("doc_id").alias("a"), F.col("n_g").alias("n_a"), "k", "mh"
+    )
+    s2 = lsig.select(
+        F.col("doc_id").alias("b"), F.col("n_g").alias("n_b"), "k", "mh"
+    )
     cand = (
         s1.join(s2, ["k", "mh"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        # n_a/n_b are functions of a/b, so the distinct's cardinality
+        # (and the candidate pair set) is unchanged by carrying them
+        .select("a", "b", "n_a", "n_b")
         .distinct()
     )
     ga = grams.select(F.col("doc_id").alias("a"), "g")
@@ -408,14 +431,16 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ga, "a")
         .join(gb, ["b", "g"])
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # constant per (a, b) group — max() reads them back
+            # without a sizes join
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("a"), F.col("n_g").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n_g").alias("n_b"))
     return (
-        common.join(na, "a")
-        .join(nb, "b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
@@ -1368,20 +1393,33 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = memoized_checkpoint(
         spark, "ngram_grams", sf_dir, lambda: _gram_frame(docs)
     )
+    # Round-12: same n_g threading as `_ngram_pairs` (zero sizes joins
+    # in the verify; plan Exchange 28→20, SMJ 10→6, paired A/B 0.95) —
+    # and the same measured negative: the min-side relabel was 1.35×
+    # slower here, so the explode stays on the new (query) side.
     sigs = grams.groupBy("doc_id").agg(
-        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)]
+        *[F.min(_minhash(k)).alias(f"m{k}") for k in range(_NGRAM_HASHES)],
+        F.count(F.lit(1)).alias("n_g"),
     )
     lsig = sigs.select(
         "doc_id",
+        "n_g",
         F.posexplode(
             F.array(*[F.col(f"m{k}") for k in range(_NGRAM_HASHES)])
         ).alias("k", "mh"),
     )
     is_new = (F.col("doc_id") % _INCR_MOD) == 0
-    new_s = lsig.where(is_new).select(F.col("doc_id").alias("new_id"), "k", "mh")
-    old_s = lsig.where(~is_new).select(F.col("doc_id").alias("dup_of"), "k", "mh")
+    new_s = lsig.where(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("n_g").alias("n_a"), "k", "mh"
+    )
+    old_s = lsig.where(~is_new).select(
+        F.col("doc_id").alias("dup_of"), F.col("n_g").alias("n_b"), "k", "mh"
+    )
     cand = (
-        new_s.join(old_s, ["k", "mh"]).select("new_id", "dup_of").distinct()
+        new_s.join(old_s, ["k", "mh"])
+        # n_a/n_b are functions of new_id/dup_of — same candidate set
+        .select("new_id", "dup_of", "n_a", "n_b")
+        .distinct()
     )
     ga = grams.select(F.col("doc_id").alias("new_id"), "g")
     gb = grams.select(F.col("doc_id").alias("dup_of"), "g")
@@ -1389,15 +1427,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ga, "new_id")
         .join(gb, ["dup_of", "g"])
         .groupBy("new_id", "dup_of")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    na = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_g").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_g").alias("n_b"))
     return (
-        common.join(na, "new_id")
-        .join(nb, "dup_of")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),

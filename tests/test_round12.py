@@ -6,9 +6,10 @@
    readable afterwards (releasing a block a live plan still needs
    would raise "checkpoint block not found" at the collect below,
    so these tests are falsifiable in both directions).
-2. The containment verify is explode-free (round-12 restructure):
-   one array_intersect per candidate pair, no pair×gram explode, no
-   sizes joins.
+2. The containment verify threads per-doc gram counts from candidate
+   generation (round-12 restructure): min-side explode, zero sizes
+   joins. (The array_intersect variant was measured slower and
+   reverted — see _contain_verify's docstring.)
 """
 
 from __future__ import annotations
@@ -91,6 +92,29 @@ def test_mst_boruvka_releases_generations(spark):
     # referenced by the returned forest until materialized) survive —
     # Borůvka on a chain halves components per round: ~7 rounds.
     assert len(leaked) <= 10, f"leaked {len(leaked)} cut generations"
+
+
+def test_jaccard_pair_frames_thread_sizes(spark):
+    """Round-12: `_ngram_pairs` and `dedup_incremental` thread the
+    per-doc gram count through the signature aggregate and the band
+    join, so their verify subtrees contain NO per-doc sizes joins —
+    exactly three joins each: the (k, mh) band join plus the two gram
+    probes (the old shape had five; the two sizes joins are gone).
+    Row-level parity for both keys lives in test_oracle_parity."""
+    from graph_database_akkatyped_spark.caching import clear_frame_cache
+    from graph_database_akkatyped_spark.operators.llm import (
+        _ngram_pairs,
+        dedup_incremental,
+    )
+    from tests.conftest import SF_SMOKE
+
+    clear_frame_cache(SF_SMOKE)
+    for frame in (
+        _ngram_pairs(spark, SF_SMOKE),
+        dedup_incremental(spark, SF_SMOKE),
+    ):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Join") == 3, plan
 
 
 def test_contain_verify_threads_sizes(spark):
