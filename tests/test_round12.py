@@ -156,3 +156,35 @@ def test_contain_verify_threads_sizes(spark):
     assert r13.n_common == 1
     assert r13.contain_a_in_b == pytest.approx(1.0 / 3.0)
     assert r13.contain_b_in_a == pytest.approx(1.0)
+
+
+def test_lp_count_only_wedge_matches_shared_frame(spark):
+    """Round-12 link-predict split (guide §2.3, VERDICT r11 #5): the
+    Jaccard key scores a count-only wedge (no d_z join, (x, y)-only
+    wedge rows). The candidate pair set and every cn value must be
+    IDENTICAL to the shared _lp_candidates frame's (x, y, cn)
+    projection — the optimization drops an unused payload column, it
+    must never change what gets counted."""
+    from graph_database_akkatyped_spark.operators.graph_extras import (
+        _lp_candidates,
+        _lp_candidates_cn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r.x, r.y): r.cn
+        for r in _lp_candidates(spark, sf).select("x", "y", "cn").collect()
+    }
+    cn_only = {
+        (r.x, r.y): r.cn for r in _lp_candidates_cn(spark, sf).collect()
+    }
+    assert cn_only == full
+    # and the count-only plan really has no d_z lookup: one wedge
+    # equi-join plus the ce anti-join, nothing else
+    plan = (
+        _lp_candidates_cn(spark, sf)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 2, plan
